@@ -1,0 +1,54 @@
+"""Testdata table loaders.
+
+The driver provides deterministic star-schema parquet under
+``/root/testdata/sf*/`` (TESTDATA.md).  Loading is a plain
+``spark.read.parquet`` — columnar scan with predicate pushdown and
+column pruning for free; every query should show ``PushedFilters`` /
+a narrow ``ReadSchema`` in its physical plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos
+    BIGINT, which we truncate to microseconds — exactly what DuckDB's
+    TIMESTAMP (µs) does — so argmax-by-ts and window semantics agree
+    with the oracle.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
+        # exact-integer range, so float division would lose precision.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

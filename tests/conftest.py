@@ -1,0 +1,66 @@
+"""Shared test fixtures: one tuned SparkSession per test run, a DuckDB
+connection with the testdata views pre-registered (mirroring the
+driver's oracle harness), and an oracle-comparison helper."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from myfitnesspaw_spark.session import get_spark
+from myfitnesspaw_spark.sources import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("myfitnesspaw_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize a cell like an order-insensitive value hash would."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
+    """Mirror of the driver's t2 check: row-count + sorted-column schema
+    + order-insensitive value comparison between Spark and DuckDB."""
+    oracle = duck_con.sql(oracle_sql)
+    o_cols = sorted(oracle.columns)
+    s_cols = sorted(spark_df.columns)
+    assert s_cols == o_cols, f"schema mismatch: spark={s_cols} oracle={o_cols}"
+
+    s_rows = [tuple(_canon(r[c]) for c in s_cols) for r in spark_df.collect()]
+    o_raw = oracle.fetchall()
+    idx = [oracle.columns.index(c) for c in o_cols]
+    o_rows = [tuple(_canon(r[i]) for i in idx) for r in o_raw]
+    assert len(s_rows) == len(o_rows), f"row count: spark={len(s_rows)} oracle={len(o_rows)}"
+    assert sorted(s_rows) == sorted(o_rows), "value mismatch between Spark and oracle"
