@@ -8,7 +8,16 @@ and hash-compares values).
 
 from __future__ import annotations
 
+from myfitnesspaw_spark.plans import core_ops
+from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_report
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
 
 register("progress_report", PROGRESS_ORACLE)(progress_report)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
