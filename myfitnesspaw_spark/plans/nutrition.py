@@ -115,7 +115,7 @@ WITH o AS (
 ),
 actual AS (
   SELECT o.o_custkey AS custkey, o.date,
-         SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
          SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS sum_revenue,
          SUM(CAST(ROUND(l.l_extendedprice * l.l_discount * 100) AS BIGINT)) / 100.0 AS sum_disc,

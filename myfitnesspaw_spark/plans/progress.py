@@ -178,9 +178,10 @@ windowed AS (
          strftime(date, '%d-%b-%Y') AS date_fmt,
          CAST(TRUNC(rmr - goal + burn) AS BIGINT) AS deficit_target,
          CAST(TRUNC((rmr - goal + burn) + (goal - spend)) AS BIGINT) AS deficit_actual,
-         COALESCE(SUM(CAST(TRUNC((rmr - goal + burn) + (goal - spend)) AS BIGINT))
-                  OVER (PARTITION BY custkey ORDER BY date
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS total
+         CAST(COALESCE(SUM(CAST(TRUNC((rmr - goal + burn) + (goal - spend)) AS BIGINT))
+                       OVER (PARTITION BY custkey ORDER BY date
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+              AS BIGINT) AS total
   FROM base
 )
 SELECT custkey, date, day_number, date_fmt, deficit_target, deficit_actual, total

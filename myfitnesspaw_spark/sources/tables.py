@@ -39,7 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     BIGINT, which we truncate to microseconds — exactly what DuckDB's
     TIMESTAMP (µs) does — so argmax-by-ts and window semantics agree
     with the oracle.
+
+    The conf is set here, at read time (it is runtime-settable), not
+    only at session build: the driver invokes queries with its own
+    SparkSession, which would otherwise reject the nanos column with
+    PARQUET_TYPE_ILLEGAL.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's

@@ -42,12 +42,20 @@ def duck():
 
 
 def _canon(v):
-    """Canonicalize a cell like an order-insensitive value hash would."""
+    """Canonicalize a cell type-faithfully, at least as strict as the
+    driver's value hash: ints and floats never collide (DuckDB HUGEINT
+    surfacing as 618.0 must NOT match Spark's long 618 — ADVICE r01),
+    and floats use shortest-round-trip repr so only bit-identical
+    doubles compare equal."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    return str(v)
+            return "f:nan"
+        return f"f:{v!r}"
+    return f"s:{v}"
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
