@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is executed with the ``noop`` write sink so timing covers the
+full distributed plan (scan → shuffle → agg/window) without driver-side
+row materialization, which is what matters at cluster scale.  A one-query
+warmup JVM-compiles the scan/codegen paths first so the numbers measure
+the engine, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from myfitnesspaw_spark.plans import registry  # noqa: E402
+from myfitnesspaw_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else float("nan")
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
+    qs = registry.queries()
+
+    # Warmup: run the flagship once to JIT/codegen-compile common paths.
+    warm = qs.get("progress_report") or next(iter(qs.values()))
+    _run(warm(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

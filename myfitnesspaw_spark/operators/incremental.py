@@ -34,12 +34,15 @@ def diff_new_or_changed(
     Reference: ``filter_new_or_changed_records``
     (`/root/reference/myfitnesspaw/tasks.py:383-405`) — a Python
     list-diff; here a null-safe LEFT ANTI join on all compared columns.
+    Sides are aliased: the two inputs usually share lineage (same base
+    scan), and unaliased ``df[c]`` references would be ambiguous.
     """
+    e, s = extracted.alias("__cdc_e"), stored.alias("__cdc_s")
     cond = None
     for c in compare_cols:
-        eq = extracted[c].eqNullSafe(stored[c])
+        eq = F.col(f"__cdc_e.{c}").eqNullSafe(F.col(f"__cdc_s.{c}"))
         cond = eq if cond is None else cond & eq
-    return extracted.join(stored, cond, "left_anti")
+    return e.join(s, cond, "left_anti")
 
 
 def upsert_keep_latest(
