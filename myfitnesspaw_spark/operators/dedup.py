@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's own surface (its only dedup is the byte-level
+CDC diff, `/root/reference/myfitnesspaw/tasks.py:383-405`), these are
+the operators a 100 TB training-data pipeline needs: exact hashing,
+n-gram Jaccard via an inverted shingle index, banded MinHash LSH, and
+banded SimHash.  All are pure DataFrame compositions — shuffles land on
+content-hash keys (uniformly distributed, skew-free by construction),
+small sides broadcast, nothing collects to the driver.
+
+Scale shapes:
+
+- ``exact_dedup_keep_min``: one hash-groupBy shuffle on md5(text).
+- ``jaccard_pairs``: explode → shuffle on shingle → pair-count
+  aggregate.  Cost is Σ |docs per shingle|²; hot shingles are the
+  skew risk, so ``max_shingle_df`` drops stop-shingles (standard
+  inverted-index trick; AQE skew-split handles the rest).
+- ``minhash_lsh_pairs``: signature aggregate (one shuffle), band
+  explode (b rows/doc), shuffle on band key — candidate generation
+  never compares all pairs; verification joins shingle sets only for
+  candidates.
+- ``simhash_pairs``: token-level bit votes → 32-bit fingerprint, 4×
+  8-bit band explode, shuffle on (band, byte) — then exact Hamming
+  filter on the collided pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import (
+    minhash_signature,
+    normalize_text,
+    simhash_bit,
+    tokens,
+    word_shingles,
+)
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup_keep_min(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min id) per
+    distinct content hash, plus the group size.
+
+    Returns ``(id_col, text_hash, n_copies)``.
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-``n``-gram shingles per doc: ``(id, shingle)``."""
+    return (
+        df.select(F.col(id_col), word_shingles(tokens(F.col(text_col)), n).alias("sh"))
+        .select(id_col, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ ``threshold``.
+
+    Inverted-index join: pairs are generated per shared shingle and
+    counted — never a full cross join.  ``max_shingle_df`` optionally
+    drops shingles appearing in more than that many docs (stop-shingle
+    pruning; biases Jaccard low for pruned pairs, standard at scale).
+
+    Returns ``(id_a, id_b, n_shared, n_a, n_b, jaccard)`` with
+    ``id_a < id_b``; jaccard is one exact division of exact ints.
+    """
+    if max_shingle_df is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle", "left_semi")
+
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact verification.
+
+    1. signature: per doc, ``num_hashes`` min-md5 values over its
+       shingle set (array-level transform — no per-hash shuffle);
+    2. banding: ``num_hashes / band_rows`` bands, band key = concat of
+       the band's rows; docs colliding in ANY band become candidates
+       (one shuffle on the band key);
+    3. verification: exact shingle Jaccard ≥ ``threshold`` on the
+       candidate pairs only.
+
+    Returns ``(id_a, id_b, jaccard)``.
+    """
+    num_bands = num_hashes // band_rows
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = sh.select(F.col(id_col), *minhash_signature(F.col("sh"), num_hashes))
+
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    shingles = sh.select(id_col, F.explode("sh").alias("shingle")).distinct()
+    verified = jaccard_pairs(shingles, id_col, threshold)
+    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc from count-weighted token bit votes.
+
+    Explode to (doc, token, count), then for each bit sum
+    ``count × (±1 from md5 nibble)`` and set the bit on a positive
+    vote — all exact integer arithmetic, grouped on the doc id.
+    Returns ``(id_col, simhash)``.
+    """
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    votes = tok_counts.select(
+        F.col(id_col),
+        *[
+            (F.col("cnt") * simhash_bit(F.col("token"), i)).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{i}").alias(f"v{i}") for i in range(SIMHASH_BITS)]
+    )
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banded: the 32-bit fingerprint splits into 4 bytes; with distance
+    ≤ 3 the pigeonhole principle guarantees at least one identical
+    byte, so candidates are generated by a shuffle join on
+    ``(band, byte)`` — never all pairs — then exact ``bit_count(xor)``
+    filters.  Returns ``(id_a, id_b, hamming)``.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.byte")
+
+    left = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "byte")
+    right = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "byte")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band", "byte"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def topk_per_key(df: DataFrame, key_cols: list[str], order_cols: list, k: int) -> DataFrame:
+    """row_number top-K helper shared by similarity search."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -8,7 +8,7 @@ and hash-compares values).
 
 from __future__ import annotations
 
-from myfitnesspaw_spark.plans import core_ops
+from myfitnesspaw_spark.plans import core_ops, text_queries as tq
 from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_report
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
@@ -21,3 +21,14 @@ register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps
 register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
 register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
+
+# Training-data pipeline ops over documents/embeddings (SURVEY.md §7.2.7).
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)

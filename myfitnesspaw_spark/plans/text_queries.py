@@ -1,0 +1,471 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``:
+text analysis, dedup (exact / Jaccard / MinHash-LSH / SimHash), and
+embedding similarity search — each with a DuckDB oracle.
+
+Cross-engine determinism contract (the driver hash-compares cells):
+- integer arithmetic everywhere a SUM crosses a group boundary (float
+  group-sums are addition-order-dependent and engines disagree);
+- md5 hex strings as the only string hash (identical in both engines);
+- float results are either a single op over exact ints (ratios) or a
+  sequential left fold over an array (dot products) — both engines
+  fold lists left-to-right, so even doubles are bit-identical.
+
+The corpus has PLANTED near-duplicates (docs containing the marker
+token "dup", word-trigram Jaccard ≈ 0.98) which the three near-dup
+detectors must surface; exact-dup and embedding-near-dup inputs union
+deterministic copies in-query since the base corpus has none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import (
+    bpe_ish_token_count,
+    char_bigrams,
+    normalize_text,
+    rolling_fingerprint,
+    tokens,
+)
+from myfitnesspaw_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup_keep_min,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_sets,
+    simhash_pairs,
+)
+from myfitnesspaw_spark.operators.similarity import bucket_near_dup, cosine_topk
+from myfitnesspaw_spark.sources import load_table
+
+# Shared SQL fragments for the oracles -----------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+# Distinct word-trigram shingles per doc (DuckDB; 1-based lists).
+_SHINGLES_CTE = f"""
+d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+  WHERE len(w) >= 3
+)
+"""
+
+STOPWORDS = ("the", "a")
+
+
+# --- text_stats -----------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token counts (whitespace + BPE-ish
+    regex), distinct ratio, stopword ratio, and a composite quality
+    score — the filters a corpus-curation pass runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_chars = F.length(norm)
+    stop_ratio = n_stop / n_tokens
+    quality = F.round(
+        0.4 * (F.least(n_tokens, F.lit(100)) / F.lit(100))
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.3 * (F.lit(1) - stop_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        n_chars.alias("n_chars_norm"),
+        n_stop.alias("n_stop"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS norm, {_WORDS} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct,
+         len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+         length(norm) AS n_chars_norm,
+         len(list_filter(w, t -> t IN ('the', 'a'))) AS n_stop
+  FROM d
+)
+SELECT doc_id, n_tokens, n_distinct, bpe_tokens, n_chars_norm, n_stop,
+       ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+       ROUND(0.4 * (least(n_tokens, 100) / 100)
+             + 0.3 * (n_distinct / n_tokens)
+             + 0.3 * (1 - n_stop / n_tokens), 6) AS quality_score
+FROM m
+"""
+
+
+# --- lang_id --------------------------------------------------------------
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID: per-language bigram profiles are
+    counted from the labeled corpus itself, each doc is scored by
+    Σ count_doc(bigram) × freq_lang(bigram) (exact integer sum), and
+    the argmax language (lexicographic tie-break) is predicted.
+
+    Scale: the profile table is tiny (langs × bigrams) → broadcast;
+    the doc-side bigram aggregate shuffles on (doc_id, bigram).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true"), char_bigrams(F.col("text")).alias("bgs")
+    )
+    doc_bg = (
+        docs.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    profile = (
+        docs.select(F.col("lang_true").alias("lang"), F.explode("bgs").alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    scores = (
+        doc_bg.join(F.broadcast(profile), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("freq")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"), "score")
+    )
+    return pred.join(docs.select("doc_id", "lang_true"), "doc_id").select(
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        "score",
+        (F.col("lang_pred") == F.col("lang_true")).alias("is_match"),
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang AS lang_true, {_NORM} AS norm FROM documents
+),
+bg AS (
+  SELECT doc_id, lang_true, substr(norm, i, 2) AS bg
+  FROM d, LATERAL (SELECT unnest(generate_series(1, length(norm) - 1)) AS i)
+),
+doc_bg AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+),
+profile AS (
+  SELECT lang_true AS lang, bg, COUNT(*) AS freq FROM bg GROUP BY 1, 2
+),
+scores AS (
+  SELECT b.doc_id, p.lang, SUM(b.cnt * p.freq) AS score
+  FROM doc_bg b JOIN profile p ON b.bg = p.bg
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT p.doc_id, d.lang_true, p.lang_pred, CAST(p.score AS BIGINT) AS score,
+       p.lang_pred = d.lang_true AS is_match
+FROM pred p JOIN d ON p.doc_id = d.doc_id
+WHERE p.rn = 1
+"""
+
+
+# --- doc_fingerprint ------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (mod-prime polynomial fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split({_NORM}, ''),
+                                     c -> CAST(ord(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint,
+       length({_NORM}) AS n_chars_norm
+FROM documents
+"""
+
+
+# --- exact_dedup ----------------------------------------------------------
+# The base corpus has no exact dups; union a deterministic copy of every
+# 20th doc (id + 1_000_000) so the operator has real work.
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return exact_dedup_keep_min(docs.unionByName(copies), "doc_id", "text")
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+)
+SELECT md5({_NORM}) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+# --- ngram_jaccard_pairs --------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD).withColumnRenamed(
+        "doc_id", "id_a"
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- minhash_lsh_pairs ----------------------------------------------------
+
+MH_HASHES = 16
+MH_BAND_ROWS = 2
+
+
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MH_HASHES,
+        band_rows=MH_BAND_ROWS,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MH_HASHES)
+    )
+    band_rows = ", ".join(
+        f"({b}, h{b * MH_BAND_ROWS} || '|' || h{b * MH_BAND_ROWS + 1})"
+        for b in range(MH_HASHES // MH_BAND_ROWS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, t.band, t.key
+  FROM sig, LATERAL (VALUES {band_rows}) AS t(band, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT s.id_a, s.id_b,
+         s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+)
+SELECT c.id_a, c.id_b, v.jaccard
+FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+"""
+
+
+MINHASH_LSH_ORACLE = _minhash_oracle()
+
+
+# --- simhash_pairs --------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _simhash_oracle() -> str:
+    bit_votes = ",\n         ".join(
+        f"SUM(cnt * (CASE WHEN substr(md5(token), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    band_rows = ", ".join(f"({b}, (simhash >> {8 * b}) & 255)" for b in range(4))
+    return f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+tok AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS token FROM d)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id,
+         {bit_votes}
+  FROM tok GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp_sum} AS simhash FROM votes),
+bands AS (
+  SELECT doc_id, simhash, t.band, t.byte
+  FROM fp, LATERAL (VALUES {band_rows}) AS t(band, byte)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle()
+
+
+# --- ann_topk_cosine ------------------------------------------------------
+
+ANN_K = 5
+ANN_QUERY_MOD = 50
+
+# DuckDB cosine with a sequential left fold — the SAME fold order Spark's
+# `aggregate` uses, so the doubles are bit-identical, not just close.
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"ROUND({_DUCK_DOT.format(a=a, b=b)} / "
+        f"({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}), 6)"
+    )
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return cosine_topk(queries, vecs, "vec_id", "embedding", ANN_K)
+
+
+ANN_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_duck_cosine("q.qv", "c.embedding")} AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# --- embedding_near_dup ---------------------------------------------------
+# IVF-style bucket pruning: `label` plays the coarse-centroid assignment.
+# The base table has no high-cosine pairs (max ≈ 0.51), so union planted
+# copies of every 25th vector; threshold 0.45 also surfaces a few
+# natural within-bucket pairs.
+
+NEAR_DUP_THRESHOLD = 0.45
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    copies = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = vecs.select("vec_id", "embedding", "label").unionByName(copies)
+    return bucket_near_dup(corpus, "vec_id", "embedding", "label", NEAR_DUP_THRESHOLD)
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS INT) AS bucket,
+       {_duck_cosine("a.embedding", "b.embedding")} AS cos
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {NEAR_DUP_THRESHOLD}
+"""
