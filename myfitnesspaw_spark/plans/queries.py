@@ -8,7 +8,12 @@ and hash-compares values).
 
 from __future__ import annotations
 
-from myfitnesspaw_spark.plans import core_ops, text_queries as tq
+from myfitnesspaw_spark.plans import (
+    core_ops,
+    normalize_queries as nq,
+    stream_queries as sq,
+    text_queries as tq,
+)
 from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_report
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
@@ -32,3 +37,20 @@ register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
 register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
 register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+
+# Normalization pipeline (SURVEY.md §2.3/§2.4: N1-N9, E1/E2, D3, Q2e).
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+
+# Streaming / stateful / multimodal extensions (SURVEY.md §2.9, §7.2.7).
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)

@@ -1,0 +1,98 @@
+"""Named queries for the streaming / stateful / multimodal extensions
+(SURVEY.md §2.9, build plan §7.2.7) over the events and documents
+tables, each with a DuckDB oracle.
+
+``streaming_hourly_rollup`` executes a REAL Structured Streaming query
+(readStream → watermark → tumbling window → memory sink, availableNow)
+and still oracle-checks: with the backlog drained in one trigger the
+result equals the batch rollup, which IS the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myfitnesspaw_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    sample_frames,
+)
+from myfitnesspaw_spark.sources import load_table
+from myfitnesspaw_spark.streaming import sessionize, streaming_hourly_rollup
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
+
+
+SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_hourly_rollup(spark, sf_dir)
+
+
+STREAMING_ROLLUP_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS BIGINT) AS value_cents,
+       CAST(SUM({_CENTS}) AS BIGINT) / 100.0 AS value_sum
+FROM e GROUP BY 1, 2
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_binary_payload(docs))
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS fake_height,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(text || '|' || CAST(i AS VARCHAR)) AS frame_checksum
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 4)) AS i)
+"""

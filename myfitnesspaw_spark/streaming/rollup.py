@@ -1,0 +1,101 @@
+"""Structured Streaming ingestion variant (SURVEY.md §2.9 extension).
+
+The reference is scheduled batch with an incremental window — "late"
+data is handled by re-scraping the last 6 days and upserting
+(`/root/reference/myfitnesspaw/tasks.py:260-262`, `sql.py:151-154`).
+The streaming-native equivalent: ``readStream`` over the events table,
+event-time watermark standing in for the lookback window, tumbling
+windows for the per-period rollup.
+
+At scale this is the real shape: a file/Kafka stream, watermark
+bounding state, partial aggregation before the shuffle on
+(window, event_type).  On the test harness the stream is driven with
+``trigger(availableNow=True)`` so it drains the backlog and stops —
+the query function stays a plain ``(spark, sf_dir) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from myfitnesspaw_spark.functions.numeric import money_cents
+
+# events.parquet physical schema under nanosAsLong: ts is epoch-nanos.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the same nanos→µs
+    normalization the batch loader applies (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streaming sources list a directory; select just the events
+    # file out of the shared sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    sink_name: str = "streaming_hourly_rollup_sink",
+) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type, executed as a real
+    Structured Streaming query (memory sink, availableNow trigger),
+    returned as the finished batch DataFrame.
+
+    ``complete`` output mode so every window is emitted even though
+    the backlog drains in one trigger (append mode would hold back
+    windows newer than the final watermark).  Money sums go through
+    exact integer cents (functions/numeric.py) for oracle parity.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+    # The state-store partition count is frozen at the query's first
+    # run from spark.sql.shuffle.partitions; size it to the cluster
+    # (a caller-provided session may still carry the 200 default).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink_name).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+        (F.col("value_cents") / 100.0).alias("value_sum"),
+    )
