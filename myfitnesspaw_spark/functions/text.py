@@ -52,16 +52,58 @@ def char_bigrams(col: Column) -> Column:
     )
 
 
+def split_chars(col: Column) -> Column:
+    """Normalized text split to a char array — materialize this in its
+    own projection before feeding ``char_bigram_codes``."""
+    return F.split(normalize_text(col), "")
+
+
+def char_bigram_codes(chars_col: Column) -> Column:
+    """Character bigrams as injective integer codes
+    (``cp₁·65536 + cp₂``, exact for BMP codepoints).
+
+    Same multiset as ``char_bigrams`` but keyed by a long instead of a
+    2-char string: the downstream groupBy/join shuffles move 8-byte
+    ints with cheap hashing — the representation a 100 TB profile
+    build wants.  Only the key changes; any count/score computed on
+    codes equals the one computed on strings.
+
+    PERF: ``chars_col`` MUST be a materialized ``split_chars`` column
+    attribute, not an inline expression — expressions captured by the
+    transform lambda re-evaluate per element (measured 50× slower).
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(chars_col) - 1),
+        lambda i: F.ascii(F.element_at(chars_col, i)).cast("long") * 65536
+        + F.ascii(F.element_at(chars_col, i + 1)),
+    )
+
+
 def word_shingles(tok_col: Column, n: int = 3) -> Column:
     """Overlapping word n-gram shingles (array<string>); empty array
-    when the doc has fewer than ``n`` tokens."""
-    return F.when(
-        F.size(tok_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok_col) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    when the doc has fewer than ``n`` tokens.
+
+    Built from ``zip_with`` + ``slice`` — array-in/array-out ops whose
+    operands evaluate ONCE per row — instead of a transform lambda
+    indexing with ``element_at``: expressions captured inside a
+    higher-order lambda re-evaluate on EVERY element (and Catalyst's
+    CollapseProject re-inlines "materialized" token columns right back
+    into the lambda), which made shingling O(tokens²) per doc —
+    measured 15-50× slower on real documents.
+
+    Shape: iteratively zip the running prefix with the k-shifted
+    array; ``concat_ws`` ignores the nulls ``zip_with`` pads at the
+    tail, and the final slice trims those positions off.
+    """
+    size = F.size(tok_col)
+    acc = tok_col
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(tok_col, k + 1, size - k), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(size >= n, F.slice(acc, 1, size - n + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def rolling_fingerprint(col: Column) -> Column:

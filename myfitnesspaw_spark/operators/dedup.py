@@ -56,12 +56,93 @@ def exact_dedup_keep_min(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word-``n``-gram shingles per doc: ``(id, shingle)``."""
+    """Distinct word-``n``-gram shingles per doc: ``(id, shingle)``.
+
+    Tokens are materialized in their own projection before shingling —
+    inlining ``tokens(...)`` into the shingle lambda re-evaluates the
+    split per array element (O(n²)/doc).
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     return (
-        df.select(F.col(id_col), word_shingles(tokens(F.col(text_col)), n).alias("sh"))
+        toks.select(F.col(id_col), word_shingles(F.col("__toks"), n).alias("sh"))
         .select(id_col, F.explode("sh").alias("shingle"))
         .distinct()
     )
+
+
+def verify_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs only.
+
+    ``candidates`` is ``(id_a, id_b)``; intersections are counted by
+    joining each side's shingle set through the candidate list — cost
+    is Σ |shingles of candidate docs|, never all-pairs.  AQE broadcasts
+    the (small) candidate list at runtime.
+
+    Returns ``(id_a, id_b, n_shared, n_a, n_b, jaccard)`` filtered to
+    ``jaccard ≥ threshold``.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filter_candidates(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs.
+
+    Under any global total order of shingles (here: md5, uniform and
+    skew-free), two sets with Jaccard ≥ t must share an element within
+    each one's first ``n − ⌈t·n⌉ + 1`` shingles (prefix filtering
+    principle, Xiao et al., WWW'08).  Indexing only prefixes cuts the
+    quadratic candidate-generation work by ~(1−t)² — 25× at t=0.8 —
+    with zero recall loss.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
+    ranked = shingles.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__n"),
+    )
+    prefix = ranked.where(
+        F.col("__r") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(id_col, "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """All doc pairs with shingle Jaccard ≥ ``threshold`` — the scale
+    path: prefix-filtered candidate generation + exact verification.
+    Result-identical to ``jaccard_pairs`` (the brute inverted-index
+    form), which serves as its oracle."""
+    cand = prefix_filter_candidates(shingles, id_col, threshold)
+    return verify_pairs(shingles, cand, id_col, threshold)
 
 
 def jaccard_pairs(
@@ -131,9 +212,10 @@ def minhash_lsh_pairs(
     Returns ``(id_a, id_b, jaccard)``.
     """
     num_bands = num_hashes // band_rows
-    sh = df.select(
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    sh = toks.select(
         F.col(id_col),
-        word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+        word_shingles(F.col("__toks"), shingle_n).alias("sh"),
     ).where(F.size("sh") > 0)
     sig = sh.select(F.col(id_col), *minhash_signature(F.col("sh"), num_hashes))
 
@@ -164,8 +246,8 @@ def minhash_lsh_pairs(
     )
 
     shingles = sh.select(id_col, F.explode("sh").alias("shingle")).distinct()
-    verified = jaccard_pairs(shingles, id_col, threshold)
-    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    verified = verify_pairs(shingles, candidates, id_col, threshold)
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from myfitnesspaw_spark.plans import (
     core_ops,
+    etl_flow as ef,
     normalize_queries as nq,
     stream_queries as sq,
     text_queries as tq,
@@ -54,3 +55,8 @@ register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+
+# End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)

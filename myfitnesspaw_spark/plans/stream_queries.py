@@ -17,7 +17,7 @@ from myfitnesspaw_spark.operators.multimodal import (
     decode_images,
     sample_frames,
 )
-from myfitnesspaw_spark.sources import load_table
+from myfitnesspaw_spark.sources import load_table, scatter
 from myfitnesspaw_spark.streaming import sessionize, streaming_hourly_rollup
 
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
@@ -71,7 +71,7 @@ FROM e GROUP BY 1, 2
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return decode_images(attach_binary_payload(docs))
 
 
@@ -86,7 +86,7 @@ FROM documents
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return sample_frames(attach_binary_payload(docs))
 
 

@@ -23,21 +23,22 @@ from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.functions.text import (
     bpe_ish_token_count,
-    char_bigrams,
+    char_bigram_codes,
     normalize_text,
     rolling_fingerprint,
+    split_chars,
     tokens,
 )
 from myfitnesspaw_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup_keep_min,
-    jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
     shingle_sets,
     simhash_pairs,
 )
 from myfitnesspaw_spark.operators.similarity import bucket_near_dup, cosine_topk
-from myfitnesspaw_spark.sources import load_table
+from myfitnesspaw_spark.sources import load_table, scatter
 
 # Shared SQL fragments for the oracles -----------------------------------
 
@@ -63,7 +64,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics: token counts (whitespace + BPE-ish
     regex), distinct ratio, stopword ratio, and a composite quality
     score — the filters a corpus-curation pass runs before training."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     norm = normalize_text(F.col("text"))
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -123,16 +124,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the profile table is tiny (langs × bigrams) → broadcast;
     the doc-side bigram aggregate shuffles on (doc_id, bigram).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("lang").alias("lang_true"), char_bigrams(F.col("text")).alias("bgs")
+    # Integer bigram codes keyed on longs instead of 2-char strings
+    # (same counts, cheaper shuffles).  The char array is materialized
+    # in its own projection and the codes are built INSIDE the explode
+    # (a Generate node): adjacent Projects would be collapsed by
+    # Catalyst, re-inlining the split into the transform lambda, which
+    # re-evaluates per element — measured 50× slower.
+    chars = scatter(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        split_chars(F.col("text")).alias("__chars"),
     )
+    docs = chars.select("doc_id", "lang_true")
     doc_bg = (
-        docs.select("doc_id", F.explode("bgs").alias("bg"))
+        chars.select(
+            "doc_id", F.explode(char_bigram_codes(F.col("__chars"))).alias("bg")
+        )
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     profile = (
-        docs.select(F.col("lang_true").alias("lang"), F.explode("bgs").alias("bg"))
+        chars.select(
+            F.col("lang_true").alias("lang"),
+            F.explode(char_bigram_codes(F.col("__chars"))).alias("bg"),
+        )
         .groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -194,7 +209,7 @@ WHERE p.rn = 1
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (mod-prime polynomial fold)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         rolling_fingerprint(F.col("text")).alias("fingerprint"),
@@ -221,7 +236,7 @@ FROM documents
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = scatter(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     copies = docs.where(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
@@ -247,11 +262,11 @@ JACCARD_THRESHOLD = 0.8
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     sh = shingle_sets(docs, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD).withColumnRenamed(
-        "doc_id", "id_a"
-    )
+    # Scale path: prefix-filtered candidates + exact verify; result-
+    # identical to the brute inverted-index join the oracle runs.
+    return jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD)
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -278,7 +293,7 @@ MH_BAND_ROWS = 2
 
 
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -341,7 +356,7 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
 
 
@@ -414,7 +429,7 @@ def _duck_cosine(a: str, b: str) -> str:
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
     queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return cosine_topk(queries, vecs, "vec_id", "embedding", ANN_K)
 
@@ -450,7 +465,7 @@ NEAR_DUP_THRESHOLD = 0.45
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings")
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
     copies = vecs.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
     )

@@ -1,0 +1,134 @@
+"""Simulated MyFitnessPal source: partition-parallel per-(user, day)
+fetch via Arrow-batched ``mapInPandas``.
+
+Reference: ``MyfitnesspalClientAdapter.get_myfitnesspaw_day`` +
+``get_myfitnesspal_day.map(dates)``
+(`/root/reference/myfitnesspaw/_utils.py:81-129`,
+`tasks.py:339-362`, `flows.py:50-55`) — an HTTPS scrape per (user,
+date) with 15 s timeout / 5 retries, fanned out by Prefect.  The Spark
+shape is identical at 100 TB: a requests DataFrame repartitioned for
+fetch parallelism, one Python worker per partition issuing the calls,
+returning nested day records.  Spark task retries replace Prefect's
+``max_retries``; per-call retry/backoff belongs inside the kernel.
+
+The network client is NOT available here, so the kernel calls a
+DETERMINISTIC fake client — pure integer arithmetic on (user_id,
+date), which keeps the whole downstream pipeline oracle-checkable in
+SQL.  A real deployment swaps ``_fake_client_day`` for the HTTP call;
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import date as _date
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEAL_NAMES = ["breakfast", "lunch", "dinner"]
+
+DAY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("date", T.DateType()),
+        T.StructField(
+            "meals",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("calories", T.LongType()),
+                        T.StructField(
+                            "entries",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("short_name", T.StringType()),
+                                        T.StructField("quantity", T.LongType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "exercises",
+            T.ArrayType(  # positional: [0]=cardio, [1]=strength (tasks.py:600,628)
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("minutes", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("water", T.LongType()),
+    ]
+)
+
+
+def _fake_client_day(user_id: int, day: _date) -> dict:
+    """Deterministic stand-in for the MFP web API: every field is a
+    closed-form integer function of (user_id, day-of-month), so the
+    DuckDB oracle can recompute the pipeline's output exactly."""
+    dom = day.day
+    n_meals = (user_id + dom) % 3  # 0..2 — zero-meal days exercise explode-drop
+    meals = []
+    for i in range(n_meals):
+        n_entries = (user_id + dom + i) % 2 + 1
+        meals.append(
+            {
+                "name": MEAL_NAMES[i],
+                "calories": (user_id * 31 + dom * 7 + i * 13) % 900 + 100,
+                "entries": [
+                    {"short_name": f"item{j}", "quantity": (user_id + dom + i + j) % 5 + 1}
+                    for j in range(n_entries)
+                ],
+            }
+        )
+    return {
+        "user_id": user_id,
+        "date": day,
+        "meals": meals,
+        "exercises": [
+            {"name": "cardio", "minutes": (user_id + dom) % 60},
+            {"name": "strength", "minutes": (user_id * 2 + dom) % 45},
+        ],
+        "water": (user_id + dom) % 5,
+    }
+
+
+def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        days = [
+            _fake_client_day(int(u), d)
+            for u, d in zip(pdf["user_id"], pdf["date"])
+        ]
+        yield pd.DataFrame(days)
+
+
+def fetch_days(requests: DataFrame, fetch_partitions: int | None = None) -> DataFrame:
+    """Fan-out fetch: ``requests(user_id, date)`` → nested day rows.
+
+    ``fetch_partitions`` controls fetch parallelism (the reference's
+    ``.map`` fan-out); default leaves the upstream partitioning.
+    """
+    if fetch_partitions:
+        requests = requests.repartition(fetch_partitions)
+    return requests.mapInPandas(_fetch_batches, DAY_SCHEMA)
+
+
+def serialize_days(days: DataFrame) -> DataFrame:
+    """E1: bronze rows ``(user_id, date, rawdaydata)`` — canonical JSON
+    replaces jsonpickle (`tasks.py:365-380`)."""
+    return days.select(
+        "user_id",
+        "date",
+        F.to_json(F.struct("meals", "exercises", "water")).alias("rawdaydata"),
+    )

@@ -55,6 +55,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism.
+
+    Small tables arrive as ONE parquet split, so every narrow op
+    downstream — shingling, hashing, Pandas UDF decode — runs on one
+    core until the first shuffle.  CPU-heavy per-row pipelines call
+    this right after the scan; at real scale the scan has many splits
+    and this becomes a near-no-op rebalance (AQE folds it away when
+    input partitioning already suffices is NOT true — it is an
+    explicit exchange — so only use it ahead of work that dwarfs one
+    extra shuffle of the input)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register testdata tables as temp views for the SQL API."""
     for name in tables or TABLES:
