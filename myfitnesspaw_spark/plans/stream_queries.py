@@ -18,7 +18,13 @@ from myfitnesspaw_spark.operators.multimodal import (
     sample_frames,
 )
 from myfitnesspaw_spark.sources import load_table, scatter
-from myfitnesspaw_spark.streaming import sessionize, streaming_hourly_rollup
+from myfitnesspaw_spark.streaming import (
+    read_events_stream,
+    session_window_agg,
+    sessionize,
+    sessionize_stream,
+    streaming_hourly_rollup,
+)
 
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
 
@@ -68,6 +74,46 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        CAST(SUM({_CENTS}) AS BIGINT) / 100.0 AS value_sum
 FROM e GROUP BY 1, 2
 """
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return session_window_agg(events, gap_minutes=30)
+
+
+# session_window merges strictly (< gap); a boundary-exact event opens
+# a new session — hence >= in the oracle's flag, vs > in SESSIONIZE's.
+SESSION_WINDOW_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+def sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization over the events stream —
+    closed sessions only (see sessionize_stream docstring); rows-only
+    driver check (stateful streaming is not SQL-expressible)."""
+    stream = read_events_stream(spark, sf_dir)
+    return sessionize_stream(stream, gap_minutes=30)
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

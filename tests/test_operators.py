@@ -1,0 +1,101 @@
+"""Operator unit tests with tiny inline fixtures — the reference's
+test style (exact expected tuple lists over edge-case fixtures:
+empty maps, empty bodies, changed records; `test_tasks.py:50-79`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import word_shingles
+from myfitnesspaw_spark.operators.dedup import (
+    jaccard_pairs,
+    jaccard_pairs_prefix,
+    shingle_sets,
+)
+from myfitnesspaw_spark.operators.normalize import (
+    filter_nonempty,
+    flatten_with_parent,
+    project_map_keys,
+)
+from myfitnesspaw_spark.streaming import sessionize
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c"]), (3, ["a", "b"]), (4, [])],
+        "id int, toks array<string>",
+    )
+    out = {
+        r["id"]: r["sh"]
+        for r in df.select("id", word_shingles(F.col("toks"), 3).alias("sh")).collect()
+    }
+    assert out == {1: ["a b c", "b c d"], 2: ["a b c"], 3: [], 4: []}
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    # Identical result sets from the brute inverted-index join and the
+    # PPJoin prefix-filtered path (zero recall loss by construction).
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "an entirely different sentence with other words here"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    brute = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(sh, "doc_id", 0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs_prefix(sh, "doc_id", 0.5).collect()
+    }
+    assert brute == pref
+    assert (1, 4, 1.0) in pref  # exact dup pair must survive
+
+
+def test_flatten_drops_empty_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, [])], "id int, meals array<string>"
+    )
+    rows = flatten_with_parent(df, ["id"], "meals", "meal").collect()
+    assert [(r["id"], r["meal"]) for r in rows] == [(1, "x"), (1, "y")]
+
+
+def test_project_map_keys_missing_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, {"calories": 100.0}), (2, {"calories": 200.0, "fat": 9.0})],
+        "id int, goals map<string,double>",
+    )
+    rows = project_map_keys(df, "goals", ["calories", "fat"], ["id"]).collect()
+    assert [(r["id"], r["calories"], r["fat"]) for r in sorted(rows)] == [
+        (1, 100.0, None),
+        (2, 200.0, 9.0),
+    ]
+
+
+def test_filter_nonempty(spark):
+    df = spark.createDataFrame(
+        [(1, "note"), (2, ""), (3, None)], "id int, body string"
+    )
+    assert [r["id"] for r in filter_nonempty(df, "body").collect()] == [1]
+
+
+def test_sessionize_gap_boundary(spark):
+    # Events exactly at the 30-min gap stay in one session; one µs
+    # beyond starts a new one.
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:00:00", 1.0),
+            (7, "2024-01-01 00:30:00", 1.0),  # == gap → same session
+            (7, "2024-01-01 01:00:00.000001", 1.0),  # > gap → new session
+            (8, "2024-01-01 00:00:00", 2.5),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = sessionize(df, gap_minutes=30).collect()
+    got = {(r["user_id"], r["session_no"]): (r["n_events"], r["value_cents"]) for r in rows}
+    assert got == {(7, 1): (2, 200), (7, 2): (1, 100), (8, 1): (1, 250)}
