@@ -16,7 +16,14 @@ Layout
                    multimodal plumbing.
 - ``plans``      : the analytic queries (progress report Q1, nutrition Q2,
                    and the full named-query registry with DuckDB oracles).
-- ``streaming``  : Structured Streaming variant of the ingestion pipeline.
+- ``streaming``  : Structured Streaming ingestion (watermarked rollup,
+                   session windows, applyInPandasWithState sessionizer).
+- ``sinks``      : warehouse DDL init, partitioned silver writes,
+                   bucketed tables for shuffle-free co-located joins.
+- ``report``     : driver-side presentation (tail-N, freshness guard,
+                   chart segments, HTML rendering) over collected rows.
+- ``functions``  : reusable Column helpers (text hashing/shingling,
+                   exact-integer money arithmetic).
 """
 
 from myfitnesspaw_spark.session import get_spark

@@ -1,0 +1,85 @@
+"""Warehouse sinks (SURVEY.md §2.2): idempotent DDL init, partitioned
+silver writes, and bucketed tables for shuffle-free co-located joins.
+
+Reference: ``create_mfp_database`` runs ``CREATE TABLE IF NOT EXISTS``
+for the 9 tables on every flow run
+(`/root/reference/myfitnesspaw/tasks.py:310-336`, `sql.py:7-145`);
+loads are ``executemany`` appends/upserts (`tasks.py:39-128`).  The
+Spark warehouse equivalent:
+
+- DDL → ``CREATE TABLE IF NOT EXISTS ... USING PARQUET`` in a named
+  schema — re-runnable, exactly the reference's semantics.
+- silver writes → ``partitionBy(user/date)`` parquet: partition
+  pruning makes the reference's incremental window (last-6-days
+  re-scrape) a metadata-only file skip at 100 TB.
+- bucketed tables → ``bucketBy(N, key).sortBy(key)``: two tables
+  bucketed on the join key co-locate, so the join plans WITHOUT a
+  shuffle — the big-fact ⋈ big-fact strategy (orders ⋈ lineitem)
+  where broadcast can't apply and an exchange would move terabytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The reference's 9-table schema (sql.py:7-145), Spark-typed.
+SILVER_TABLES: dict[str, str] = {
+    "raw_day_data": "user_id BIGINT, date DATE, rawdaydata STRING",
+    "meals": "user_id BIGINT, date DATE, name STRING, calories BIGINT, "
+    "carbs BIGINT, fat BIGINT, protein BIGINT, sodium BIGINT, sugar BIGINT",
+    "meal_entries": "user_id BIGINT, date DATE, meal_name STRING, short_name STRING, "
+    "quantity DOUBLE, unit STRING, calories BIGINT",
+    "goals": "user_id BIGINT, date DATE, calories BIGINT, carbs BIGINT, fat BIGINT, "
+    "protein BIGINT, sodium BIGINT, sugar BIGINT",
+    "cardio_exercises": "user_id BIGINT, date DATE, exercise_name STRING, "
+    "minutes DOUBLE, calories_burned DOUBLE",
+    "strength_exercises": "user_id BIGINT, date DATE, exercise_name STRING, "
+    "sets DOUBLE, reps DOUBLE, weight DOUBLE",
+    "notes": "user_id BIGINT, date DATE, type STRING, body STRING",
+    "water": "user_id BIGINT, date DATE, quantity DOUBLE",
+    "measurements": "user_id BIGINT, date DATE, measure_name STRING, value DOUBLE",
+}
+
+
+def init_warehouse(spark: SparkSession, schema: str = "mfp", location: str | None = None) -> None:
+    """K5: idempotent warehouse init — safe to run on every job start."""
+    loc = f" LOCATION '{location}/{schema}.db'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}{loc}")
+    for name, cols in SILVER_TABLES.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {schema}.{name} ({cols}) USING PARQUET"
+        )
+
+
+def write_silver(
+    df: DataFrame,
+    table: str,
+    partition_cols: Sequence[str] = ("date",),
+    mode: str = "append",
+) -> None:
+    """K1/K3: partitioned append to a silver table.
+
+    Partitioning by date (and user at higher cardinality) turns the
+    incremental window's predicate into partition pruning.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).format("parquet").saveAsTable(table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist bucketed+sorted on the join key: subsequent joins
+    between tables bucketed the same way need NO exchange."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -1,0 +1,73 @@
+"""Physical-plan invariants — the scale properties the engine promises
+(predicate pushdown, column pruning, broadcast strategies) must
+survive refactors, so they are asserted, not just eyeballed."""
+
+from __future__ import annotations
+
+import pytest
+
+from myfitnesspaw_spark.plans import registry
+
+_QUERIES = registry.queries()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_nutrition_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "nutrition_report", sf_dir)
+    # Date-range predicate reaches the orders parquet scan.
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # Lineitem scan is pruned to the needed measure columns — reading
+    # all 11 columns for a 5-column aggregate would be wrong.
+    assert "l_comment" not in plan
+    assert "l_shipdate" not in plan.split("ReadSchema: struct<l_orderkey")[1].split(">")[0]
+
+
+def test_point_lookup_broadcasts_keys(spark, sf_dir):
+    plan = _plan(spark, "point_lookup", sf_dir)
+    # The tiny key set must broadcast (semi-filter scan, then left
+    # join); a shuffled/sort-merge plan would move the whole table for
+    # a handful of keys.
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "exact_dedup", sf_dir)
+    # hash → groupBy is ONE shuffle (plus the scatter rebalance of the
+    # tiny doc scan); a second aggregate exchange would double the
+    # network cost at scale.
+    agg_exchanges = plan.count("Exchange hashpartitioning")
+    assert agg_exchanges <= 2, plan
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "ann_topk_cosine", sf_dir)
+    # The query-vector side is explicitly broadcast against the
+    # (sharded, at scale) corpus.
+    assert "BroadcastExchange" in plan
+
+
+def test_progress_report_windows_are_partitioned(spark, sf_dir):
+    # SURVEY §7.4: the reference's global ORDER BY windows must be
+    # partitioned by the user key in our engine or they serialize onto
+    # one task at scale.
+    plan = _plan(spark, "progress_report", sf_dir)
+    assert "SinglePartition" not in plan, "unpartitioned window in flagship query"
+
+
+@pytest.mark.parametrize("name", ["nutrition_report", "cdc_diff", "topk_retention"])
+def test_codegen_everywhere(spark, sf_dir, name):
+    # Codegen spans only appear in the FINAL adaptive plan, so execute
+    # first; whole-stage codegen missing would mean an expression fell
+    # back to interpreted eval in the hot path.
+    df = _QUERIES[name](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # whole-stage-codegen stages print as *(n)

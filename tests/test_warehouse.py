@@ -1,0 +1,61 @@
+"""Warehouse sink tests: idempotent DDL, partitioned writes with
+pruning, and the bucketed-join no-shuffle guarantee."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.sinks import init_warehouse, write_bucketed, write_silver
+from myfitnesspaw_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("wh"))
+    spark.sql("DROP DATABASE IF EXISTS mfp_test CASCADE")
+    init_warehouse(spark, "mfp_test", loc)
+    yield "mfp_test"
+    spark.sql("DROP DATABASE IF EXISTS mfp_test CASCADE")
+
+
+def test_init_idempotent(spark, wh, tmp_path):
+    init_warehouse(spark, wh, str(tmp_path))  # second run must not fail
+    tables = {r.tableName for r in spark.sql(f"SHOW TABLES IN {wh}").collect()}
+    assert {"meals", "raw_day_data", "measurements"} <= tables
+
+
+def test_partitioned_write_prunes(spark, wh, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey"),
+        F.year(F.col("o_orderdate")).alias("yr"),
+    )
+    write_silver(orders, f"{wh}.orders_part", partition_cols=["yr"], mode="overwrite")
+    read = spark.table(f"{wh}.orders_part").where(F.col("yr") == 1995)
+    expected = orders.where(F.col("yr") == 1995).count()
+    assert read.count() == expected
+    # The year predicate must prune partitions at planning time, not
+    # filter rows at runtime.
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, wh, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, f"{wh}.orders_b", ["o_orderkey"], num_buckets=4)
+    write_bucketed(li, f"{wh}.lineitem_b", ["o_orderkey"], num_buckets=4)
+
+    joined = spark.table(f"{wh}.orders_b").join(
+        spark.table(f"{wh}.lineitem_b").hint("merge"), "o_orderkey"
+    )
+    assert joined.count() == li.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Co-located buckets: the sort-merge join must run WITHOUT any
+    # exchange — that is the entire point of bucketing a fact-fact
+    # join at scale.
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
