@@ -43,9 +43,14 @@ def main() -> None:
     spark = get_spark("bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
     qs = registry.queries()
 
-    # Warmup: run the flagship once to JIT/codegen-compile common paths.
+    # Warmup: run the flagship once to JIT/codegen-compile common paths,
+    # and a trivial mapInPandas to spin up the Python worker pool (its
+    # one-time startup would otherwise bill the first Pandas-UDF query).
     warm = qs.get("progress_report") or next(iter(qs.values()))
     _run(warm(spark, SF_DIR))
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -140,19 +140,21 @@ def etl_exercises_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N7/N8: POSITIONAL exercise extraction — ``exercises[0]`` is
     cardio, ``exercises[1]`` strength (`tasks.py:600,628`)."""
     days = _diffed_days(spark, sf_dir)
-    cardio = days.select(
-        "user_id", "date", F.lit("cardio").alias("kind"),
-        F.element_at("exercises", 1).alias("ex"),
+    # One pass (a union of two selects would recompute the fetch+diff
+    # lineage per branch): explode both positional slots with labels.
+    both = days.select(
+        "user_id", "date",
+        F.explode(
+            F.array(
+                F.struct(F.lit("cardio").alias("kind"), F.element_at("exercises", 1).alias("ex")),
+                F.struct(F.lit("strength").alias("kind"), F.element_at("exercises", 2).alias("ex")),
+            )
+        ).alias("k"),
     )
-    strength = days.select(
-        "user_id", "date", F.lit("strength").alias("kind"),
-        F.element_at("exercises", 2).alias("ex"),
-    )
-    both = cardio.unionByName(strength)
     return both.select(
-        "user_id", "date", "kind",
-        F.col("ex.name").alias("name"),
-        F.col("ex.minutes").alias("minutes"),
+        "user_id", "date", F.col("k.kind").alias("kind"),
+        F.col("k.ex.name").alias("name"),
+        F.col("k.ex.minutes").alias("minutes"),
     )
 
 

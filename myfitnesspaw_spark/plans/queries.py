@@ -12,6 +12,7 @@ from myfitnesspaw_spark.plans import (
     core_ops,
     etl_flow as ef,
     normalize_queries as nq,
+    olap_queries as oq,
     stream_queries as sq,
     text_queries as tq,
 )
@@ -57,6 +58,11 @@ register("sessionize_stateful_stream", None)(sq.sessionize_stateful_stream)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+
+# OLAP extensions: as-of join, rollup/cube grouping aggregates.
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
