@@ -95,3 +95,101 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+
+# --- exact median (interpolating percentile) ------------------------------
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+MEDIAN_ORDER_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- RANGE-frame window: trailing 7-day spend per customer ----------------
+# Q1k uses a ROWS running frame; the RANGE variant (value-based frame
+# over a date axis, including days absent from the data) is the other
+# standard frame and exercises rangeBetween.
+
+
+def trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = (
+        orders.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("date")
+        )
+        .agg(F.sum(money_cents(F.col("o_totalprice"))).alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("date")))
+        .rangeBetween(-6, 0)
+    )
+    return per_day.select(
+        "o_custkey",
+        "date",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("trailing_7d_cents"),
+    )
+
+
+TRAILING_7D_ORACLE = """
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS date,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, date, day_cents,
+       CAST(SUM(day_cents) OVER (
+         PARTITION BY o_custkey ORDER BY date
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_7d_cents
+FROM per_day
+"""
+
+
+# --- window-function family: lag/lead + dense_rank + ntile ----------------
+
+
+def order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("date", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "date",
+        F.datediff("date", F.lag("date").over(w)).alias("days_since_prev"),
+        F.dense_rank().over(w).alias("visit_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORDER_CADENCE_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(dense_rank() OVER w AS BIGINT) AS visit_rank,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""

@@ -63,6 +63,9 @@ register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)

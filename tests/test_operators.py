@@ -84,6 +84,44 @@ def test_filter_nonempty(spark):
     assert [r["id"] for r in filter_nonempty(df, "body").collect()] == [1]
 
 
+def test_salted_join_equals_plain_join(spark):
+    from myfitnesspaw_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(i, i % 3, f"p{i}") for i in range(100)], "pk long, key long, pval string"
+    )
+    build = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (2, "c2")], "key long, bval string"
+    )
+    plain = {
+        tuple(r) for r in probe.join(build, "key", "inner").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(probe, build, ["key"], ["pk"], num_salts=4).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_join_backward_semantics(spark):
+    from myfitnesspaw_spark.operators.temporal import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (1, 5, "L0"), (2, 7, "L3")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R@10"), (1, 15, "R@15"), (2, 9, "R@9")],
+        "k long, ts long, rv string",
+    )
+    out = {
+        (r["k"], r["ts"]): r["asof_rv"]
+        for r in asof_join_backward(left, right, ["k"], "ts", ["rv"]).collect()
+    }
+    # equal ts matches; earlier left rows see nothing; later see latest ≤ ts
+    assert out == {(1, 5): None, (1, 10): "R@10", (1, 20): "R@15", (2, 7): None}
+
+
 def test_sessionize_gap_boundary(spark):
     # Events exactly at the 30-min gap stay in one session; one µs
     # beyond starts a new one.
