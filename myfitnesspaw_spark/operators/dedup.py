@@ -323,6 +323,58 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    cluster-assignment step after near-dup pair detection (each
+    cluster keeps one canonical doc).
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each iteration joins labels across edges and keeps the minimum;
+    convergence in O(graph diameter) rounds.  Iterative algorithms on
+    Spark need two disciplines, both applied here: ``localCheckpoint``
+    per round (truncates the exponentially-growing lineage) and a
+    cheap scalar convergence probe (a LIMIT-1 anti-check, not a full
+    diff materialization).  Returns ``(node, cluster)`` with cluster =
+    min reachable node id.
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # ONE materialization of the (possibly expensive) upstream pair
+    # detection; nodes and every iteration read from it.
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        # Labels only ever decrease, so Σlbl is a convergence witness —
+        # one scalar aggregate instead of a join-diff.
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("cluster"))
+
+
 def topk_per_key(df: DataFrame, key_cols: list[str], order_cols: list, k: int) -> DataFrame:
     """row_number top-K helper shared by similarity search."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)

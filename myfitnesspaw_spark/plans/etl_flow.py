@@ -168,3 +168,48 @@ SELECT user_id, date, 'strength' AS kind, 'strength' AS name,
        CAST((user_id * 2 + dom) % 45 AS BIGINT) AS minutes
 FROM req
 """
+
+
+# --- custom Python DataSource (Spark 4): spark.read.format("mfp_api") -----
+
+_DS_USERS = 50
+_DS_FROM = "2024-02-01"
+_DS_TO = "2024-02-14"
+
+
+def mfp_api_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a first-class source: option-driven, partition-parallel
+    ``spark.read.format("mfp_api")`` (sources/mfp_datasource.py)."""
+    from myfitnesspaw_spark.sources import mfp_datasource
+
+    mfp_datasource.register(spark)
+    return (
+        spark.read.format("mfp_api")
+        .option("users", str(_DS_USERS))
+        .option("from", _DS_FROM)
+        .option("to", _DS_TO)
+        .load()
+    )
+
+
+MFP_API_DS_ORACLE = f"""
+WITH users AS (SELECT unnest(generate_series(0, {_DS_USERS} - 1)) AS user_id),
+days AS (
+  SELECT CAST(unnest(generate_series(DATE '{_DS_FROM}', DATE '{_DS_TO}',
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+),
+req AS (
+  SELECT user_id, date, EXTRACT(day FROM date) AS dom
+  FROM users CROSS JOIN days
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, date,
+       CAST((user_id + dom) % 3 AS INT) AS n_meals,
+       CAST(COALESCE((
+         SELECT SUM((user_id * 31 + dom * 7 + i * 13) % 900 + 100)
+         FROM (SELECT unnest(generate_series(0, CAST((user_id + dom) % 3 AS INT) - 1)) AS i)
+       ), 0) AS BIGINT) AS total_calories,
+       CAST((user_id + dom) % 60 AS BIGINT) AS cardio_minutes,
+       CAST((user_id * 2 + dom) % 45 AS BIGINT) AS strength_minutes,
+       CAST((user_id + dom) % 5 AS BIGINT) AS water
+FROM req
+"""

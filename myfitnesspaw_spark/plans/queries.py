@@ -35,6 +35,7 @@ register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
 register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
 register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
 register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
 register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
@@ -71,3 +72,4 @@ register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
 register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)

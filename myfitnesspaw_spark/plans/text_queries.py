@@ -286,6 +286,55 @@ WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- dedup_clusters: connected components over near-dup pairs -------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative hash-min connected components over the ≥0.8-Jaccard
+    pair graph: every doc in a near-dup pair gets its cluster's min
+    doc_id as canonical id (the survivor a curation pass would keep)."""
+    from myfitnesspaw_spark.operators.dedup import connected_components
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
+# Transitive closure via recursive CTE — exactly the min-label
+# propagation the Spark loop converges to.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT y.d, r.lbl FROM reach r JOIN sym y ON y.s = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+"""
+
+
 # --- minhash_lsh_pairs ----------------------------------------------------
 
 MH_HASHES = 16
