@@ -140,7 +140,15 @@ def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> 
     """All doc pairs with shingle Jaccard ≥ ``threshold`` — the scale
     path: prefix-filtered candidate generation + exact verification.
     Result-identical to ``jaccard_pairs`` (the brute inverted-index
-    form), which serves as its oracle."""
+    form), which serves as its oracle.
+
+    The shingle set feeds five consumers (prefix ranking windows,
+    sizes, both verify sides); ``localCheckpoint`` materializes the
+    expensive extraction once instead of re-running it per consumer —
+    the multi-consumer-intermediate discipline any iterative/fan-out
+    plan needs at scale.
+    """
+    shingles = shingles.localCheckpoint()
     cand = prefix_filter_candidates(shingles, id_col, threshold)
     return verify_pairs(shingles, cand, id_col, threshold)
 
@@ -245,7 +253,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingles = sh.select(id_col, F.explode("sh").alias("shingle")).distinct()
+    # Materialized once: verification reads the shingle set three ways.
+    shingles = sh.select(id_col, F.explode("sh").alias("shingle")).distinct().localCheckpoint()
     verified = verify_pairs(shingles, candidates, id_col, threshold)
     return verified.select("id_a", "id_b", "jaccard")
 
