@@ -3,6 +3,7 @@ from myfitnesspaw_spark.operators.incremental import (
     diff_new_or_changed,
     latest_by,
     point_lookup,
+    replace_by_keys,
     topk_per_group,
     upsert_keep_latest,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "diff_new_or_changed",
     "latest_by",
     "point_lookup",
+    "replace_by_keys",
     "topk_per_group",
     "upsert_keep_latest",
 ]

@@ -119,6 +119,26 @@ def latest_by(
     )
 
 
+def replace_by_keys(
+    existing: DataFrame, incoming: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Keyed replace: drop every existing row whose key appears in
+    ``incoming``, then append the incoming rows.
+
+    Reference: ``INSERT OR REPLACE`` with FK cascade delete
+    (`/root/reference/myfitnesspaw/sql.py:151-154,28-31`) — replacing
+    a bronze day implicitly deletes its silver children before the
+    re-insert.  Spark has no FK cascade, so the delete is explicit: a
+    LEFT ANTI join against the incoming key set.  Idempotent under
+    reprocessing — re-running the same increment cannot duplicate
+    children (the reference would duplicate with FKs off, SURVEY §7.4).
+    """
+    cols = list(key_cols)
+    keys = incoming.select(cols).distinct()
+    survivors = existing.join(F.broadcast(keys), cols, "left_anti")
+    return survivors.unionByName(incoming)
+
+
 def point_lookup(keys: DataFrame, table: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Point lookups: LEFT JOIN a (tiny, broadcast) key set against a
     table, keeping misses as NULL rows.

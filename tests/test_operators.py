@@ -84,6 +84,28 @@ def test_filter_nonempty(spark):
     assert [r["id"] for r in filter_nonempty(df, "body").collect()] == [1]
 
 
+def test_replace_by_keys_idempotent_reprocess(spark):
+    # SURVEY §7.4: re-running a day's load must not duplicate child
+    # rows — the cascade-delete-then-insert semantics made explicit.
+    from myfitnesspaw_spark.operators import replace_by_keys
+
+    existing = spark.createDataFrame(
+        [(1, "d1", "meal_a"), (1, "d1", "meal_b"), (2, "d1", "meal_c")],
+        "user long, date string, name string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "d1", "meal_a2")], "user long, date string, name string"
+    )
+    once = replace_by_keys(existing, incoming, ["user", "date"])
+    assert sorted((r.user, r.name) for r in once.collect()) == [
+        (1, "meal_a2"), (2, "meal_c")
+    ]
+    twice = replace_by_keys(once, incoming, ["user", "date"])
+    assert sorted((r.user, r.name) for r in twice.collect()) == [
+        (1, "meal_a2"), (2, "meal_c")
+    ]
+
+
 def test_salted_join_equals_plain_join(spark):
     from myfitnesspaw_spark.operators.skew import salted_join
 
