@@ -193,3 +193,65 @@ SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS date,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
 """
+
+
+# --- pivot: status × priority counts --------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Explicit pivot values: skips the extra distinct-values job AND
+    # pins the output schema (a scale requirement — an inferred pivot
+    # over high-cardinality values is a driver OOM).
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}") for i, p in enumerate(_PRIORITIES)],
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- multiset set ops: EXCEPT ALL / INTERSECT ALL -------------------------
+
+
+def snapshot_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference and intersection between two order-payload
+    snapshots (the reference's only set op is UNION ALL, Q2e; a
+    complete engine ships the rest)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("date"),
+    )
+    v97 = orders.where(F.col("date") < "1998-01-01")
+    v98 = orders.where(F.col("date") >= "1997-01-01")
+    gone = v97.exceptAll(v98).withColumn("op", F.lit("gone"))
+    kept = v97.intersectAll(v98).withColumn("op", F.lit("kept"))
+    return gone.unionByName(kept)
+
+
+SET_OPS_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS date FROM orders
+),
+v97 AS (SELECT * FROM o WHERE date < DATE '1998-01-01'),
+v98 AS (SELECT * FROM o WHERE date >= DATE '1997-01-01')
+SELECT *, 'gone' AS op FROM (SELECT * FROM v97 EXCEPT ALL SELECT * FROM v98)
+UNION ALL
+SELECT *, 'kept' AS op FROM (SELECT * FROM v97 INTERSECT ALL SELECT * FROM v98)
+"""

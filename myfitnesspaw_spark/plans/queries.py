@@ -67,6 +67,8 @@ register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
 register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
 register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
