@@ -56,6 +56,9 @@ register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
 register("sessionize_stateful_stream", None)(sq.sessionize_stateful_stream)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)

@@ -23,6 +23,7 @@ from myfitnesspaw_spark.streaming import (
     session_window_agg,
     sessionize,
     sessionize_stream,
+    stream_upsert_latest,
     streaming_hourly_rollup,
 )
 
@@ -73,6 +74,34 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        CAST(SUM({_CENTS}) AS BIGINT) AS value_cents,
        CAST(SUM({_CENTS}) AS BIGINT) / 100.0 AS value_sum
 FROM e GROUP BY 1, 2
+"""
+
+
+def streaming_upsert_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE (K2 streaming form): keep-latest event per
+    user, merged micro-batch by micro-batch; final state must equal
+    the batch argmax — which is exactly the oracle."""
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    state = stream_upsert_latest(stream, ["user_id"], "ts")
+    return state.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+STREAMING_UPSERT_ORACLE = """
+SELECT user_id,
+       max_by(event_type, ts) AS event_type,
+       max_by(value, ts) AS value,
+       strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM events
+GROUP BY user_id
 """
 
 

@@ -1,3 +1,4 @@
+from myfitnesspaw_spark.streaming.merge import stream_upsert_latest
 from myfitnesspaw_spark.streaming.rollup import read_events_stream, streaming_hourly_rollup
 from myfitnesspaw_spark.streaming.sessions import (
     session_window_agg,
@@ -10,5 +11,6 @@ __all__ = [
     "session_window_agg",
     "sessionize",
     "sessionize_stream",
+    "stream_upsert_latest",
     "streaming_hourly_rollup",
 ]
