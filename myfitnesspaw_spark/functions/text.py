@@ -141,6 +141,13 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
 def simhash_bit(token_col: Column, bit: int) -> Column:
     """±1 contribution of a token to SimHash bit *i*: the high bit of
     the *i*-th nibble of ``md5(token)`` (hex char in '89abcdef')."""
-    nibble = F.substring(F.md5(token_col), bit + 1, 1)
+    return simhash_bit_from_hash(F.md5(token_col), bit)
+
+
+def simhash_bit_from_hash(hash_col: Column, bit: int) -> Column:
+    """Same as ``simhash_bit`` over a pre-computed md5 hex column —
+    use when one hash feeds all 32 bit extractions (computing md5
+    inside each bit expression runs it 32× per row)."""
+    nibble = F.substring(hash_col, bit + 1, 1)
     is_high = nibble.isin("8", "9", "a", "b", "c", "d", "e", "f")
     return F.when(is_high, F.lit(1)).otherwise(F.lit(-1))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from myfitnesspaw_spark.functions.text import (
     minhash_signature,
     normalize_text,
-    simhash_bit,
+    simhash_bit_from_hash,
     tokens,
     word_shingles,
 )
@@ -267,15 +267,22 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     vote — all exact integer arithmetic, grouped on the doc id.
     Returns ``(id_col, simhash)``.
     """
+    # Group on md5(token) directly: the hash is computed ONCE per input
+    # row before the shuffle (md5 is injective on distinct tokens, so
+    # counts are identical), and the 32 bit extractions downstream are
+    # cheap substrings of the aggregate's output attribute.  Hashing
+    # inside the 32 vote expressions instead would run md5 32× per row
+    # (adjacent Projects collapse, so a "materialized" hash column
+    # would be re-inlined — the aggregate is the real barrier).
     tok_counts = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-        .groupBy(id_col, "token")
+        .groupBy(id_col, F.md5("token").alias("__h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     votes = tok_counts.select(
         F.col(id_col),
         *[
-            (F.col("cnt") * simhash_bit(F.col("token"), i)).alias(f"v{i}")
+            (F.col("cnt") * simhash_bit_from_hash(F.col("__h"), i)).alias(f"v{i}")
             for i in range(SIMHASH_BITS)
         ],
     )

@@ -451,6 +451,53 @@ FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 SIMHASH_ORACLE = _simhash_oracle()
 
 
+# --- deterministic sampling / split assignment ----------------------------
+# Training-data curation needs REPRODUCIBLE sampling: engine RNGs are
+# not portable (Spark's sample() and DuckDB's USING SAMPLE draw
+# different rows), so the split key is a hash of the stable id —
+# identical everywhere, stable under re-runs, join-free to recompute.
+
+# 256 buckets from the first two md5 hex chars (portable: hex-digit
+# value = position in a lookup string, identical in any engine — no
+# hex→int cast, whose BLOB detour differs between engines).
+_HEX = "0123456789abcdef"
+_VAL_LT, _TEST_LT = 26, 52  # ≈10% / ≈10% of 256
+
+
+def _split_bucket(id_col):
+    h = F.md5(id_col.cast("string"))
+    v1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    v2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (v1 * 16 + v2).cast("long")
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    bucket = _split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < _VAL_LT, F.lit("val"))
+        .when(bucket < _TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+TRAIN_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST((strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_VAL_LT} THEN 'val'
+            WHEN bucket < {_TEST_LT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 # --- ann_topk_cosine ------------------------------------------------------
 
 ANN_K = 5
