@@ -68,8 +68,14 @@ def date_spine(spark: SparkSession, start: str, end: str) -> DataFrame:
 
     Reference: ``generate_dates_to_extract``
     (`/root/reference/myfitnesspaw/tasks.py:283-307`).  ``sequence`` +
-    ``explode`` — generated on executors, no driver-side list.
+    ``explode`` — generated on executors, no driver-side list.  A
+    reversed range fails fast at plan time, like the reference's
+    validation (`tasks.py:301-302`), instead of erroring mid-job.
     """
+    from datetime import date as _date
+
+    if _date.fromisoformat(start) > _date.fromisoformat(end):
+        raise ValueError(f"reversed date range: {start} > {end}")
     return spark.range(1).select(
         F.explode(
             F.sequence(

@@ -84,6 +84,16 @@ def test_filter_nonempty(spark):
     assert [r["id"] for r in filter_nonempty(df, "body").collect()] == [1]
 
 
+def test_date_spine_reversed_range_raises(spark):
+    import pytest
+
+    from myfitnesspaw_spark.operators import date_spine
+
+    with pytest.raises(ValueError, match="reversed"):
+        date_spine(spark, "2024-02-01", "2024-01-01")
+    assert date_spine(spark, "2024-01-01", "2024-01-03").count() == 3
+
+
 def test_replace_by_keys_idempotent_reprocess(spark):
     # SURVEY §7.4: re-running a day's load must not duplicate child
     # rows — the cascade-delete-then-insert semantics made explicit.
