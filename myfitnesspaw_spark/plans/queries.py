@@ -37,6 +37,8 @@ register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
 register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
 register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
 register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)

@@ -498,6 +498,48 @@ FROM b
 """
 
 
+# --- sentence splitting: native posexplode + Python UDTF ------------------
+
+
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional sentence split — native ``posexplode`` over a regex
+    split (the Spark-first answer; the UDTF variant below demonstrates
+    the extension surface for logic regex can't express)."""
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sentences = F.split(F.col("text"), r"\.\s+")
+    return docs.select(
+        "doc_id", F.posexplode(sentences).alias("sentence_no", "sentence")
+    ).where(F.trim(F.col("sentence")) != "")
+
+
+SENTENCE_SPLIT_ORACLE = r"""
+SELECT doc_id, CAST(i - 1 AS INT) AS sentence_no, s[i] AS sentence
+FROM (SELECT doc_id, string_split_regex(text, '\.\s+') AS s FROM documents),
+     LATERAL (SELECT unnest(generate_series(1, len(s))) AS i)
+WHERE trim(s[i]) <> ''
+"""
+
+
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same split as a Spark 4 Python UDTF (one row in, N rows out) —
+    the lateral-table-function plumbing for splitters that need real
+    code (a sentencepiece model, a parser); result-identical to the
+    native form, so it shares the posexplode oracle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence_no int, sentence string")
+    class SentenceSplitter:
+        def eval(self, row):  # TABLE argument arrives as one Row
+            for i, s in enumerate(re.split(r"\.\s+", row.text)):
+                if s.strip():
+                    yield row.doc_id, i, s
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    return SentenceSplitter(docs.select("doc_id", "text").asTable())
+
+
 # --- ann_topk_cosine ------------------------------------------------------
 
 ANN_K = 5
