@@ -1,0 +1,431 @@
+"""Corpus-curation and warehouse-history queries (round 2):
+TF-IDF vocabulary scoring, benchmark-contamination check, Gopher-style
+repetition quality, PII redaction, SCD2 history build, time-range pair
+join, histogramming, and a DataSketches-HLL distinct check — each with
+a DuckDB oracle.
+
+These extend the training-data-pipeline surface (SURVEY.md §7.2.7)
+with the remaining ops a 100 TB curation pass runs: vocabulary/IDF
+statistics, train-vs-eval n-gram contamination, repetition filters
+(Rae et al., Gopher §A.1.1), PII scrubbing, and dimension-history
+(SCD2) builds for the warehouse side.
+
+Determinism contract (the driver hash-compares cells): integer
+arithmetic wherever a value crosses a group boundary; IDF uses
+integer-scaled floor division (``N*1e6 DIV df``) instead of ``ln`` —
+Java's ``Math.log`` and libm may differ in the last ulp, integer DIV
+cannot; ratios are a single double division of exact ints, rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import normalize_text, tokens
+from myfitnesspaw_spark.operators.dedup import shingle_sets
+from myfitnesspaw_spark.sources import load_table, scatter
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+# --- tf_idf_topk ----------------------------------------------------------
+
+TFIDF_K = 5
+_IDF_SCALE = 1_000_000
+
+
+def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K TF-IDF terms per document.
+
+    Scale shape: one shuffle for the per-(doc, term) count, one
+    map-side-combined aggregate for document frequency (vocabulary-
+    sized, broadcast back), one window for top-K.  The corpus count
+    joins in as a 1-row broadcast rather than a driver-side collect so
+    the plan stays fully lazy.
+
+    IDF is integer-scaled floor division (``N·10⁶ DIV df``): monotone
+    in N/df, exact in both engines (``ln`` is last-ulp engine-dependent).
+    """
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * ((F.col("n_docs") * _IDF_SCALE).cast("long") / F.col("df")).cast("long")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+TF_IDF_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+terms AS (SELECT doc_id, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, f.df,
+         t.tf * ((n.n_docs * {_IDF_SCALE}) // f.df) AS score
+  FROM tf t JOIN dfreq f ON t.term = f.term, n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
+# --- ngram_contamination --------------------------------------------------
+# Decontamination pass: which training docs share an 8-word n-gram with
+# any doc in the held-out eval slice (doc_id % 17 == 0)?  The standard
+# pre-training hygiene check (e.g. GPT-3 §C, PaLM §7) — at scale the
+# eval side is tiny and broadcasts; the train side streams through.
+
+CONTAM_N = 8
+_EVAL_MOD = 17
+
+
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+NGRAM_CONTAMINATION_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(w[i:i+{CONTAM_N - 1}], 'string_agg', ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i)
+  WHERE len(w) >= {CONTAM_N}
+)
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_grams
+FROM g t JOIN g e ON t.gram = e.gram
+WHERE t.doc_id % {_EVAL_MOD} != 0 AND e.doc_id % {_EVAL_MOD} = 0
+GROUP BY 1, 2
+"""
+
+
+# --- repetition_quality ---------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, §A.1.1): fraction
+# of tokens in the most frequent word, and fraction of duplicate word
+# trigrams.  High values flag boilerplate/spam before training.
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    words = toks.select("doc_id", F.explode("__toks").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    top = (
+        wc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_word"), F.col("cnt").alias("top_word_cnt"))
+    )
+    # Trigram stats are per-row array ops — no extra shuffle.
+    tri = toks.select(
+        "doc_id",
+        F.size("__toks").alias("n_words"),
+        F.when(F.size("__toks") >= 3, F.size("__toks") - 2)
+        .otherwise(F.lit(0))
+        .alias("n_tri"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.slice("__toks", 1, F.greatest(F.size("__toks") - 2, F.lit(0))),
+                    lambda x, i: F.concat_ws(
+                        " ",
+                        x,
+                        F.element_at(F.col("__toks"), i + 2),
+                        F.element_at(F.col("__toks"), i + 3),
+                    ),
+                )
+            )
+        ).alias("n_tri_distinct"),
+    )
+    return top.join(tri, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word",
+        "top_word_cnt",
+        F.round(F.col("top_word_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.when(
+            F.col("n_tri") > 0,
+            F.round(F.lit(1) - F.col("n_tri_distinct") / F.col("n_tri"), 6),
+        ).alias("dup_trigram_frac"),
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS word FROM d) GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, word AS top_word, cnt AS top_word_cnt
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+  WHERE rn = 1
+),
+tri AS (
+  SELECT doc_id, len(w) AS n_words,
+         CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_tri,
+         len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            FOR i IN generate_series(1, len(w) - 2)])) AS n_tri_distinct
+  FROM d
+)
+SELECT t.doc_id, r.n_words, t.top_word, t.top_word_cnt,
+       ROUND(t.top_word_cnt / r.n_words, 6) AS top_word_frac,
+       CASE WHEN r.n_tri > 0
+            THEN ROUND(1 - r.n_tri_distinct / r.n_tri, 6) END AS dup_trigram_frac
+FROM top t JOIN tri r ON t.doc_id = r.doc_id
+"""
+
+
+# --- pii_redact -----------------------------------------------------------
+# PII scrubbing: plant a deterministic email into every 7th doc, then
+# count + redact with the same regex both engines compile (character
+# classes only — portable across Java regex and RE2).
+
+_PII_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            normalize_text(F.col("text")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(normalize_text(F.col("text")))
+    with_text = docs.select("doc_id", planted.alias("t"))
+    return with_text.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_RE)).alias("n_pii"),
+        F.md5(F.regexp_replace("t", _PII_RE, "<EMAIL>")).alias("redacted_md5"),
+    )
+
+
+PII_REDACT_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN {_NORM} || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE {_NORM} END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_RE}')) AS INT) AS n_pii,
+       md5(regexp_replace(t, '{_PII_RE}', '<EMAIL>', 'g')) AS redacted_md5
+FROM p
+"""
+
+
+# --- scd2_user_state ------------------------------------------------------
+# SCD2 dimension-history build: collapse each user's event stream into
+# contiguous event_type regimes with [valid_from, valid_to) intervals,
+# version numbers, and an is_current flag — the standard warehouse
+# change-history pattern (the reference's INSERT OR REPLACE keeps only
+# the latest state; SCD2 keeps all of them, queryable as-of any time).
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type FROM e
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- error_click_window_join ----------------------------------------------
+# Time-range pair join: every (error, click) pair of the same user
+# within ±1 hour.  The scale path avoids the per-user quadratic
+# blow-up of a naive equi-join-then-filter by bucketing time into
+# window-sized bins and joining on (user, bin ± 1): each pair is found
+# in exactly one bin combination, so no dedup pass is needed, and the
+# shuffle key (user, bin) is fine-grained enough to defeat per-user
+# skew.
+
+RANGE_WIN_S = 3600
+_BIN_US = RANGE_WIN_S * 1_000_000
+
+
+def error_click_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("us").alias("err_us"),
+        F.explode(
+            F.array(
+                (F.col("us") / _BIN_US).cast("long") - 1,
+                (F.col("us") / _BIN_US).cast("long"),
+                (F.col("us") / _BIN_US).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("clk_us"),
+        (F.col("us") / _BIN_US).cast("long").alias("bin"),
+    )
+    return (
+        errors.join(clicks, ["user_id", "bin"])
+        .where(F.abs(F.col("clk_us") - F.col("err_us")) <= _BIN_US)
+        .select(
+            "user_id", "err_id", "click_id",
+            (F.col("clk_us") - F.col("err_us")).alias("delta_us"),
+        )
+    )
+
+
+ERROR_CLICK_WINDOW_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+SELECT a.user_id, a.event_id AS err_id, b.event_id AS click_id,
+       b.us - a.us AS delta_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'click'
+ AND abs(b.us - a.us) <= CAST({RANGE_WIN_S} AS BIGINT) * 1000000
+"""
+
+
+# --- price_histogram ------------------------------------------------------
+
+HIST_BUCKETS = 20
+HIST_WIDTH = 30_000.0  # covers o_totalprice's range in 20 buckets
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the one-pass profiling aggregate.  The
+    bucket id is a pure projection, so the plan is a single map-side-
+    combined hash aggregate with HIST_BUCKETS output rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("int"), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+PRICE_HISTOGRAM_ORACLE = f"""
+SELECT CAST(least(greatest(CAST(floor(o_totalprice / {HIST_WIDTH}) AS INT), 0),
+                  {HIST_BUCKETS - 1}) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+# --- hll_distinct_users ---------------------------------------------------
+# DataSketches HLL: the approximate-distinct sketch a 100 TB pipeline
+# uses where COUNT(DISTINCT) won't fit (mergeable across partitions /
+# days).  The sketch estimate is deterministic for fixed input, so the
+# oracle can assert the accuracy contract (±5%) as a value: the Spark
+# side emits the exact count AND whether the sketch landed within
+# bounds; DuckDB emits the exact count and literal TRUE.
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_5pct"),
+    )
+
+
+HLL_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY 1
+"""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from myfitnesspaw_spark.plans import (
     core_ops,
+    curation_queries as cq,
     etl_flow as ef,
     normalize_queries as nq,
     olap_queries as oq,
@@ -75,6 +76,18 @@ register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
 register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
 register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+
+# Corpus-curation + warehouse-history extensions (round 2).
+register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
+register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
+register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
+register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
+register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
+register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
+    cq.error_click_window_join
+)
+register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
