@@ -63,6 +63,9 @@ def main() -> None:
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(2):
+            # Untimed GC so each query measures its own plan, not the
+            # major collection of 30 predecessors' shuffle garbage.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             _run(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -255,3 +255,117 @@ SELECT *, 'gone' AS op FROM (SELECT * FROM v97 EXCEPT ALL SELECT * FROM v98)
 UNION ALL
 SELECT *, 'kept' AS op FROM (SELECT * FROM v97 INTERSECT ALL SELECT * FROM v98)
 """
+
+
+# --- star joins: TPC-H-shaped multi-way joins -----------------------------
+# The classic analytics-engine shape the reference never needed (its
+# joins are 1-row-side equi joins, SURVEY.md §2.9): a fact table joined
+# through a chain of small dimensions.  Scale notes in each docstring.
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per region × order year.
+
+    lineitem (fact) joins orders (fact, shuffle join on orderkey), then
+    customer → nation → region — each dimension side small enough that
+    Catalyst/AQE picks broadcast hash joins, so the only shuffles are
+    the lineitem⋈orders key exchange and the final aggregate.  Revenue
+    sums exact integer cents (cross-engine float-sum determinism).
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year(F.col("o_orderdate")).alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_year")
+        .agg(
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("r_name", "o_year", "revenue", "n_items")
+    )
+
+
+REGIONAL_REVENUE_ORACLE = """
+SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+TOP_UNSHIPPED_K = 10
+_SHIP_CUTOFF = "1995-03-15"
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-K highest-revenue orders not yet shipped by
+    the cutoff, for one market segment.
+
+    Predicate placement is the point at scale: the segment filter
+    prunes customer BEFORE its broadcast, the date filters prune both
+    scans (visible as PushedFilters), and the top-K is a sort-limit —
+    Spark's TakeOrderedAndProject, never a full global sort.
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < _SHIP_CUTOFF)
+        .select("o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > _SHIP_CUTOFF)
+        .select(
+            "l_orderkey",
+            money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum("rev_cents") / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(TOP_UNSHIPPED_K)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+TOP_UNSHIPPED_ORACLE = f"""
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '{_SHIP_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_SHIP_CUTOFF} 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {TOP_UNSHIPPED_K}
+"""

@@ -76,6 +76,8 @@ register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
 register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
 register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
