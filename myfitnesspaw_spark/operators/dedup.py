@@ -63,10 +63,13 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     split per array element (O(n²)/doc).
     """
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    return (
-        toks.select(F.col(id_col), word_shingles(F.col("__toks"), n).alias("sh"))
-        .select(id_col, F.explode("sh").alias("shingle"))
-        .distinct()
+    # Per-doc distinctness is a ROW-LOCAL property: array_distinct
+    # before the explode dedupes map-side for free, where a
+    # .distinct() after it would shuffle every (id, shingle) pair —
+    # an entire exchange of the corpus' shingle multiset saved.
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col("__toks"), n))).alias("shingle"),
     )
 
 
@@ -254,7 +257,11 @@ def minhash_lsh_pairs(
     )
 
     # Materialized once: verification reads the shingle set three ways.
-    shingles = sh.select(id_col, F.explode("sh").alias("shingle")).distinct().localCheckpoint()
+    # array_distinct before explode = map-side dedupe (row-local), no
+    # extra shuffle.
+    shingles = sh.select(
+        id_col, F.explode(F.array_distinct("sh")).alias("shingle")
+    ).localCheckpoint()
     verified = verify_pairs(shingles, candidates, id_col, threshold)
     return verified.select("id_a", "id_b", "jaccard")
 

@@ -369,3 +369,84 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT {TOP_UNSHIPPED_K}
 """
+
+
+def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: revenue by part brand × supplier nation × year.
+
+    Exercises the remaining dimension tables (part, supplier).  Both
+    dims broadcast (a 100 TB deployment still broadcasts part/supplier
+    slices after pruning; were they too big, AQE falls back to shuffle
+    joins on the same plan).  One fact-side shuffle (orders key), one
+    aggregate shuffle.
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate")).alias("o_year")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"), "o_year")
+        .agg((F.sum("rev_cents") / 100.0).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select("p_brand", "supp_nation", "o_year", "revenue", "n_items")
+    )
+
+
+BRAND_NATION_REVENUE_ORACLE = """
+SELECT p.p_brand, n.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+# --- quantile sketch with accuracy contract -------------------------------
+# Same pattern as hll_distinct_users: percentile_approx's GK sketch is
+# deterministic for fixed input, so the ±accuracy contract is asserted
+# in-query and the oracle checks exact values + the contract bit.
+
+
+def approx_quantiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10_000)).alias("__ap50"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    # GK guarantees rank error ≤ n/accuracy; value-space check: within
+    # 1% of the exact median relative to the column's range.
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        (
+            F.abs(F.col("__ap50") - F.col("exact_p50"))
+            <= 0.01 * (F.col("hi") - F.col("lo"))
+        ).alias("approx_within_1pct_range"),
+    )
+
+
+APPROX_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       TRUE AS approx_within_1pct_range
+FROM lineitem GROUP BY 1
+"""

@@ -78,6 +78,10 @@ register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
 register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
 register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
 register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
+register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
+    oq.approx_quantiles_contract
+)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
