@@ -274,33 +274,39 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     vote — all exact integer arithmetic, grouped on the doc id.
     Returns ``(id_col, simhash)``.
     """
-    # Group on md5(token) directly: the hash is computed ONCE per input
-    # row before the shuffle (md5 is injective on distinct tokens, so
-    # counts are identical), and the 32 bit extractions downstream are
-    # cheap substrings of the aggregate's output attribute.  Hashing
-    # inside the 32 vote expressions instead would run md5 32× per row
-    # (adjacent Projects collapse, so a "materialized" hash column
-    # would be re-inlined — the aggregate is the real barrier).
-    tok_counts = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-        .groupBy(id_col, F.md5("token").alias("__h"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    votes = tok_counts.select(
+    # Entirely ROW-LOCAL — zero shuffles: a ±1 vote per token
+    # OCCURRENCE sums to exactly the count-weighted vote per distinct
+    # token, so the whole fingerprint is 32 in-row folds over the
+    # doc's token-hash array.  (The earlier two-shuffle form — groupBy
+    # (doc, hash) counts, then groupBy doc vote sums — moved the full
+    # token multiset across the cluster twice for the same numbers.)
+    #
+    # The md5 array is materialized through explode(array(...)) — a
+    # Generate node — because CollapseProject would re-inline a merely
+    # projected array into all 32 fold lambdas, re-hashing every token
+    # 32× (the standard HOF-capture trap, measured elsewhere in this
+    # package).
+    hashed = df.select(
         F.col(id_col),
-        *[
-            (F.col("cnt") * simhash_bit_from_hash(F.col("__h"), i)).alias(f"v{i}")
-            for i in range(SIMHASH_BITS)
-        ],
+        F.explode(
+            F.array(F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)))
+        ).alias("__hs"),
     )
-    agg = votes.groupBy(id_col).agg(
-        *[F.sum(f"v{i}").alias(f"v{i}") for i in range(SIMHASH_BITS)]
-    )
+    def vote(i: int):
+        # Plain closure, NOT a default-arg lambda: an extra lambda
+        # param would make Spark pass the element index into it.
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + simhash_bit_from_hash(h, i),
+        ).alias(f"v{i}")
+
+    votes = hashed.select(F.col(id_col), *[vote(i) for i in range(SIMHASH_BITS)])
     fingerprint = None
     for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
