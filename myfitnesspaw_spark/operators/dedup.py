@@ -371,12 +371,15 @@ def connected_components(
     diff materialization).  Returns ``(node, cluster)`` with cluster =
     min reachable node id.
     """
+    # ONE materialization of the (possibly expensive) upstream pair
+    # detection BEFORE the symmetrize union: a union of two selects
+    # over an unmaterialized plan executes that plan once per branch —
+    # checkpointing the union instead of the edges ran the whole
+    # upstream detection twice.
+    edges = edges.localCheckpoint()
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    # ONE materialization of the (possibly expensive) upstream pair
-    # detection; nodes and every iteration read from it.
-    sym = sym.localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
