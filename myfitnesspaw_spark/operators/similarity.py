@@ -74,6 +74,107 @@ def cosine_topk(
     ).select("query_id", "neighbor_id", "rank", "cos")
 
 
+def _lit_vec(vec: list[float]) -> Column:
+    """A literal double array — the broadcast form of one centroid."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def ivf_coarse_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    out_col: str = "cid",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid id per row, computed as
+    a PURE PROJECTION — the quantizer (a handful of KB even at K=4096)
+    rides into every task as literals, so assignment over a 100 TB corpus
+    is embarrassingly parallel with zero shuffle.
+
+    Ties on (rounded) cosine break toward the LOWER centroid id:
+    ``array_max`` picks the lexicographically greatest ``(cos, -cid)``
+    struct, mirroring the oracle's ``ORDER BY cos DESC, cid ASC``.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _lit_vec(v)).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, v in centroids
+        ]
+    )
+    return df.withColumn(out_col, (-F.array_max(scored)["ncid"]).cast("int"))
+
+
+def ivf_probe_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    out_col: str = "cid",
+) -> DataFrame:
+    """For each query row emit its ``n_probe`` nearest centroid ids
+    (one output row per probe) — row-local sort of K scored structs,
+    then a slice; no shuffle."""
+    scored = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    cosine(F.col(vec_col), _lit_vec(v)).alias("cos"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, v in centroids
+            ]
+        ),
+        asc=False,
+    )
+    return (
+        df.withColumn("_probe", F.explode(F.slice(scored, 1, n_probe)))
+        .withColumn(out_col, (-F.col("_probe.ncid")).cast("int"))
+        .drop("_probe")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    k: int,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are searched only inside the
+    ``n_probe`` clusters nearest each query — cost drops from O(N·Q) to
+    O(N·Q·n_probe/K).  This is the scale path next to the brute-force
+    ``cosine_topk`` baseline: at 10B vectors the coarse assignment is a
+    shuffle-free projection, the probe table is tiny (broadcast), and the
+    only shuffle is the final top-k on query_id.
+
+    Returns ``(query_id, neighbor_id, rank, cos)`` like ``cosine_topk``;
+    each corpus vector lives in exactly one cluster, so no dedup needed.
+    """
+    assigned = ivf_coarse_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        centroids,
+    )
+    probes = ivf_probe_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        centroids,
+        n_probe,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return topk_per_key(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
+    ).select("query_id", "neighbor_id", "rank", "cos")
+
+
 def bucket_near_dup(
     vectors: DataFrame,
     id_col: str,

@@ -622,3 +622,75 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS INT) AS bucket,
 FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {NEAR_DUP_THRESHOLD}
 """
+
+
+# --- ivf_ann_topk ---------------------------------------------------------
+# The scale path next to brute-force ann_topk_cosine: a deterministic
+# coarse quantizer (centroids = the IVF_NC lowest-id vectors — a seeded
+# k-means init without the Lloyd steps, which would be float-sum
+# order-dependent cross-engine), shuffle-free nearest-centroid
+# assignment, and probe-limited search of the IVF_NPROBE nearest
+# clusters per query.
+
+IVF_NC = 16
+IVF_NPROBE = 3
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import ivf_ann_topk as _ivf
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    # The coarse quantizer is driver-side by design (like every IVF
+    # index build): IVF_NC rows collected once, re-broadcast as
+    # literals into the assignment projection.
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in vecs.where(F.col("vec_id") < IVF_NC).collect()
+    ]
+    queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return _ivf(queries, vecs, "vec_id", "embedding", cents, IVF_NPROBE, ANN_K)
+
+
+IVF_ANN_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cosine("e.embedding", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cosine("q.qv", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_duck_cosine("p.qv", "a.embedding")} AS cos
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {ANN_K}
+"""
