@@ -47,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamps collect through the session timezone; a caller session
+        # left on a non-UTC JVM default would shift every ts cell relative
+        # to DuckDB's naive (UTC) TIMESTAMP and fail the value hash.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
