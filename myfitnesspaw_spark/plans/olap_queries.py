@@ -450,3 +450,224 @@ SELECT l_returnflag,
        TRUE AS approx_within_1pct_range
 FROM lineitem GROUP BY 1
 """
+
+
+# --- semi join with a non-equi residual (TPC-H Q4 shape) ------------------
+# The reference's EXISTS-free SQL never needed a semi join (SURVEY.md
+# §2.9); a complete engine ships it.  Shape: orders that have at least
+# one late-shipping lineitem, counted per priority.
+
+
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join on the fact key with a cross-side residual
+    predicate (l_shipdate > o_orderdate + 60 days).
+
+    Scale: the semi join shuffles both sides on the order key once and
+    keeps only the probe row — no fan-out, no dedup; the date-window
+    filter prunes the orders scan (PushedFilters) before the exchange.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+LATE_SHIP_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+"""
+
+
+# --- outer-join distribution (TPC-H Q13 shape) ----------------------------
+
+
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate over a LEFT OUTER join: how many customers
+    placed k orders (zero included — the outer join's point).
+
+    Scale: one shuffle joins customer⋈orders on custkey (both large →
+    shuffle hash/SMJ under AQE), the per-customer count combines
+    map-side, and the k-distribution is a near-free second aggregate
+    over |customers| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+CUST_ORDER_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS n_custs
+FROM per_cust GROUP BY 1
+"""
+
+
+# --- native relational unpivot (wide → long) ------------------------------
+# N9 unpivots a MAP column (measures_unpivot); this is the other melt:
+# fixed wide columns → (name, value) rows via the native unpivot
+# operator — row-local, no shuffle, no explode fan-out beyond the 4×.
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+LINEITEM_UNPIVOT_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, measure, value
+FROM s UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
+# --- window rank-distribution family --------------------------------------
+# Completes the window surface beyond order_cadence (lag/dense_rank/
+# ntile) and Q1d/Q1k (row_number, running sum): percent_rank,
+# cume_dist, nth_value/first_value over an explicit full-partition
+# ROWS frame.  The ORDER BY carries a unique tie-break so every
+# rank-derived float is an exact small-integer ratio — bit-identical
+# across engines.
+
+
+def spend_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(money_cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey).select(
+        "o_custkey", "c_nationkey", "spend_cents"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend_cents").desc(), F.col("o_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return j.select(
+        "o_custkey",
+        "c_nationkey",
+        "spend_cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("spend_cents", 2).over(wf).alias("second_spend"),
+        (F.col("spend_cents") == F.first("spend_cents").over(wf)).alias("is_top"),
+    )
+
+
+SPEND_RANK_DIST_ORACLE = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT s.o_custkey, c.c_nationkey, s.spend_cents
+  FROM s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT o_custkey, c_nationkey, spend_cents,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(spend_cents, 2) OVER wf AS second_spend,
+       spend_cents = first_value(spend_cents) OVER wf AS is_top
+FROM j
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend_cents DESC, o_custkey ASC),
+       wf AS (PARTITION BY c_nationkey ORDER BY spend_cents DESC, o_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- salted join as a registered query ------------------------------------
+
+
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through ``salted_join`` — the skew
+    path exposed as a query so its result parity is oracle-checked,
+    not just unit-tested.
+
+    The salt spreads each (hot) order key across 8 build replicas;
+    the plan pays one extra 8× replication of the build side in
+    exchange for even task sizes when a key is pathologically hot.
+    Result-identical to the plain join (operators/skew.py).
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+    from myfitnesspaw_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, on=["l_orderkey"], salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        (F.sum("rev_cents") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SALTED_PRIORITY_REVENUE_ORACLE = """
+SELECT o.o_orderpriority,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""

@@ -16,6 +16,7 @@ from myfitnesspaw_spark.plans import (
     olap_queries as oq,
     stream_queries as sq,
     text_queries as tq,
+    udaf_queries as uq,
 )
 from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_report
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
@@ -83,6 +84,20 @@ register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation
 register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
     oq.approx_quantiles_contract
 )
+
+# Relational-surface completions (round 2): semi join, outer-join
+# distribution, native unpivot, rank-distribution windows, the salted
+# skew join as an oracle-checked query, and the grouped-Arrow UDAF.
+register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
+register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
+    oq.cust_order_distribution
+)
+register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
+register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
+    oq.salted_priority_revenue
+)
+register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
