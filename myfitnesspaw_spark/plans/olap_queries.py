@@ -671,3 +671,139 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
+
+
+# --- argmin/argmax aggregates: OHLC-style rollup --------------------------
+# Q1b's argmax-by-date already uses max_by through latest_by; this is
+# the aggregate-family completion: min_by/max_by + min/max in ONE
+# hash aggregate (vs the window-function route, which needs a sort).
+# Keyed by the unique event_id so open/close are deterministic.
+
+
+def hourly_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open_value"),
+            F.max_by("value", "event_id").alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+HOURLY_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       arg_min(value, event_id) AS open_value,
+       arg_max(value, event_id) AS close_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       COUNT(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+# --- conditional aggregation share (TPC-H Q14 shape) ----------------------
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promo-revenue share: CASE-gated SUM against the total in
+    one aggregate pass over the lineitem⋈part broadcast join.
+
+    The share divides two exact integer-cent sums (both < 2⁵³) as one
+    IEEE division — bit-identical across engines.
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("ship_month"),
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(F.lit(0))).alias("promo_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_cents",
+        "total_cents",
+        (F.col("promo_cents").cast("double") / F.col("total_cents").cast("double")).alias("promo_share"),
+    )
+
+
+PROMO_REVENUE_SHARE_ORACLE = """
+WITH a AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+         CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT ship_month, promo_cents, total_cents,
+       CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS promo_share
+FROM a
+"""
+
+
+# --- HAVING-filtered semi join (TPC-H Q18 shape) --------------------------
+
+_BULK_QTY_THRESHOLD = 250
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds a threshold, joined
+    back to the customer — the aggregate-then-semi-join shape (Q18).
+
+    Scale: the HAVING aggregate reduces lineitem to |orders| rows
+    before any join; the qualifying key set is tiny (~1%) so its join
+    back to orders broadcasts under AQE, and customer joins the
+    (now small) result likewise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bulky = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > _BULK_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(bulky, orders.o_orderkey == bulky.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_ORACLE = f"""
+WITH bulky AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {_BULK_QTY_THRESHOLD}
+)
+SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       b.total_qty
+FROM orders o
+JOIN bulky b    ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""

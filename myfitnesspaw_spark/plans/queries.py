@@ -98,6 +98,12 @@ register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
     oq.salted_priority_revenue
 )
 register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
+register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
+register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
+register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
+    oq.large_volume_customers
+)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)

@@ -171,3 +171,28 @@ SELECT doc_id, CAST(i AS INT) AS frame_no,
 FROM documents,
      LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 4)) AS i)
 """
+
+
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming import streaming_sliding_rollup
+
+    return streaming_sliding_rollup(spark, sf_dir)
+
+
+# Every event falls in exactly the two 2h/1h windows starting at
+# trunc(ts) and trunc(ts)−1h — the oracle materializes that fan-out.
+STREAMING_SLIDING_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+),
+fanout AS (
+  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS win_start,
+         event_type, value
+  FROM e, LATERAL (SELECT unnest([0, 1]) AS k)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+FROM fanout GROUP BY 1, 2
+"""

@@ -1,5 +1,9 @@
 from myfitnesspaw_spark.streaming.merge import stream_upsert_latest
-from myfitnesspaw_spark.streaming.rollup import read_events_stream, streaming_hourly_rollup
+from myfitnesspaw_spark.streaming.rollup import (
+    read_events_stream,
+    streaming_hourly_rollup,
+    streaming_sliding_rollup,
+)
 from myfitnesspaw_spark.streaming.sessions import (
     session_window_agg,
     sessionize,
@@ -13,4 +17,5 @@ __all__ = [
     "sessionize_stream",
     "stream_upsert_latest",
     "streaming_hourly_rollup",
+    "streaming_sliding_rollup",
 ]

@@ -99,3 +99,50 @@ def streaming_hourly_rollup(
         "value_cents",
         (F.col("value_cents") / 100.0).alias("value_sum"),
     )
+
+
+def streaming_sliding_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    sink_name: str = "streaming_sliding_rollup_sink",
+) -> DataFrame:
+    """Sliding-window rollup (2-hour windows every hour) per event_type
+    — each event lands in exactly two overlapping windows.
+
+    Same execution shape as the tumbling rollup (real streaming query,
+    memory sink, availableNow); the slide multiplies state rows by
+    window/slide = 2×, which the watermark still bounds — the scale
+    knob a 100 TB stream cares about.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink_name).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )

@@ -169,3 +169,24 @@ def test_sessionize_gap_boundary(spark):
     rows = sessionize(df, gap_minutes=30).collect()
     got = {(r["user_id"], r["session_no"]): (r["n_events"], r["value_cents"]) for r in rows}
     assert got == {(7, 1): (2, 200), (7, 2): (1, 100), (8, 1): (1, 250)}
+
+
+def test_order_trend_slope_degenerate_groups(spark):
+    # Degenerate groups (single order, or all orders on one date) have
+    # an undefined slope and must be dropped — mirroring the oracle's
+    # WHERE den <> 0 — not emitted as NULL/NaN.
+    from myfitnesspaw_spark.plans.udaf_queries import _SLOPE_SCHEMA, _fit_slope
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, 1000),  # two dates, exact slope (3000-1000)/(110-100)
+            (1, 110, 3000),
+            (2, 50, 500),    # single order → dropped
+            (3, 60, 100),    # two orders, same date → dropped
+            (3, 60, 900),
+        ],
+        "o_custkey long, x long, y long",
+    )
+    rows = df.groupBy("o_custkey").applyInPandas(_fit_slope, _SLOPE_SCHEMA).collect()
+    got = {r["o_custkey"]: (r["n_orders"], r["slope_cents_per_day"]) for r in rows}
+    assert got == {1: (2, 200.0)}
