@@ -79,6 +79,47 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Python twin of ``_norm``: sequential double fold then sqrt —
+    bit-identical to the engines' evaluation of the same centroid."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _centroid_scores(
+    vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """``array<struct<cos, ncid>>`` of the row vector scored against
+    every centroid, as ONE ``transform`` over a 2-D literal.
+
+    Expression-tree size is the scale trap here, not row work: K
+    centroids × D dims × a full cosine each (the naive build) is a
+    100k-node tree that stalls the DRIVER in analysis/codegen minutes
+    before the first task runs.  One lambda over a literal
+    array-of-arrays keeps the tree O(K·D) flat literals + O(1) logic,
+    and the row norm is computed once instead of once per centroid —
+    centroid norms are Python-precomputed constants (``_py_norm`` is
+    fold-order-identical, so rounding still matches the oracle).
+    """
+    cents = sorted(centroids)
+    cvecs = F.array(*[_lit_vec(v) for _, v in cents])
+    cnorms = F.array(*[F.lit(_py_norm(v)) for _, v in cents])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    nv = _norm(F.col(vec_col))
+    return F.zip_with(
+        F.zip_with(cvecs, cnorms, lambda cv, cn: F.struct(cv.alias("v"), cn.alias("n"))),
+        cids,
+        lambda c, cid: F.struct(
+            F.round(_dot(F.col(vec_col), c["v"]) / (nv * c["n"]), COS_DECIMALS).alias("cos"),
+            (-cid).alias("ncid"),
+        ),
+    )
+
+
 def ivf_coarse_assign(
     df: DataFrame,
     vec_col: str,
@@ -94,15 +135,7 @@ def ivf_coarse_assign(
     ``array_max`` picks the lexicographically greatest ``(cos, -cid)``
     struct, mirroring the oracle's ``ORDER BY cos DESC, cid ASC``.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _lit_vec(v)).alias("cos"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, v in centroids
-        ]
-    )
+    scored = _centroid_scores(vec_col, centroids)
     return df.withColumn(out_col, (-F.array_max(scored)["ncid"]).cast("int"))
 
 
@@ -116,18 +149,7 @@ def ivf_probe_centroids(
     """For each query row emit its ``n_probe`` nearest centroid ids
     (one output row per probe) — row-local sort of K scored structs,
     then a slice; no shuffle."""
-    scored = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    cosine(F.col(vec_col), _lit_vec(v)).alias("cos"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, v in centroids
-            ]
-        ),
-        asc=False,
-    )
+    scored = F.sort_array(_centroid_scores(vec_col, centroids), asc=False)
     return (
         df.withColumn("_probe", F.explode(F.slice(scored, 1, n_probe)))
         .withColumn(out_col, (-F.col("_probe.ncid")).cast("int"))
