@@ -71,3 +71,42 @@ def test_codegen_everywhere(spark, sf_dir, name):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "*(" in final  # whole-stage-codegen stages print as *(n)
+
+
+def test_late_ship_semi_join_no_fanout(spark, sf_dir):
+    plan = _plan(spark, "late_ship_priority", sf_dir)
+    # Must stay a SEMI join (one probe row out per order) — an inner
+    # join + distinct would fan out per matching lineitem then pay a
+    # dedup shuffle.
+    assert "LeftSemi" in plan
+    # Date-window predicate reaches the orders scan.
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_large_volume_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "large_volume_customers", sf_dir)
+    # customer joins a post-aggregation (tiny) result — must broadcast.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lineitem_unpivot_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, "lineitem_unpivot", sf_dir)
+    # Melt is row-local: any exchange would move the whole fact table
+    # for a projection-shaped op.
+    assert "Exchange" not in plan, plan
+
+
+def test_promo_share_single_agg_pass(spark, sf_dir):
+    plan = _plan(spark, "promo_revenue_share", sf_dir)
+    # part joins broadcast; the CASE-gated share computes in ONE
+    # aggregate (one exchange), not a join of two aggregations.
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_udaf_slope_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "order_trend_slope", sf_dir)
+    # collect_list + count + the scalar pandas UDF ride ONE exchange on
+    # the group key; the vectorized ArrowEvalPython stage must appear.
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" in plan
