@@ -1,0 +1,110 @@
+"""File-format source/sink queries: CSV and JSON-lines round trips and
+a partitioned parquet write with partition-pruned read-back.
+
+The reference's I/O surface is a web API in and SQLite out
+(`/root/reference/myfitnesspaw/tasks.py:339-362`, `tasks.py:39-128`);
+a complete engine also ships the standard file formats.  Each query
+WRITES through the format under test into the local warehouse dir and
+returns a result computed from the READ-BACK data, so the oracle
+(running on the original parquet) certifies the whole write→read loop,
+not just the read.
+
+Scale notes: every write is ``mode("overwrite")`` through the normal
+committer (the cluster path); reads supply EXPLICIT schemas — schema
+inference is a full extra pass over the data at 100 TB, and CSV/JSON
+types are lossy without one.  The partitioned variant asserts the
+scale property that matters: a filter on the partition column prunes
+directories at planning time (PartitionFilters), so a one-status scan
+of a 100 TB warehouse touches 1/N of it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.numeric import money_cents
+from myfitnesspaw_spark.sources import load_table
+
+_WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse", "_io_roundtrip")
+
+
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header) → read back with explicit schema →
+    broadcast join region: certifies the CSV sink+source preserve
+    values end-to-end."""
+    path = os.path.join(_WAREHOUSE, "csv_nation")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(path)
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return back.join(
+        F.broadcast(region), back.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def jsonl_roundtrip_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchase events → JSON lines → read back with explicit schema →
+    per-user rollup.  The doubles survive because JSON round-trips
+    shortest-repr doubles exactly; cents conversion happens after the
+    read-back, certifying the stored values."""
+    path = os.path.join(_WAREHOUSE, "jsonl_purchases")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    events.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, user_id long, value double").json(path)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(money_cents(F.col("value"))).alias("value_cents"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       MAX(event_id) AS last_event_id
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def partitioned_orders_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by o_orderstatus → read back ONE
+    partition → per-priority rollup.
+
+    The status filter lands in PartitionFilters (asserted in
+    tests/test_plans.py) — directory pruning, zero data read from the
+    other partitions.
+    """
+    path = os.path.join(_WAREHOUSE, "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money_cents(F.col("o_totalprice"))).alias("price_cents"),
+    )
+
+
+PARTITIONED_PRUNE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+"""

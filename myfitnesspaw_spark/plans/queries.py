@@ -12,6 +12,7 @@ from myfitnesspaw_spark.plans import (
     core_ops,
     curation_queries as cq,
     etl_flow as ef,
+    io_queries as ioq,
     normalize_queries as nq,
     olap_queries as oq,
     stream_queries as sq,
@@ -104,6 +105,16 @@ register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
     oq.large_volume_customers
 )
 register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+
+# File-format sources/sinks: write→read round trips certified by the
+# oracle on the original parquet (SURVEY.md §2.1/§2.2 completions).
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)

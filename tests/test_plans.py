@@ -110,3 +110,10 @@ def test_udaf_slope_single_shuffle(spark, sf_dir):
     # the group key; the vectorized ArrowEvalPython stage must appear.
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "ArrowEvalPython" in plan
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    plan = _plan(spark, "partitioned_orders_prune", sf_dir)
+    # The status predicate must prune DIRECTORIES at planning time,
+    # not filter rows after a full scan.
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
