@@ -59,12 +59,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(2):
             # Untimed GC so each query measures its own plan, not the
             # major collection of 30 predecessors' shuffle garbage.
+            # Python gc FIRST: py4j refs pin finished DataFrames (and
+            # their localCheckpoint RDD blocks) on the JVM side, so
+            # ContextCleaner can only unpersist them once the Python
+            # wrappers are collected — measured storage-memory creep
+            # otherwise inflates late-suite queries ~2×.
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             _run(fn(spark, SF_DIR))
