@@ -213,3 +213,57 @@ SELECT CAST(user_id AS BIGINT) AS user_id, date,
        CAST((user_id + dom) % 5 AS BIGINT) AS water
 FROM req
 """
+
+
+def mfp_api_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a STREAMING source: the same custom data source read with
+    ``spark.readStream`` (SimpleDataSourceStreamReader — date offsets,
+    deterministic replay), rolled up per user and drained with
+    availableNow into a memory sink.  Final state must equal the batch
+    read's rollup, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.sources import mfp_datasource
+
+    mfp_datasource.register(spark)
+    stream = (
+        spark.readStream.format("mfp_api")
+        .option("users", str(_DS_USERS))
+        .option("from", _DS_FROM)
+        .option("to", _DS_TO)
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("total_calories").alias("total_calories"),
+        F.sum("cardio_minutes").alias("cardio_minutes"),
+        F.sum("water").alias("water"),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("mfp_api_stream_rollup_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table("mfp_api_stream_rollup_sink")
+
+
+MFP_API_STREAM_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_days,
+       CAST(SUM(total_calories) AS BIGINT) AS total_calories,
+       CAST(SUM(cardio_minutes) AS BIGINT) AS cardio_minutes,
+       CAST(SUM(water) AS BIGINT) AS water
+FROM ({MFP_API_DS_ORACLE}) base
+GROUP BY 1
+"""

@@ -133,3 +133,4 @@ register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
 register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)

@@ -80,7 +80,63 @@ class MfpApiDataSource(DataSource):
     def reader(self, schema) -> MfpApiReader:
         return MfpApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "MfpApiStreamReader":
+        return MfpApiStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(MfpApiDataSource)
+
+
+# --- streaming form --------------------------------------------------------
+# The same source as a Structured Streaming reader: offsets are ISO
+# dates, each read drains the remaining backlog in one deterministic
+# batch (so an availableNow run is exactly the batch result), and
+# readBetweenOffsets replays any committed range for recovery — the
+# contract a real incremental-scrape deployment needs.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class MfpApiStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.users = int(options.get("users", "10"))
+        self.d_from = _date.fromisoformat(options.get("from", "2024-01-01"))
+        self.d_to = _date.fromisoformat(options.get("to", "2024-01-07"))
+
+    def initialOffset(self) -> dict:
+        return {"next": self.d_from.isoformat()}
+
+    def _rows(self, d_from: _date, d_to: _date):
+        day = d_from
+        while day <= d_to:
+            for uid in range(self.users):
+                rec = _fake_client_day(uid, day)
+                yield (
+                    uid,
+                    day,
+                    len(rec["meals"]),
+                    sum(m["calories"] for m in rec["meals"]),
+                    rec["exercises"][0]["minutes"],
+                    rec["exercises"][1]["minutes"],
+                    rec["water"],
+                )
+            day += timedelta(days=1)
+
+    def read(self, start: dict):
+        day = _date.fromisoformat(start["next"])
+        if day > self.d_to:
+            return [], start
+        end = {"next": (self.d_to + timedelta(days=1)).isoformat()}
+        # A LIST, not a generator: prefetched rows are pickled into the
+        # stream's offset cache for exactly-once replay.
+        return list(self._rows(day, self.d_to)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo = _date.fromisoformat(start["next"])
+        hi = _date.fromisoformat(end["next"]) - timedelta(days=1)
+        return list(self._rows(lo, hi))
+
+    def commit(self, end: dict) -> None:
+        pass
