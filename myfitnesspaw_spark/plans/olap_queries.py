@@ -807,3 +807,59 @@ FROM orders o
 JOIN bulky b    ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+# --- SQL-API surface: grouping sets + correlated scalar subquery ----------
+# The reference delegates its analytics to SQL strings
+# (`/root/reference/myfitnesspaw/sql.py:196-267`); these two run
+# through spark.sql the same way, exercising (a) explicit GROUPING
+# SETS beyond rollup/cube and (b) Catalyst's correlated-scalar-
+# subquery decorrelation (RewriteCorrelatedScalarSubquery) — the
+# construct Q1b/Q1h/Q1i hand-decorrelate in plans/progress.py.
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def correlated_latest_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery left AS WRITTEN — Catalyst
+    decorrelates it into the aggregate+join the hand-built flagship
+    uses, which the plan test asserts (no per-row re-execution
+    survives at scale)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CAST((SELECT MAX(l.l_shipdate) FROM lineitem_cs l
+                     WHERE l.l_orderkey = o.o_orderkey) AS DATE) AS latest_ship
+        FROM orders_cs o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        """
+    )
+
+
+CORRELATED_LATEST_SHIP_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST((SELECT MAX(l.l_shipdate) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS DATE) AS latest_ship
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+"""

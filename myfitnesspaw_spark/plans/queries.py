@@ -105,6 +105,10 @@ register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
     oq.large_volume_customers
 )
 register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
+register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
+    oq.correlated_latest_ship
+)
 
 # File-format sources/sinks: write→read round trips certified by the
 # oracle on the original parquet (SURVEY.md §2.1/§2.2 completions).

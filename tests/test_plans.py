@@ -117,3 +117,11 @@ def test_partitioned_read_prunes(spark, sf_dir):
     # The status predicate must prune DIRECTORIES at planning time,
     # not filter rows after a full scan.
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    plan = _plan(spark, "correlated_latest_ship", sf_dir)
+    # Catalyst must rewrite the scalar subquery into aggregate + join;
+    # a surviving per-row subquery plan re-scans lineitem per order.
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan
