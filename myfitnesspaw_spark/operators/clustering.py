@@ -1,0 +1,119 @@
+"""Iterative k-means (Lloyd) over an embedding column — the
+iterative-ML companion to ``connected_components``: tiny model state
+round-trips through the driver each iteration while the data-parallel
+steps stay pure projections/aggregations.
+
+Exactness contract (oracle-checkable): vectors are scaled to integer
+micro-units once (``round(x·10⁶)`` on doubles — the money-cents
+pattern), so squared distances and WCSS are EXACT integer sums and the
+argmin has no float slack.  The only division is the centroid mean,
+computed as one IEEE double division then truncation toward zero —
+bit-identical in Python, Spark, and DuckDB (``TRUNC``).
+
+Scale shape (100 TB stance):
+- assignment is a PURE PROJECTION: k·d centroid literals ride into
+  every task (one ``transform`` over a 2-D literal — the flat-tree
+  discipline from operators/similarity.py); no shuffle, no join;
+- the update is ONE groupBy(cluster) aggregate with d+1 exact integer
+  sums — map-side combined, k·(d+1) numbers collected to the driver;
+- iterations are driver-orchestrated like every production Lloyd
+  (centroid state is KBs; the data never round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def scale_to_micro(vec_col: Column) -> Column:
+    """float array → exact integer micro-units (array<long>)."""
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * SCALE).cast("long")
+    )
+
+
+def _dist_scores(vec_col: str) -> Column:
+    """``array<struct<dist, cid>>``: exact squared L2 distance of the
+    row's integer vector to every centroid in the joined ``__cvecs`` /
+    ``__cids`` columns."""
+    return F.zip_with(
+        F.col("__cvecs"),
+        F.col("__cids"),
+        lambda cv, cid: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cv, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            cid.alias("cid"),
+        ),
+    )
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment (+ its exact distance); ties break
+    toward the LOWER cid (``array_min`` on (dist, cid) structs).
+
+    Centroids travel as DATA — a broadcast one-row cross join — not as
+    literals: every Lloyd round changes the centroid values, and
+    baking them into the expression tree would force a fresh
+    whole-stage-codegen compile per round (measured 3× the steady
+    runtime); as a joined column the generated code is compiled once
+    and reused for every round."""
+    spark = df.sparkSession
+    cents = sorted(centroids)
+    cents_df = spark.createDataFrame(
+        [([list(map(int, v)) for _, v in cents], [int(cid) for cid, _ in cents])],
+        "__cvecs array<array<bigint>>, __cids array<bigint>",
+    )
+    best = F.array_min(_dist_scores(vec_col))
+    return (
+        df.crossJoin(F.broadcast(cents_df))
+        .withColumn("cluster", best["cid"])
+        .withColumn("dist", best["dist"])
+        .drop("__cvecs", "__cids")
+    )
+
+
+def lloyd_iterations(
+    df: DataFrame,
+    vec_col: str,
+    init_centroids: list[tuple[int, list[int]]],
+    n_iter: int,
+) -> list[tuple[int, list[int]]]:
+    """``n_iter`` Lloyd rounds; returns the final centroid list.
+
+    The update collects k·(d+1) integers per round; a cluster that
+    loses all members drops out (its id simply stops existing), which
+    the SQL oracle mirrors by construction.
+    """
+    dim = len(init_centroids[0][1])
+    centroids = init_centroids
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, vec_col, centroids)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        # int(float/float): one IEEE division + truncation toward zero
+        # == Spark CAST(double AS LONG) == DuckDB CAST(TRUNC(x) AS BIGINT).
+        centroids = [
+            (
+                int(r["cluster"]),
+                [int(float(r[f"s{i}"]) / float(r["n"])) for i in range(dim)],
+            )
+            for r in sums
+        ]
+    return centroids

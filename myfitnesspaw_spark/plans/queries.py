@@ -47,6 +47,7 @@ register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
 register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
 register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 
 # Normalization pipeline (SURVEY.md §2.3/§2.4: N1-N9, E1/E2, D3, Q2e).
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)

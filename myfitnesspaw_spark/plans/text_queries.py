@@ -694,3 +694,83 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+# --- kmeans_clusters ------------------------------------------------------
+# Iterative Lloyd k-means (operators/clustering.py): k=8 centroids
+# seeded from the lowest vec_ids, 2 fixed rounds (the oracle unrolls
+# them), exact integer micro-unit arithmetic throughout so assignment,
+# means, and WCSS hash-match DuckDB bit-for-bit.
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.clustering import (
+        assign_clusters,
+        lloyd_iterations,
+        scale_to_micro,
+    )
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", scale_to_micro(F.col("embedding")).alias("v")
+    )
+    init = [
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in vecs.where(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    cents = lloyd_iterations(vecs, "v", init, KMEANS_ITER)
+    final = assign_clusters(vecs, "v", cents)
+    return final.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dist").alias("wcss"),
+    )
+
+
+_KM = {"K": KMEANS_K, "S": 1_000_000}
+
+KMEANS_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {_KM["S"]}) AS BIGINT) AS val
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+c0 AS (SELECT vec_id AS cid, dim, val FROM pts WHERE vec_id < {_KM["K"]}),
+d1 AS (
+  SELECT p.vec_id, c.cid, SUM((p.val - c.val) * (p.val - c.val)) AS dist
+  FROM pts p JOIN c0 c USING (dim) GROUP BY 1, 2
+),
+a1 AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a.cid, p.dim,
+         CAST(TRUNC(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id GROUP BY 1, 2
+),
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.val - c.val) * (p.val - c.val)) AS dist
+  FROM pts p JOIN c1 c USING (dim) GROUP BY 1, 2
+),
+a2 AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT a.cid, p.dim,
+         CAST(TRUNC(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id GROUP BY 1, 2
+),
+d3 AS (
+  SELECT p.vec_id, c.cid, SUM((p.val - c.val) * (p.val - c.val)) AS dist
+  FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2
+),
+a3 AS (SELECT vec_id, cid, dist FROM (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d3) WHERE rn = 1)
+SELECT cid AS cluster, COUNT(*) AS n_points, CAST(SUM(dist) AS BIGINT) AS wcss
+FROM a3 GROUP BY 1
+"""
