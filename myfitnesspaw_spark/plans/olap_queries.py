@@ -863,3 +863,52 @@ SELECT o_orderkey, o_orderstatus,
 FROM orders o
 WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
+
+
+# --- pure non-equi band join (broadcast nested loop) ----------------------
+# The one join strategy the suite hadn't exercised: NO equi key at
+# all.  A tiny literal band dimension broadcasts and every probe row
+# scans the k bands — BroadcastNestedLoopJoin, the correct (and only
+# sane) plan for k≪N; price_histogram shows the projection alternative
+# when bands are uniform.
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 905.0),
+    ("mid", 905.0, 912.0),
+    ("premium", 912.0, 950.0),
+    ("luxury", 950.0, 10_000_000.0),
+]
+
+
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, {lo} AS lo, {hi} AS hi" for b, lo, hi in _PRICE_BANDS
+)
+
+PRICE_BAND_JOIN_ORACLE = f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT b.band, COUNT(*) AS n_parts,
+       MIN(p.p_retailprice) AS min_price,
+       MAX(p.p_retailprice) AS max_price
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY 1
+"""

@@ -110,6 +110,7 @@ register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
 register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
     oq.correlated_latest_ship
 )
+register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
 
 # File-format sources/sinks: write→read round trips certified by the
 # oracle on the original parquet (SURVEY.md §2.1/§2.2 completions).
