@@ -31,11 +31,20 @@ from myfitnesspaw_spark.sources import load_table
 _WAREHOUSE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse", "_io_roundtrip")
 
 
+def _rt_path(name: str, sf_dir: str) -> str:
+    """Round-trip dir unique per (scale factor, process): two harnesses
+    running the same query concurrently (e.g. tests at sf0.001 while a
+    driver sim runs sf0.01) must not overwrite each other's files
+    mid-read."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_WAREHOUSE, f"{name}_{sf}_{os.getpid()}")
+
+
 def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV (header) → read back with explicit schema →
     broadcast join region: certifies the CSV sink+source preserve
     values end-to-end."""
-    path = os.path.join(_WAREHOUSE, "csv_nation")
+    path = _rt_path("csv_nation", sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", True).csv(path)
     back = (
@@ -60,7 +69,7 @@ def jsonl_roundtrip_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user rollup.  The doubles survive because JSON round-trips
     shortest-repr doubles exactly; cents conversion happens after the
     read-back, certifying the stored values."""
-    path = os.path.join(_WAREHOUSE, "jsonl_purchases")
+    path = _rt_path("jsonl_purchases", sf_dir)
     events = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
@@ -92,7 +101,7 @@ def partitioned_orders_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py) — directory pruning, zero data read from the
     other partitions.
     """
-    path = os.path.join(_WAREHOUSE, "orders_by_status")
+    path = _rt_path("orders_by_status", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
