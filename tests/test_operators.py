@@ -190,3 +190,32 @@ def test_order_trend_slope_degenerate_groups(spark):
     rows = df.groupBy("o_custkey").applyInPandas(_fit_slope, _SLOPE_SCHEMA).collect()
     got = {r["o_custkey"]: (r["n_orders"], r["slope_cents_per_day"]) for r in rows}
     assert got == {1: (2, 200.0)}
+
+
+def test_kmeans_assignment_tiebreak_and_exactness(spark):
+    # Equidistant point assigns to the LOWER centroid id (oracle's
+    # ORDER BY dist, cid); distances are exact integers.
+    from myfitnesspaw_spark.operators.clustering import assign_clusters
+
+    df = spark.createDataFrame(
+        [(10, [0, 0]), (11, [4, 0]), (12, [2, 0]), (13, [3, 0])],
+        "vec_id long, v array<bigint>",
+    )
+    cents = [(0, [0, 0]), (1, [4, 0])]
+    rows = assign_clusters(df, "v", cents).select("vec_id", "cluster", "dist").collect()
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in rows}
+    assert got == {10: (0, 0), 11: (1, 0), 12: (0, 4), 13: (1, 1)}
+
+
+def test_lloyd_drops_empty_clusters(spark):
+    # A centroid that captures no points disappears from the next
+    # round's centroid list (the oracle mirrors this by construction).
+    from myfitnesspaw_spark.operators.clustering import lloyd_iterations
+
+    df = spark.createDataFrame(
+        [(1, [0, 0]), (2, [1, 0]), (3, [0, 1])],
+        "vec_id long, v array<bigint>",
+    )
+    cents = lloyd_iterations(df, "v", [(0, [0, 0]), (1, [100, 100])], n_iter=1)
+    assert [cid for cid, _ in cents] == [0]
+    assert cents[0][1] == [0, 0]  # trunc((0+1+0)/3), trunc((0+0+1)/3)
