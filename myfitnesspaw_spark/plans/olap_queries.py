@@ -912,3 +912,26 @@ FROM part p JOIN bands b
   ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
 GROUP BY 1
 """
+
+
+# --- distinct aggregation (Expand plan shape) -----------------------------
+# COUNT(DISTINCT x) plans through Expand + two-phase aggregation — the
+# one aggregate form the suite hadn't exercised (hll_distinct_users is
+# the sketch path; this is the exact path).
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.dayofmonth("ts")).alias("n_days_of_month"),
+    )
+
+
+DISTINCT_USERS_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT EXTRACT(day FROM CAST(ts AS TIMESTAMP))) AS n_days_of_month
+FROM events GROUP BY 1
+"""

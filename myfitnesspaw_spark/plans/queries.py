@@ -111,6 +111,9 @@ register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
     oq.correlated_latest_ship
 )
 register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
+register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
+    oq.distinct_users_per_type
+)
 
 # File-format sources/sinks: write→read round trips certified by the
 # oracle on the original parquet (SURVEY.md §2.1/§2.2 completions).
