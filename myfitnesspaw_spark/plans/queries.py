@@ -68,6 +68,7 @@ register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 

@@ -196,3 +196,20 @@ SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
 FROM fanout GROUP BY 1, 2
 """
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, sf_dir)
+
+
+STREAMING_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+         event_type
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_user_minutes FROM d GROUP BY 1
+"""

@@ -1,6 +1,7 @@
 from myfitnesspaw_spark.streaming.merge import stream_upsert_latest
 from myfitnesspaw_spark.streaming.rollup import (
     read_events_stream,
+    streaming_dedup_counts,
     streaming_hourly_rollup,
     streaming_sliding_rollup,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "sessionize",
     "sessionize_stream",
     "stream_upsert_latest",
+    "streaming_dedup_counts",
     "streaming_hourly_rollup",
     "streaming_sliding_rollup",
 ]

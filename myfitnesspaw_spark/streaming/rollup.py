@@ -146,3 +146,46 @@ def streaming_sliding_rollup(
         "n_events",
         "value_cents",
     )
+
+
+def streaming_dedup_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_name: str = "streaming_dedup_counts_sink",
+) -> DataFrame:
+    """Watermarked streaming DEDUPLICATION chained into an aggregate —
+    two stateful operators in one query (Spark 3.4+): dropDuplicates
+    keeps the first (user, minute, type) arrival, the rollup counts
+    survivors per type.
+
+    Which physical row survives depends on arrival order, so only
+    KEY-determined outputs (here: key counts) are exposed — the
+    deterministic contract any streaming-dedup consumer at scale
+    should hold itself to.  The watermark bounds dedup state to one
+    hour of keys.
+    """
+    events = read_events_stream(spark, sf_dir)
+    dedup = (
+        events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute", "1 hour")
+        .dropDuplicates(["user_id", "minute", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_minutes"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        query = (
+            dedup.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink_name)
