@@ -123,30 +123,47 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: for seed *i*, the lexicographic min of
-    ``md5('<i>|' || shingle)`` over the doc's shingle set.  md5 hex is
-    identical across engines, and min over fixed-width lowercase hex is
-    a total order — a valid, portable min-hash family.
+def minhash_hashes(shingle_col: Column) -> Column:
+    """One md5 hex digest per shingle (array<string>).
 
-    All ``num_hashes`` minima fold in ONE traversal of the shingle
-    array (an N-wide accumulator zip_with'd per element) instead of N
-    separate ``transform``+``array_min`` passes — measured 1.5× faster
-    at sf0.1.  The fold expression appears once per extracted column,
-    which whole-stage codegen's subexpression elimination evaluates
-    once; forcing materialization through a Generate barrier instead
-    measured SLOWER (1.44s vs 0.89s), so this relies on codegen CSE
-    deliberately."""
-    seeds = F.array(*[F.lit(f"{i}|") for i in range(num_hashes)])
-    init = F.array_repeat(F.lit("~"), num_hashes)  # '~' sorts after hex
-    sig = F.aggregate(
-        shingle_col,
-        init,
-        lambda acc, s: F.zip_with(
-            acc, seeds, lambda a, seed: F.least(a, F.md5(F.concat(seed, s)))
-        ),
-    )
-    return [F.element_at(sig, i + 1).alias(f"h{i}") for i in range(num_hashes)]
+    Compute ONCE per doc and materialize through a Generate barrier
+    (``explode(array(...))``) before handing the result to
+    ``minhash_signature`` — as an inline expression, CollapseProject
+    would re-inline this transform into every per-seed pass, re-hashing
+    the whole shingle set ``num_hashes`` times."""
+    return F.transform(shingle_col, lambda s: F.md5(s))
+
+
+def minhash_signature(hash_arr_col: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature from a materialized per-shingle md5 array:
+    seed *i* is the lexicographic min over the doc's digests under a
+    cyclic rotation by ``2i`` hex chars.
+
+    One digest, many hash functions (Broder's trick): the leading two
+    hex chars of rotation *i* are digest byte *i* — independent random
+    bytes — so comparisons under different seeds are decided by
+    independent bytes ~255/256 of the time, a sound LSH family at 16×
+    fewer md5 evaluations.  Rotation + min is a handful of substring
+    ops per element, exactly expressible in DuckDB
+    (``substr(h, 2i+1) || substr(h, 1, 2i)``) for the oracle.
+
+    Per-seed ``array_min(transform(...))`` passes beat a single
+    N-wide ``aggregate``+``zip_with`` fold 3.5× at sf0.1 (1.18s vs
+    4.19s): higher-order lambdas are interpreted, and the fold
+    allocates an N-array accumulator per element while the per-seed
+    pass does one cheap rotation compare."""
+
+    def rot(h: Column, off: int) -> Column:
+        if off == 0:
+            return h
+        return F.concat(h.substr(F.lit(off + 1), F.lit(32)), h.substr(F.lit(1), F.lit(off)))
+
+    def rot_min(off: int) -> Column:
+        # single-param lambda: a two-param lambda (e.g. `lambda h, i=i`)
+        # would be bound by transform as (element, index).
+        return F.array_min(F.transform(hash_arr_col, lambda h: rot(h, off)))
+
+    return [rot_min(2 * i).alias(f"h{i}") for i in range(num_hashes)]
 
 
 def simhash_bit(token_col: Column, bit: int) -> Column:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.functions.text import (
+    minhash_hashes,
     minhash_signature,
     normalize_text,
     simhash_bit_from_hash,
@@ -212,8 +213,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact verification.
 
-    1. signature: per doc, ``num_hashes`` min-md5 values over its
-       shingle set (array-level transform — no per-hash shuffle);
+    1. signature: per doc, md5 each shingle ONCE, then ``num_hashes``
+       minima under hex-rotation orderings (array-level transforms —
+       no per-hash shuffle, no per-seed re-hash);
     2. banding: ``num_hashes / band_rows`` bands, band key = concat of
        the band's rows; docs colliding in ANY band become candidates
        (one shuffle on the band key);
@@ -224,11 +226,24 @@ def minhash_lsh_pairs(
     """
     num_bands = num_hashes // band_rows
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    sh = toks.select(
-        F.col(id_col),
-        word_shingles(F.col("__toks"), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sig = sh.select(F.col(id_col), *minhash_signature(F.col("sh"), num_hashes))
+    # Materialized ONCE: the shingle array feeds both the signature
+    # path and the exact-verification path — without the checkpoint,
+    # each consumer re-runs tokenize+shingle over the corpus.
+    sh = (
+        toks.select(
+            F.col(id_col),
+            word_shingles(F.col("__toks"), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    # Generate barrier so the per-shingle md5 runs once, not once per
+    # seed (CollapseProject would re-inline a projected array into all
+    # num_hashes transform passes).
+    hashed = sh.select(
+        F.col(id_col), F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
+    )
+    sig = hashed.select(F.col(id_col), *minhash_signature(F.col("__hs"), num_hashes))
 
     bands = sig.select(
         F.col(id_col),
@@ -256,9 +271,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Materialized once: verification reads the shingle set three ways.
-    # array_distinct before explode = map-side dedupe (row-local), no
-    # extra shuffle.
+    # Verification reads the shingle set three ways, ROW-wise — so
+    # checkpoint the EXPLODED table (A/B-measured faster than three
+    # re-explodes of the checkpointed array).  array_distinct before
+    # explode = map-side dedupe (row-local), no extra shuffle.
     shingles = sh.select(
         id_col, F.explode(F.array_distinct("sh")).alias("shingle")
     ).localCheckpoint()

@@ -354,8 +354,12 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # Rotation family (mirrors functions/text.py::minhash_signature):
+    # seed i = min over shingles of the md5 digest cyclically rotated
+    # by 2i hex chars; i=0 reduces to the plain digest.
     sig_cols = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MH_HASHES)
+        f"min(substr(md5(shingle), {2 * i + 1}) || substr(md5(shingle), 1, {2 * i})) AS h{i}"
+        for i in range(MH_HASHES)
     )
     band_rows = ", ".join(
         f"({b}, h{b * MH_BAND_ROWS} || '|' || h{b * MH_BAND_ROWS + 1})"
