@@ -717,8 +717,13 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale_to_micro,
     )
 
-    vecs = scatter(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", scale_to_micro(F.col("embedding")).alias("v")
+    # Materialized ONCE: every Lloyd round (and the final assignment)
+    # is its own action; without the checkpoint each re-runs the scan,
+    # the micro-unit scaling, and the scatter() exchange.
+    vecs = (
+        scatter(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", scale_to_micro(F.col("embedding")).alias("v"))
+        .localCheckpoint()
     )
     init = [
         (int(r["vec_id"]), [int(x) for x in r["v"]])
