@@ -15,6 +15,7 @@ from myfitnesspaw_spark.plans import (
     io_queries as ioq,
     normalize_queries as nq,
     olap_queries as oq,
+    sampling_queries as smp,
     stream_queries as sq,
     text_queries as tq,
     udaf_queries as uq,
@@ -137,6 +138,11 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
 )
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
+
+# Corpus sampling / sketch extensions (round 2, continued).
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)

@@ -1,0 +1,297 @@
+"""Corpus-sampling and sketch queries (round 2, continued): count-min
+heavy hitters, deterministic stratified sampling, and passage-level
+dedup — the remaining curation ops a 100 TB training-data pass runs
+before (and instead of) touching full documents.
+
+Reference relation: the reference has no sampling/sketch surface at
+all (its whole corpus is one user's days,
+`/root/reference/myfitnesspaw/__init__.py:22-26`); these extend the
+north-star LLM-pipeline inventory alongside plans/curation_queries.py.
+
+Determinism contract: every hash is md5 hex; hex digits convert to
+integers via the strpos-nibble trick (portable to DuckDB, no
+engine-specific hex cast); counters and estimates are exact integer
+sums, so the sketch the oracle builds is cell-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import normalize_text, tokens
+from myfitnesspaw_spark.sources import load_table, scatter
+
+_HEX = "0123456789abcdef"
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _hex_byte(h: Column, off: int) -> Column:
+    """Integer value 0..255 of the hex-digit pair at 0-based ``off`` —
+    byte ``off/2`` of the digest, portable as ``strpos`` arithmetic."""
+    v1 = F.instr(F.lit(_HEX), F.substring(h, off + 1, 1)) - 1
+    v2 = F.instr(F.lit(_HEX), F.substring(h, off + 2, 1)) - 1
+    return (v1 * 16 + v2).cast("long")
+
+
+def _hex_byte_sql(expr: str, off: int) -> str:
+    return (
+        f"CAST((strpos('{_HEX}', substr({expr}, {off + 1}, 1)) - 1) * 16"
+        f" + strpos('{_HEX}', substr({expr}, {off + 2}, 1)) - 1 AS BIGINT)"
+    )
+
+
+# --- cms_heavy_hitters ----------------------------------------------------
+# Count-min sketch over the token stream: depth 4 × width 256 counters,
+# the 4 row-hashes taken as bytes 0..3 of ONE md5 per token (the same
+# one-digest-many-hashes discipline as MinHash).  The sketch is tiny
+# mergeable state — the structure a streaming/distributed frequency
+# pass keeps instead of a full vocabulary — and the query reports the
+# top-K true heavy hitters with their CMS estimate plus the in-query
+# accuracy contract (estimate never undercounts; overestimate bounded
+# by the row's worst-case collision mass).
+#
+# Scale shape: one shuffle to the 1024 (depth, bucket) counters with
+# full map-side combine; one shuffle for true counts (the contract
+# needs ground truth; a production pass would keep only the sketch);
+# the estimate join broadcasts the 1024-row sketch.  The top-K window
+# runs over the aggregated vocabulary, not the corpus.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
+    )
+
+    # One md5 per occurrence, materialized; 4 byte extracts per row.
+    hashed = occ.select("token", F.md5(F.col("token")).alias("__h"))
+    cells = hashed.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        (_hex_byte(F.col("__h"), 2 * j) % CMS_WIDTH).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "c.depth", "c.bucket")
+
+    sketch = cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("counter"))
+
+    true_counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    total = true_counts.agg(F.sum("n_true").alias("__N"))
+
+    # Estimate = min over depths of the token's counter.
+    tok_cells = true_counts.select(
+        "token", "n_true", F.md5(F.col("token")).alias("__h")
+    ).select(
+        "token",
+        "n_true",
+        *[
+            (_hex_byte(F.col("__h"), 2 * j) % CMS_WIDTH).alias(f"b{j}")
+            for j in range(CMS_DEPTH)
+        ],
+    )
+    est = tok_cells
+    for j in range(CMS_DEPTH):
+        sk_j = F.broadcast(
+            sketch.where(F.col("depth") == j).select(
+                F.col("bucket").alias(f"b{j}"), F.col("counter").alias(f"c{j}")
+            )
+        )
+        est = est.join(sk_j, f"b{j}")
+    cms = F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)])
+
+    w = Window.orderBy(F.desc("n_true"), F.asc("token"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_true",
+            cms.alias("n_cms"),
+            (cms - F.col("n_true")).alias("overestimate"),
+            # Classic CMS guarantee at width w: overestimate ≤ N/w is the
+            # EXPECTED collision mass per row; min over 4 rows makes the
+            # 4×-expectation bound hold with overwhelming probability.
+            (cms - F.col("n_true") <= F.lit(4) * F.col("__N") / F.lit(CMS_WIDTH)).alias(
+                "bound_ok"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CMS_TOPK)
+        .drop("rk")
+    )
+
+
+def _cms_oracle() -> str:
+    bucket_cols = ", ".join(
+        f"{_hex_byte_sql('md5(token)', 2 * j)} % {CMS_WIDTH} AS b{j}"
+        for j in range(CMS_DEPTH)
+    )
+    cell_rows = ", ".join(f"({j}, b{j})" for j in range(CMS_DEPTH))
+    est_joins = "\n".join(
+        f"JOIN sketch s{j} ON s{j}.depth = {j} AND s{j}.bucket = t.b{j}"
+        for j in range(CMS_DEPTH)
+    )
+    least_cs = ", ".join(f"s{j}.counter" for j in range(CMS_DEPTH))
+    return f"""
+WITH occ AS (
+  SELECT unnest({_WORDS}) AS token FROM documents
+),
+occ2 AS (SELECT token FROM occ WHERE token <> ''),
+tok AS (
+  SELECT token, COUNT(*) AS n_true, {bucket_cols}
+  FROM occ2 GROUP BY token
+),
+cells AS (
+  SELECT t.token, c.depth, c.bucket, t.n_true
+  FROM tok t, LATERAL (VALUES {cell_rows}) AS c(depth, bucket)
+),
+sketch AS (
+  SELECT depth, bucket, SUM(n_true) AS counter FROM cells GROUP BY 1, 2
+),
+total AS (SELECT SUM(n_true) AS n FROM tok),
+est AS (
+  SELECT t.token, t.n_true, LEAST({least_cs}) AS n_cms
+  FROM tok t
+  {est_joins}
+)
+SELECT token, n_true, n_cms, n_cms - n_true AS overestimate,
+       n_cms - n_true <= 4 * total.n / {CMS_WIDTH} AS bound_ok
+FROM est, total
+ORDER BY n_true DESC, token
+LIMIT {CMS_TOPK}
+"""
+
+
+CMS_HEAVY_HITTERS_ORACLE = _cms_oracle()
+
+
+# --- stratified_sample ----------------------------------------------------
+# Deterministic per-stratum downsampling: language l keeps documents
+# whose md5(doc_id) byte-0 bucket falls below rate[l] of 256 — the
+# re-run-stable, cross-engine-portable form of `sampleBy`.  A pure
+# row-local filter: no shuffle, no state, survives any repartitioning,
+# and composes with partition pruning at 100 TB (the filter rides into
+# the scan).
+
+STRATA_RATES = {"en": 64, "de": 128, "es": 192, "fr": 255, "zh": 32}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    bucket = _hex_byte(F.md5(F.col("doc_id").cast("string")), 0)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in STRATA_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), rate.alias("rate")
+    ).where(F.col("bucket") < F.col("rate"))
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())
+    b = _hex_byte_sql("md5(CAST(doc_id AS VARCHAR))", 0)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {b} AS bucket,
+         CAST(CASE lang {cases} ELSE 0 END AS INT) AS rate
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate FROM d WHERE bucket < rate
+"""
+
+
+STRATIFIED_SAMPLE_ORACLE = _stratified_oracle()
+
+
+# --- passage_dedup --------------------------------------------------------
+# Sub-document (passage-level) dedup: chunk each doc into fixed
+# 10-token passages, keep only the globally-first occurrence of each
+# distinct passage (ordered by doc_id, position), and reassemble the
+# surviving text per document — the line/passage-level pass corpus
+# pipelines run between exact-dup and near-dup stages.
+#
+# Scale shape: chunking is row-local (one slice per passage, no
+# re-tokenize per chunk); the only shuffle is the first-occurrence
+# window on md5(passage) — a uniformly distributed key, skew-free by
+# construction; reassembly aggregates on doc_id (second shuffle),
+# sorting positions row-locally inside the aggregated array.
+
+PASSAGE_TOKENS = 10
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / PASSAGE_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__toks"), i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS), " "
+        ),
+    )
+    passages = toks.where(F.size("__toks") > 0).select(
+        "doc_id", F.posexplode(chunks).alias("pos", "passage")
+    )
+
+    w = Window.partitionBy(F.md5(F.col("passage"))).orderBy("doc_id", "pos")
+    ranked = passages.withColumn("rn", F.row_number().over(w))
+
+    kept = F.when(F.col("rn") == 1, F.struct(F.col("pos"), F.col("passage")))
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sort_array(F.collect_list(kept)).alias("__kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_passages",
+        "n_kept",
+        # NULL (not '') when every passage was dropped, matching the
+        # oracle's FILTERed string_agg over zero rows.
+        F.when(
+            F.col("n_kept") > 0,
+            F.array_join(F.transform(F.col("__kept"), lambda s: s["passage"]), " "),
+        ).alias("text_dedup"),
+    )
+
+
+PASSAGE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+p AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i * {PASSAGE_TOKENS} + 1,
+                                    (i + 1) * {PASSAGE_TOKENS}), ' ') AS passage
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_TOKENS}.0) AS BIGINT) - 1)) AS i
+  )
+  WHERE len(w) > 0
+),
+r AS (
+  SELECT doc_id, pos, passage,
+         ROW_NUMBER() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+       string_agg(passage, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text_dedup
+FROM r GROUP BY doc_id
+"""
