@@ -1,0 +1,89 @@
+"""Warehouse-maintenance queries: incremental aggregate (materialized
+view) maintenance via mergeable partial states.
+
+Reference relation: the reference's whole incremental story is
+"re-scrape a 6-day window and upsert"
+(`/root/reference/myfitnesspaw/tasks.py:260-262`, `sql.py:151-154`) —
+correct because its aggregates are recomputed from scratch every
+report.  At 100 TB a full recompute per refresh is the bottleneck, so
+the engine-grade form is *algebraic* view maintenance: keep per-group
+partial states that MERGE (count, sum, min, max — the same shapes
+Spark's own partial aggregation pushes map-side), aggregate only the
+delta, and combine.  AVG is deliberately derived from merged
+sum/count — never an average of averages.
+
+Scale shape: the base state is group-sized (|custkey|), not fact-sized
+(|orders|); the delta scan touches only the new partition.  Both sides
+aggregate with full map-side combine, and the merge is a union +
+re-aggregate on the same key — one shuffle over data that is already
+group-cardinality.  On a real warehouse the base state is a stored
+table (see sinks/warehouse.py); here both sides derive from the same
+scan so the oracle can certify the algebra end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.numeric import money_cents
+from myfitnesspaw_spark.sources import load_table
+
+# Everything before the cutover is "already materialized"; on/after is
+# the newly arrived delta partition.
+CUTOVER = "1997-01-01"
+
+
+def _partial_state(orders: DataFrame) -> DataFrame:
+    """Per-customer mergeable aggregate state (count/sum/min/max)."""
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money_cents(F.col("o_totalprice"))).alias("total_cents"),
+        F.min(money_cents(F.col("o_totalprice"))).alias("min_cents"),
+        F.max(money_cents(F.col("o_totalprice"))).alias("max_cents"),
+    )
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.col("o_orderdate").cast("date")
+    )
+    base = _partial_state(orders.where(F.col("odate") < F.lit(CUTOVER)))
+    delta = _partial_state(orders.where(F.col("odate") >= F.lit(CUTOVER)))
+
+    merged = (
+        base.unionByName(delta)
+        .groupBy("custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "custkey",
+        "n_orders",
+        (F.col("total_cents") / 100.0).alias("total_spent"),
+        # AVG from merged sum/count — single double division on exact
+        # integers, bit-identical to the oracle's direct AVG over cents.
+        ((F.col("total_cents") / 100.0) / F.col("n_orders")).alias("avg_order"),
+        (F.col("min_cents") / 100.0).alias("min_order"),
+        (F.col("max_cents") / 100.0).alias("max_order"),
+    )
+
+
+# The oracle certifies the maintenance algebra: a straight full-table
+# GROUP BY must equal the base⊕delta merge exactly.
+INCREMENTAL_AGG_MERGE_ORACLE = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_spent,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         / COUNT(*) AS avg_order,
+       MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS min_order,
+       MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_order
+FROM orders
+GROUP BY o_custkey
+"""

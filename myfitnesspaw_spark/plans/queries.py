@@ -13,6 +13,7 @@ from myfitnesspaw_spark.plans import (
     curation_queries as cq,
     etl_flow as ef,
     io_queries as ioq,
+    maintenance_queries as mq,
     normalize_queries as nq,
     olap_queries as oq,
     sampling_queries as smp,
@@ -143,6 +144,12 @@ register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
 register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
 register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+
+# Warehouse maintenance: algebraic (partial-state) view refresh.
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
 
 # End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)

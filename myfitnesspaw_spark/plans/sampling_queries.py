@@ -271,6 +271,45 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fixed_size_sample ----------------------------------------------------
+# Deterministic fixed-SIZE sampling per stratum (vs stratified_sample's
+# fixed-RATE): rank documents inside each source by md5(doc_id) — a
+# uniform, re-run-stable permutation — and keep the first K.  This is
+# "give me exactly K docs per source for eval" with no RNG state.
+#
+# Scale shape: one shuffle on the stratum key for the window.  A
+# stratum that dominates the corpus serializes into one task; at
+# 100 TB the fix is a two-phase top-K (per-input-partition local
+# row_number prune to K, then the global window over ≤ K×partitions
+# survivors) — same plan shape as TakeOrderedAndProject, and the local
+# prune composes here because md5 rank is partition-independent.
+
+SAMPLE_K = 25
+
+
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_K)
+    )
+
+
+FIXED_SIZE_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang, rk FROM r WHERE rk <= {SAMPLE_K}
+"""
+
+
 PASSAGE_DEDUP_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {_WORDS} AS w FROM documents

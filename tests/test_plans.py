@@ -125,3 +125,57 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     # a surviving per-row subquery plan re-scans lineitem per order.
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan
+
+
+def test_runtime_bloom_filter_prefilters_shuffle_join(spark, sf_dir):
+    """Selective-dim shuffle joins get a runtime bloom filter on the
+    fact side — at 100 TB this prunes the fact scan's shuffle input by
+    the dim's selectivity before any exchange.  Local test data is far
+    under the production thresholds, so they are floored here; the
+    cluster-scale conf is just ``runtime.bloomFilter.enabled=true``
+    (thresholds default to 10 MB creation / 10 GB application)."""
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        # Force the shuffle-join path: bloom injection only targets
+        # probable shuffle joins (a broadcast dim needs no bloom).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def q():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "might_contain" in plan, plan  # fact side pre-filtered
+        assert "bloom_filter_agg" in plan, plan  # dim side builds the filter
+        filtered = {(r["l_returnflag"], r["n"]) for r in df.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # Bloom filtering must not change results (false positives only
+    # pre-filter; the join still verifies equality).
+    plain = {(r["l_returnflag"], r["n"]) for r in q().collect()}
+    assert filtered == plain
