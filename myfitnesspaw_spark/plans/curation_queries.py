@@ -429,3 +429,52 @@ SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
        TRUE AS hll_within_5pct
 FROM events GROUP BY 1
 """
+
+
+# --- iqr_outlier_docs -----------------------------------------------------
+# Per-language IQR outlier screen over document length: Tukey fences
+# (Q1 − 1.5·IQR, Q3 + 1.5·IQR) computed with the EXACT interpolating
+# percentile, then applied back to rows — the distribution-based
+# filter a curation pass runs on length/perplexity before training.
+#
+# Scale shape: exact percentile needs the per-group values (one
+# shuffle, sort within group); at 100 TB swap in percentile_approx
+# (GK sketch, mergeable — same plan shape, bounded memory; the
+# approx-quantile accuracy contract is certified separately by
+# `approx_quantiles_contract`).  The per-lang fence table is
+# group-cardinality and broadcasts back onto the scan.
+
+
+def iqr_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fences = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("n_chars"), F.lit(0.75)).alias("q3"),
+    )
+    bounded = fences.select(
+        "lang",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounded), "lang")
+        .where((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+        .select("doc_id", "lang", "n_chars", "lo", "hi")
+    )
+
+
+IQR_OUTLIER_ORACLE = """
+WITH fences AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+),
+bounded AS (
+  SELECT lang, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM fences
+)
+SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
+FROM documents d JOIN bounded b USING (lang)
+WHERE d.n_chars < b.lo OR d.n_chars > b.hi
+"""

@@ -935,3 +935,48 @@ SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT EXTRACT(day FROM CAST(ts AS TIMESTAMP))) AS n_days_of_month
 FROM events GROUP BY 1
 """
+
+
+# --- debounce_events ------------------------------------------------------
+# Per-(user, type) debounce: drop an event when the previous event of
+# the same key is within the throttle window — the dedup-adjacent
+# stream hygiene op (distinct from sessionization: the gap test is
+# against the previous KEPT-OR-NOT row, i.e. plain lag, which is the
+# standard throttle — re-firing only after a quiet gap is the
+# sessionize-first variant already covered by `sessionize_events`).
+# One shuffle (the window on the key); timestamps compare as exact
+# integer microseconds in both engines.
+
+DEBOUNCE_SECONDS = 300
+
+
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # Exact integer microseconds (unix_micros ↔ DuckDB epoch_us); a
+    # seconds cast would truncate Spark-side but round DuckDB-side.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        events.withColumn("gap_us", gap)
+        .where(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") >= DEBOUNCE_SECONDS * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts", "gap_us")
+    )
+
+
+DEBOUNCE_EVENTS_ORACLE = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT * FROM g
+WHERE gap_us IS NULL OR gap_us >= {DEBOUNCE_SECONDS * 1_000_000}
+"""

@@ -12,6 +12,7 @@ from myfitnesspaw_spark.plans import (
     core_ops,
     curation_queries as cq,
     etl_flow as ef,
+    integrity_queries as iq,
     io_queries as ioq,
     maintenance_queries as mq,
     normalize_queries as nq,
@@ -145,6 +146,16 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
 register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
 register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+
+# Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+
+# Distribution-based curation screens + stream hygiene (round 2).
+register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
 
 # Warehouse maintenance: algebraic (partial-state) view refresh.
 register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
