@@ -117,3 +117,51 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders WHERE o_orderstatus = 'F'
 GROUP BY 1
 """
+
+
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet batches with DIFFERENT schemas — the second adds
+    ``o_totalprice`` — read back together with ``mergeSchema``: the
+    evolved read yields the union schema with NULLs where the old
+    batch lacks the column.  This is the append-only schema-evolution
+    path every long-lived warehouse needs (a 100 TB table is never
+    rewritten to add a column; readers must merge footers instead).
+
+    mergeSchema=true costs a footer read per file at planning time, so
+    production tables pin the merged schema in a catalog; the per-year
+    rollup here certifies values, including NULL o_totalprice for the
+    pre-evolution batch, survive the merged read.
+    """
+    path = _rt_path("schema_evo", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    old = orders.where(F.col("o_year") < 1998).select(
+        "o_orderkey", "o_custkey", "o_year"
+    )
+    new = orders.where(F.col("o_year") >= 1998).select(
+        "o_orderkey", "o_custkey", "o_year", "o_totalprice"
+    )
+    old.write.mode("overwrite").parquet(f"{path}/v1")
+    new.write.mode("overwrite").parquet(f"{path}/v2")
+    back = spark.read.option("mergeSchema", True).parquet(f"{path}/v1", f"{path}/v2")
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_totalprice").alias("n_priced"),
+        F.coalesce(F.sum(money_cents(F.col("o_totalprice"))), F.lit(0)).alias(
+            "price_cents"
+        ),
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1998
+                  THEN o_totalprice END) AS n_priced,
+       CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1998
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT)
+         AS price_cents
+FROM orders
+GROUP BY 1
+"""

@@ -9,6 +9,7 @@ and hash-compares values).
 from __future__ import annotations
 
 from myfitnesspaw_spark.plans import (
+    behavior_queries as bq,
     core_ops,
     curation_queries as cq,
     etl_flow as ef,
@@ -128,6 +129,18 @@ register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
 register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
     ioq.partitioned_orders_prune
 )
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+
+# Behavioral analytics over events: sequenced funnel + retention triangle.
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
