@@ -356,3 +356,39 @@ SELECT d, event_type, n_events,
          AS day_share
 FROM counts
 """
+
+
+# --- daily_event_sequence (ordered string aggregation) --------------------
+# Each user-day's events as one ordered "view>click>purchase" trace —
+# the session-trace extraction a behavior-mining / LLM-agent-log
+# pipeline runs to turn an event log into sequence training data.
+# Spark has no ORDER BY inside an aggregate; the deterministic
+# equivalent is collect_list of (sort-key, value) structs +
+# array_sort + transform — array_sort on structs orders by fields
+# left-to-right, and (ts, event_id) is a total order, so the trace is
+# reproducible run-to-run (collect_list alone is partition-order
+# dependent).  One shuffle on (user, day); the array stays
+# day-per-user sized.
+
+
+def daily_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DAILY_EVENT_SEQUENCE_ORACLE = """
+SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""

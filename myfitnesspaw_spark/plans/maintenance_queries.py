@@ -87,3 +87,71 @@ SELECT o_custkey AS custkey,
 FROM orders
 GROUP BY o_custkey
 """
+
+
+# --- column_profile (data-quality profiling) ------------------------------
+# One-pass table profiler: per column, row/null/distinct counts and
+# min/max — the data-quality screen run before promoting a 100 TB
+# batch.  All measures for all columns compute in ONE aggregate over
+# one scan (the distinct counts expand the input N_cols× via the
+# Expand two-phase plan, still map-side partial); the per-column rows
+# are then unpivoted from the single result row with stack().  Only
+# integer/varchar columns here so min/max stringify identically in
+# both engines (double formatting differs).
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_value", "max_value")
+
+
+COLUMN_PROFILE_ORACLE = """
+WITH one AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+SELECT 'l_orderkey' AS column_name, n_rows,
+       (SELECT COUNT(l_orderkey) FROM lineitem) AS n_nonnull,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_distinct,
+       (SELECT CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem) AS min_value,
+       (SELECT CAST(MAX(l_orderkey) AS VARCHAR) FROM lineitem) AS max_value
+FROM one
+UNION ALL
+SELECT 'l_linenumber', n_rows,
+       (SELECT COUNT(l_linenumber) FROM lineitem),
+       (SELECT COUNT(DISTINCT l_linenumber) FROM lineitem),
+       (SELECT CAST(MIN(l_linenumber) AS VARCHAR) FROM lineitem),
+       (SELECT CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem)
+FROM one
+UNION ALL
+SELECT 'l_returnflag', n_rows,
+       (SELECT COUNT(l_returnflag) FROM lineitem),
+       (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem),
+       (SELECT MIN(l_returnflag) FROM lineitem),
+       (SELECT MAX(l_returnflag) FROM lineitem)
+FROM one
+UNION ALL
+SELECT 'l_linestatus', n_rows,
+       (SELECT COUNT(l_linestatus) FROM lineitem),
+       (SELECT COUNT(DISTINCT l_linestatus) FROM lineitem),
+       (SELECT MIN(l_linestatus) FROM lineitem),
+       (SELECT MAX(l_linestatus) FROM lineitem)
+FROM one
+"""

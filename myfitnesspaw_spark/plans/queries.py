@@ -73,6 +73,9 @@ register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
 )
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 
@@ -140,7 +143,11 @@ register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
 register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
 register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
 register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
 register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
 
 # Corpus-curation + warehouse-history extensions (round 2).
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)

@@ -213,3 +213,22 @@ WITH d AS (
 )
 SELECT event_type, COUNT(*) AS n_user_minutes FROM d GROUP BY 1
 """
+
+
+def stream_stream_click_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming.joins import stream_stream_click_error
+
+    return stream_stream_click_error(spark, sf_dir)
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id,
+       epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+         AS gap_us
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts > c.ts
+ AND e.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+"""
