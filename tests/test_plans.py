@@ -179,3 +179,32 @@ def test_runtime_bloom_filter_prefilters_shuffle_join(spark, sf_dir):
     # pre-filter; the join still verifies equality).
     plain = {(r["l_returnflag"], r["n"]) for r in q().collect()}
     assert filtered == plain
+
+
+def test_column_profile_single_pass(spark, sf_dir):
+    plan = _plan(spark, "column_profile", sf_dir)
+    # All null/distinct/min-max measures must come from ONE scan of
+    # lineitem (the distinct-counts go through Expand, still one
+    # read); per-column scans would multiply 100 TB of IO by N_cols.
+    # Formatted explain names each node twice (tree + detail section),
+    # so one physical scan == two mentions.
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan
+
+
+def test_iqr_fences_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, "iqr_outlier_docs", sf_dir)
+    # The per-lang fence table is group-cardinality: it must broadcast
+    # onto the documents scan, never shuffle the corpus.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_forward_fill_grid_joins_stay_small(spark, sf_dir):
+    plan = _plan(spark, "forward_fill_gauge", sf_dir)
+    # The users × date-spine grid builds from two tiny sides: the
+    # spine must arrive via a broadcast nested-loop cross join, and
+    # the daily-last attach must broadcast — the event scan itself is
+    # never shuffled for the grid.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
