@@ -165,3 +165,36 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
 FROM orders
 GROUP BY 1
 """
+
+
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → read back with explicit schema → per-brand rollup:
+    the third columnar format the engine ships (ORC's stripe-level
+    min/max indexes give the same pushdown story as parquet; the
+    filter here lands in the ORC reader's search argument)."""
+    path = _rt_path("orc_part", sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    part.write.mode("overwrite").orc(path)
+    back = (
+        spark.read.schema(
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double"
+        )
+        .orc(path)
+        .where(F.col("p_size") >= 25)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(money_cents(F.col("p_retailprice"))).alias("retail_cents"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_cents,
+       MAX(p_size) AS max_size
+FROM part WHERE p_size >= 25
+GROUP BY 1
+"""

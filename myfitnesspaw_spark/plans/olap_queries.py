@@ -980,3 +980,78 @@ WITH g AS (
 SELECT * FROM g
 WHERE gap_us IS NULL OR gap_us >= {DEBOUNCE_SECONDS * 1_000_000}
 """
+
+
+# --- lateral_topk_customers (SQL LATERAL surface) -------------------------
+# Top-3 customers by balance per nation through a correlated LATERAL
+# subquery — the per-group top-K as a user would WRITE it in SQL.
+# Catalyst plans the lateral as a join + per-key ordered limit; the
+# DataFrame twin (row_number window + filter, `topk_retention`) is
+# the explicit form — both end in one shuffle on the group key.
+# Ties broken by name so the result is a deterministic set.
+
+
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lt")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lt n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer_lt c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+LATERAL_TOPK_ORACLE = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t ON TRUE
+"""
+
+
+# --- unreturned_orders (NOT EXISTS anti join) -----------------------------
+# Orders where NO lineitem was returned — NOT EXISTS with a
+# correlated predicate, the SQL spelling of the left ANTI join (the
+# engine's D1 CDC diff primitive, operators/incremental.py).
+# Catalyst rewrites it to an anti hash join on l_orderkey: one
+# shuffle each side, never a per-row subquery.
+
+
+def unreturned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ne")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ne")
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus, o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_ne o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem_ne l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o.o_orderstatus, o.o_orderpriority
+        """
+    )
+
+
+UNRETURNED_ORDERS_ORACLE = """
+SELECT o.o_orderstatus, o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderstatus, o.o_orderpriority
+"""

@@ -135,6 +135,11 @@ register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
 register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
     ioq.schema_evolution_merge
 )
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+
+# SQL-surface completions: correlated LATERAL top-K, NOT EXISTS anti join.
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
 
 # Behavioral analytics over events: sequenced funnel + retention triangle.
 register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
