@@ -29,3 +29,28 @@ def money_cents(col: Column) -> Column:
 def trunc_long(col: Column) -> Column:
     """Truncate-toward-zero to BIGINT (SQLite CAST-AS-INT semantics)."""
     return col.cast("long")
+
+
+def epoch_us(col: Column) -> Column:
+    """Exact integer microseconds since epoch for a TIMESTAMP_NTZ column.
+
+    The testdata's ``events.ts`` loads as TIMESTAMP_NTZ (naive µs, the
+    same semantics as DuckDB's TIMESTAMP — sources/tables.py), where
+    ``unix_micros`` is not applicable (it requires the zoned TIMESTAMP
+    type and would make the result depend on the session time zone).
+    ``timestamp_diff`` against the epoch literal is zone-independent
+    and matches DuckDB ``epoch_us`` bit-for-bit.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), col
+    )
+
+
+def ntz_from_us(col: Column) -> Column:
+    """Inverse of :func:`epoch_us` — epoch-µs BIGINT back to
+    TIMESTAMP_NTZ, independent of the session time zone (unlike
+    ``timestamp_micros``, whose zoned result renders through the
+    session zone in ``date_format``)."""
+    return F.timestamp_add(
+        "MICROSECOND", col, F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    )

@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.functions.numeric import epoch_us
 from myfitnesspaw_spark.sources import load_table
 
 # --- funnel_conversion ----------------------------------------------------
@@ -211,8 +212,8 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepped = events.select(
         "user_id",
         (F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        F.unix_micros("ts").alias("t_us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("t_next_us"),
+        epoch_us(F.col("ts")).alias("t_us"),
+        F.lead(epoch_us(F.col("ts"))).over(w).alias("t_next_us"),
     ).where(F.col("t_next_us").isNotNull())
     return stepped.groupBy("user_id").agg(
         (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.functions.numeric import epoch_us
 from myfitnesspaw_spark.functions.text import normalize_text, tokens
 from myfitnesspaw_spark.operators.dedup import shingle_sets
 from myfitnesspaw_spark.sources import load_table, scatter
@@ -322,7 +323,7 @@ def error_click_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "user_id", "event_id", "event_type",
-        F.unix_micros("ts").alias("us"),
+        epoch_us(F.col("ts")).alias("us"),
     )
     errors = base.where(F.col("event_type") == "error").select(
         "user_id",

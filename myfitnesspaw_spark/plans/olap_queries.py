@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.functions.numeric import epoch_us
 from myfitnesspaw_spark.operators.temporal import asof_join_backward
 from myfitnesspaw_spark.sources import load_table
 
@@ -955,9 +956,9 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    # Exact integer microseconds (unix_micros ↔ DuckDB epoch_us); a
+    # Exact integer microseconds (epoch_us ↔ DuckDB epoch_us); a
     # seconds cast would truncate Spark-side but round DuckDB-side.
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)
     return (
         events.withColumn("gap_us", gap)
         .where(

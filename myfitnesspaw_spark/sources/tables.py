@@ -46,16 +46,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     PARQUET_TYPE_ILLEGAL.
     """
     if name == "events":
+        # Legacy layout tolerance: TIMESTAMP(NANOS) footers are rejected
+        # by the vectorized reader unless scanned as epoch-nanos BIGINT.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Timestamps collect through the session timezone; a caller session
-        # left on a non-UTC JVM default would shift every ts cell relative
-        # to DuckDB's naive (UTC) TIMESTAMP and fail the value hash.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's
-        # exact-integer range, so float division would lose precision.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) scanned as epoch-nanos.  Integer DIV, not
+            # `/`: epoch-nanos (~1.7e18) exceeds double's exact-integer
+            # range, so float division would lose precision.  The
+            # LTZ→NTZ cast reads through the session zone — pin UTC so
+            # a caller-provided session's zone can't shift the cells.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        elif ts_type == "timestamp":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # timestamp_ntz (TIMESTAMP(MICROS, no zone) footers) passes
+        # through untouched — already DuckDB TIMESTAMP semantics and
+        # independent of every session/JVM/driver time zone, collect
+        # included.
     return df
 
 

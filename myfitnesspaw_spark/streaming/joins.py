@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.functions.numeric import epoch_us
 from myfitnesspaw_spark.streaming.rollup import read_events_stream
 
 
@@ -87,5 +88,5 @@ def stream_stream_click_error(
         "click_id",
         "user_id",
         "error_id",
-        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_us(F.col("error_ts")) - epoch_us(F.col("click_ts"))).alias("gap_us"),
     )

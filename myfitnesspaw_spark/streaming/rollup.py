@@ -22,31 +22,50 @@ from pyspark.sql import types as T
 
 from myfitnesspaw_spark.functions.numeric import money_cents
 
-# events.parquet physical schema under nanosAsLong: ts is epoch-nanos.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the same nanos→µs
-    normalization the batch loader applies (sources/tables.py)."""
+    """``readStream`` over the events parquet, normalized to the same
+    TIMESTAMP_NTZ ``ts`` the batch loader produces (sources/tables.py).
+
+    File streams need an explicit schema, and the testdata's physical
+    layout has shipped both as TIMESTAMP(NANOS) (scannable only as
+    epoch-nanos BIGINT) and as TIMESTAMP(MICROS, no zone) — so sniff
+    the footer through a one-off batch read and declare accordingly.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_type: T.DataType = {
+        "bigint": T.LongType(),
+        "timestamp": T.TimestampType(),
+    }.get(raw_ts, T.TimestampNTZType())
     # File streaming sources list a directory; select just the events
     # file out of the shared sf_dir with a glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if raw_ts == "bigint":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    elif raw_ts == "timestamp":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return raw
 
 
 def streaming_hourly_rollup(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from myfitnesspaw_spark.functions.numeric import money_cents
+from myfitnesspaw_spark.functions.numeric import epoch_us, money_cents, ntz_from_us
 
 DEFAULT_GAP_MIN = 30
 
@@ -44,7 +44,7 @@ def sessionize(
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(F.col(ts_col))
     is_new = F.when(
         us - F.lag(us).over(w) > gap_us, F.lit(1)
     ).otherwise(F.lit(0))
@@ -173,7 +173,7 @@ def sessionize_stream(
     gap_us = gap_minutes * 60 * 1_000_000
     prepped = events_stream.select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("us"),
+        epoch_us(F.col("ts")).alias("us"),
         money_cents(F.col("value")).alias("cents"),
     )
     sessions = prepped.groupBy("user_id").applyInPandasWithState(
@@ -204,7 +204,7 @@ def sessionize_stream(
     return spark.table(sink_name).select(
         "user_id",
         "n_events",
-        F.date_format(F.timestamp_micros(F.col("start_us")), fmt).alias("start_ts"),
-        F.date_format(F.timestamp_micros(F.col("end_us")), fmt).alias("end_ts"),
+        F.date_format(ntz_from_us(F.col("start_us")), fmt).alias("start_ts"),
+        F.date_format(ntz_from_us(F.col("end_us")), fmt).alias("end_ts"),
         "value_cents",
     )
