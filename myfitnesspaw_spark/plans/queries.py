@@ -4,6 +4,14 @@ Importing this module registers every named query.  Each registration
 pairs the Spark plan with its DuckDB oracle; names and column aliases
 must match exactly between the two (the driver sorts columns by name
 and hash-compares values).
+
+REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
+correctness run certifies the FIRST 50 registrations, so each round
+rotates the queries that most need a driver-side row to the front —
+round 3 leads with the watermark-fixed streaming queries and the
+round-2 additions that only had the in-repo pytest oracle check; the
+long-stable round-1 block (green in CORRECTNESS_r01/r02) moves behind
+them, still guarded by tests/test_registry_oracle.py at every sf.
 """
 
 from __future__ import annotations
@@ -27,6 +35,118 @@ from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_repor
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
 
+# --- Driver window, part 1: round-3 fixes needing a fresh driver row.
+# The three watermark-broken streaming queries (TIMESTAMP_NTZ fix,
+# streaming/rollup.py) and the stateful sessionizer, now with a real
+# oracle (closed sessions are key-determined) instead of rows-only.
+register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+
+# --- Driver window, part 2: round-2 additions never driver-checked.
+# OLAP extensions.
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
+register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
+    oq.approx_quantiles_contract
+)
+register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
+register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
+    oq.cust_order_distribution
+)
+register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
+register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
+    oq.salted_priority_revenue
+)
+register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
+register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
+register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
+register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
+    oq.large_volume_customers
+)
+register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
+register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
+    oq.correlated_latest_ship
+)
+register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
+register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
+    oq.distinct_users_per_type
+)
+
+# Behavioral analytics over events.
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+
+# Sketches + corpus sampling.
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+
+# Corpus-curation + warehouse-history extensions.
+register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
+register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
+register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
+register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
+register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
+register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
+    cq.error_click_window_join
+)
+register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
+register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+
+# Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+
+# Warehouse maintenance: algebraic (partial-state) view refresh.
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
+
+# End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+# --- end of the 50-query driver window (4 + 46 above) ---
+
+# Round-2 additions that didn't fit the window this round (next rotation).
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+
+# --- Round-1 block: green in CORRECTNESS_r01 and _r02; pytest-guarded.
 register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
@@ -64,22 +184,17 @@ register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 
-# Streaming / stateful / multimodal extensions (SURVEY.md §2.9, §7.2.7).
+# Streaming / stateful / multimodal (round-1 certified remainder).
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-register("sessionize_stateful_stream", None)(sq.sessionize_stateful_stream)
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
-register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
-)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 
-# OLAP extensions: as-of join, rollup/cube grouping aggregates.
+# OLAP core: as-of join, rollup/cube grouping aggregates.
 register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
@@ -89,107 +204,3 @@ register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
 register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
 register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
 register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
-register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
-register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
-    oq.approx_quantiles_contract
-)
-
-# Relational-surface completions (round 2): semi join, outer-join
-# distribution, native unpivot, rank-distribution windows, the salted
-# skew join as an oracle-checked query, and the grouped-Arrow UDAF.
-register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
-register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
-    oq.cust_order_distribution
-)
-register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
-register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
-register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
-    oq.salted_priority_revenue
-)
-register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
-register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
-register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
-register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
-    oq.large_volume_customers
-)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
-register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
-    oq.correlated_latest_ship
-)
-register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
-register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
-    oq.distinct_users_per_type
-)
-
-# File-format sources/sinks: write→read round trips certified by the
-# oracle on the original parquet (SURVEY.md §2.1/§2.2 completions).
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-
-# SQL-surface completions: correlated LATERAL top-K, NOT EXISTS anti join.
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-
-# Behavioral analytics over events: sequenced funnel + retention triangle.
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-
-# Corpus-curation + warehouse-history extensions (round 2).
-register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
-register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
-register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
-register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
-register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
-register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
-    cq.error_click_window_join
-)
-register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
-
-# Corpus sampling / sketch extensions (round 2, continued).
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-
-# Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
-register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
-register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
-    iq.cascade_delete_consistency
-)
-
-# Distribution-based curation screens + stream hygiene (round 2).
-register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
-
-# Warehouse maintenance: algebraic (partial-state) view refresh.
-register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
-    mq.incremental_agg_merge
-)
-
-# End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
-register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
-register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
-register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)

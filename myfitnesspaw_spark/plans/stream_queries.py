@@ -139,10 +139,49 @@ FROM sess GROUP BY user_id, session_no
 
 def sessionize_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization over the events stream —
-    closed sessions only (see sessionize_stream docstring); rows-only
-    driver check (stateful streaming is not SQL-expressible)."""
+    closed sessions only (see sessionize_stream docstring).
+
+    The output IS key-determined once the backlog drains: every session
+    except each user's final (still-open) one, with the same strict-gap
+    split as the batch sessionizer — so the oracle is the batch session
+    SQL minus the last session per user (QUALIFY on max session_no).
+    """
     stream = read_events_stream(spark, sf_dir)
     return sessionize_stream(stream, gap_minutes=30)
+
+
+# Closed sessions = all batch sessions except each user's last (the one
+# still open in state when availableNow drains).  Same strict-gap (>)
+# split as SESSIONIZE_ORACLE; no session_no in the output (the stateful
+# operator doesn't number sessions).
+SESSIONIZE_CLOSED_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+grouped AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+         CAST(SUM({_CENTS}) AS BIGINT) AS value_cents
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, n_events, start_ts, end_ts, value_cents
+FROM grouped
+QUALIFY session_no < MAX(session_no) OVER (PARTITION BY user_id)
+"""
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,8 @@ nothing else changes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 from datetime import date as _date
 
 import pandas as pd
@@ -104,24 +105,69 @@ def _fake_client_day(user_id: int, day: _date) -> dict:
     }
 
 
-def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        days = [
-            _fake_client_day(int(u), d)
-            for u, d in zip(pdf["user_id"], pdf["date"])
-        ]
-        yield pd.DataFrame(days)
+def _fetch_batches_fn(
+    client: Callable[[int, _date], dict],
+    max_retries: int,
+    retry_delay_s: float,
+):
+    """Build the ``mapInPandas`` kernel with per-CALL retry semantics —
+    the engine-side twin of the reference's
+    ``@task(timeout=15, max_retries=5, retry_delay=15s)``
+    (`/root/reference/myfitnesspaw/tasks.py:339-344`).
+
+    Retries happen INSIDE the Python worker, per (user, day) call: a
+    transient client failure costs one sleep + re-call, not a Spark
+    task re-run re-fetching the whole partition.  A call that still
+    fails after ``max_retries`` raises, escalating to Spark's task
+    retry (``spark.task.maxFailures``) and then job failure — the same
+    two-level ladder as Prefect task retries over flow failure.
+    Request timeout is the client's own parameter (a real HTTP client
+    binds its socket timeout; the fake client never blocks), so it is
+    not replicated here.
+    """
+
+    def _fetch_one(user_id: int, day: _date) -> dict:
+        for attempt in range(max_retries + 1):
+            try:
+                return client(user_id, day)
+            except Exception:
+                if attempt == max_retries:
+                    raise
+                if retry_delay_s:
+                    time.sleep(retry_delay_s)
+        raise AssertionError("unreachable")
+
+    def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            days = [
+                _fetch_one(int(u), d)
+                for u, d in zip(pdf["user_id"], pdf["date"])
+            ]
+            yield pd.DataFrame(days)
+
+    return _fetch_batches
 
 
-def fetch_days(requests: DataFrame, fetch_partitions: int | None = None) -> DataFrame:
+def fetch_days(
+    requests: DataFrame,
+    fetch_partitions: int | None = None,
+    client: Callable[[int, _date], dict] = _fake_client_day,
+    max_retries: int = 5,
+    retry_delay_s: float = 0.0,
+) -> DataFrame:
     """Fan-out fetch: ``requests(user_id, date)`` → nested day rows.
 
     ``fetch_partitions`` controls fetch parallelism (the reference's
     ``.map`` fan-out); default leaves the upstream partitioning.
+    ``client``/``max_retries``/``retry_delay_s`` expose the reference's
+    retry contract (see ``_fetch_batches_fn``); the default retry delay
+    is 0 because the default client is deterministic and local.
     """
     if fetch_partitions:
         requests = requests.repartition(fetch_partitions)
-    return requests.mapInPandas(_fetch_batches, DAY_SCHEMA)
+    return requests.mapInPandas(
+        _fetch_batches_fn(client, max_retries, retry_delay_s), DAY_SCHEMA
+    )
 
 
 def serialize_days(days: DataFrame) -> DataFrame:

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import DataFrame, SparkSession
 
+from myfitnesspaw_spark.functions.numeric import ntz_from_us
+
 TABLES = [
     "region",
     "nation",
@@ -51,25 +53,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # Pin UTC in EVERY branch, including the NTZ pass-through:
+        # downstream epoch_us / date_format / date_trunc of an NTZ value
+        # implicitly round-trip through the session zone, which is not
+        # identity for wall-clocks in a zone's DST-skipped hour — a
+        # non-UTC caller session would otherwise diverge from the
+        # DuckDB oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # TIMESTAMP(NANOS) scanned as epoch-nanos.  Integer DIV, not
             # `/`: epoch-nanos (~1.7e18) exceeds double's exact-integer
-            # range, so float division would lose precision.  The
-            # LTZ→NTZ cast reads through the session zone — pin UTC so
-            # a caller-provided session's zone can't shift the cells.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-            )
+            # range, so float division would lose precision.  Build the
+            # NTZ value ARITHMETICALLY (timestamp_add on an NTZ epoch
+            # literal) rather than via an LTZ→NTZ cast: the cast reads
+            # the session zone lazily at action time, so a caller that
+            # re-zones the session between load and collect would shift
+            # the cells; the arithmetic form never consults the zone.
+            df = df.withColumn("ts", ntz_from_us(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # unix_micros of a zoned TIMESTAMP is the instant — zone
+            # independent — and ntz_from_us rebuilds the UTC wall clock
+            # without reading the session zone at eval time.
+            df = df.withColumn("ts", ntz_from_us(F.unix_micros(F.col("ts"))))
         # timestamp_ntz (TIMESTAMP(MICROS, no zone) footers) passes
-        # through untouched — already DuckDB TIMESTAMP semantics and
-        # independent of every session/JVM/driver time zone, collect
-        # included.
+        # through untouched — DuckDB TIMESTAMP cell semantics; the UTC
+        # pin above keeps derived expressions zone-stable too.
     return df
 
 

@@ -36,8 +36,19 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet, normalized to the same
-    TIMESTAMP_NTZ ``ts`` the batch loader produces (sources/tables.py).
+    """``readStream`` over the events parquet with ``ts`` normalized to
+    zoned TIMESTAMP under a pinned-UTC session zone.
+
+    Streaming event time must be TimestampType — ``withWatermark`` on a
+    TIMESTAMP_NTZ column raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE —
+    so unlike the batch loader (sources/tables.py, which normalizes to
+    NTZ for DuckDB parity) the stream keeps ``ts`` zoned.  With the
+    session zone pinned to UTC here, every downstream rendering
+    (``date_format``, ``date_trunc``, ``epoch_us``) of the zoned value
+    is wall-clock-identical to the batch loader's NTZ value, so the
+    same DuckDB oracles hold.  The pin happens at plan-build time; the
+    streaming queries in this module execute within the same call, so
+    a caller cannot re-zone the session between build and run.
 
     File streams need an explicit schema, and the testdata's physical
     layout has shipped both as TIMESTAMP(NANOS) (scannable only as
@@ -45,6 +56,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the footer through a one-off batch read and declare accordingly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     ts_type: T.DataType = {
         "bigint": T.LongType(),
@@ -58,14 +70,63 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if raw_ts == "bigint":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        )
-    elif raw_ts == "timestamp":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # Epoch-nanos BIGINT → zoned TIMESTAMP; an instant, no zone read.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif raw_ts != "timestamp":
+        # TIMESTAMP_NTZ footer (the live testdata path): the NTZ→LTZ
+        # cast reads the session zone at eval time — UTC pinned above
+        # makes it wall-clock identity.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def _drain_update_merge(
+    agg: DataFrame,
+    key_cols: list[str],
+    state_view: str,
+    sink_name: str,
+) -> DataFrame:
+    """Drain a watermarked streaming aggregate in UPDATE mode through a
+    ``foreachBatch`` keyed merge, returning the final merged state.
+
+    This is the scale-safe replacement for ``complete``-mode memory
+    sinks (round-2 verdict #5): complete mode re-emits EVERY window each
+    trigger and materializes the whole result on the driver — unbounded
+    at 100 TB.  Update mode emits only windows touched by the trigger,
+    the watermark evicts finalized windows from the state store, and the
+    merge (keep the latest emission per key — streaming aggregates emit
+    cumulative values) holds only the result rows, executor-side, behind
+    a per-batch localCheckpoint.  On a Delta/Iceberg deployment the
+    merge body becomes ``MERGE INTO`` keyed on ``key_cols``.
+    """
+    spark = agg.sparkSession
+    # GLOBAL temp view: foreachBatch executes on a micro-batch session
+    # clone, whose local temp views are invisible to the outer session.
+    spark.sql(f"DROP VIEW IF EXISTS global_temp.{state_view}")
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        exists = any(
+            t.name == state_view for t in s.catalog.listTables("global_temp")
+        )
+        if exists:
+            state = s.table(f"global_temp.{state_view}")
+            merged = state.join(
+                batch.select(key_cols), key_cols, "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
+
+    query = (
+        agg.writeStream.foreachBatch(_merge)
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(f"global_temp.{state_view}")
 
 
 def streaming_hourly_rollup(
@@ -75,13 +136,14 @@ def streaming_hourly_rollup(
     sink_name: str = "streaming_hourly_rollup_sink",
 ) -> DataFrame:
     """Tumbling 1-hour rollup per event_type, executed as a real
-    Structured Streaming query (memory sink, availableNow trigger),
-    returned as the finished batch DataFrame.
+    Structured Streaming query (update mode → foreachBatch keyed merge,
+    availableNow trigger), returned as the finished batch DataFrame.
 
-    ``complete`` output mode so every window is emitted even though
-    the backlog drains in one trigger (append mode would hold back
-    windows newer than the final watermark).  Money sums go through
-    exact integer cents (functions/numeric.py) for oracle parity.
+    Update mode (not complete): the watermark bounds the state store to
+    in-flight windows and nothing re-emits finalized windows — the shape
+    that stays O(open windows) instead of O(history) at 100 TB.  Money
+    sums go through exact integer cents (functions/numeric.py) for
+    oracle parity.
     """
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -100,18 +162,13 @@ def streaming_hourly_rollup(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     try:
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(sink_name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        state = _drain_update_merge(
+            agg, ["win", "event_type"], f"{sink_name}_state", sink_name
         )
-        query.awaitTermination()
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink_name).select(
+    return state.select(
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n_events",
@@ -130,9 +187,9 @@ def streaming_sliding_rollup(
     — each event lands in exactly two overlapping windows.
 
     Same execution shape as the tumbling rollup (real streaming query,
-    memory sink, availableNow); the slide multiplies state rows by
-    window/slide = 2×, which the watermark still bounds — the scale
-    knob a 100 TB stream cares about.
+    update mode → foreachBatch keyed merge, availableNow); the slide
+    multiplies state rows by window/slide = 2×, which the watermark
+    still bounds — the scale knob a 100 TB stream cares about.
     """
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -148,18 +205,13 @@ def streaming_sliding_rollup(
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     try:
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(sink_name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        state = _drain_update_merge(
+            agg, ["win", "event_type"], f"{sink_name}_state", sink_name
         )
-        query.awaitTermination()
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink_name).select(
+    return state.select(
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n_events",
@@ -182,6 +234,12 @@ def streaming_dedup_counts(
     deterministic contract any streaming-dedup consumer at scale
     should hold itself to.  The watermark bounds dedup state to one
     hour of keys.
+
+    This one deliberately KEEPS the complete-mode memory sink the two
+    windowed rollups dropped: its aggregate key is ``event_type`` — a
+    handful of rows at any data scale, so complete-mode re-emission is
+    O(types), not O(history) — and chaining two stateful operators
+    (dropDuplicates → agg) restricts which output modes Spark accepts.
     """
     events = read_events_stream(spark, sf_dir)
     dedup = (
