@@ -1,11 +1,20 @@
 """Benchmark harness (driver contract).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, writes the
+FULL per-query result to ``bench_full.json`` next to this file, and
+prints a compact one-line JSON summary LAST::
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {<slowest 20>}, "sf": 0.1, "full": "bench_full.json", ...}
+
+The compact-last-line split exists because the driver records only the
+final ~2000 bytes of output: the full 106-query dict is ~4 KB, so
+printing it as the one line left every round's artifact truncated
+mid-key and unparseable (r1-r3 lesson).  The last line is sized to
+survive tail capture; ``bench_full.json`` (and a full line printed
+before the compact one) carry the complete timings, including the
+regression check against ``BASELINE_BENCH.json``.
 
 Each query is executed with the ``noop`` write sink so timing covers the
 full distributed plan (scan → shuffle → agg/window) without driver-side
@@ -19,9 +28,11 @@ number.  Two-pass ordering guarantees every query gets a first-run number
 before any budget is spent on repetitions.
 
 Fault isolation: a query that raises is recorded under ``errors`` and the
-run continues; the JSON line prints from a ``finally`` so it survives any
+run continues; the summary prints from a ``finally`` so it survives any
 single-query failure (round-2 lesson: one AnalysisException must not cost
-the round its bench number).
+the round its bench number).  Pass 2 retries pass-1 failures once, and a
+query with any successful timing is never reported as errored — ``errors``
+means "no valid timing exists" (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -115,24 +126,71 @@ def main() -> None:
                 break
             _gc_quiesce()
             _timed(name, fn)
-        for name, fn in qs.items():  # pass 2: steady-state reps
-            if name in errors or time.monotonic() - start > soft_deadline:
-                continue
+        for name, fn in qs.items():  # pass 2: steady-state reps +
+            # one retry of pass-1 failures (transient faults must not
+            # permanently exclude a query — ADVICE r3)
+            if time.monotonic() - start > soft_deadline:
+                break
             _gc_quiesce()
             _timed(name, fn)
     finally:
-        timed = [v for v in timings.values() if v is not None]
+        # A query with any successful timing is not an error; drop
+        # stale pass-1 messages superseded by a pass-2 success.
+        errors = {n: m for n, m in errors.items() if timings.get(n) is None}
+        timed = {n: v for n, v in timings.items() if v is not None}
+        sf = _sf_of(SF_DIR)
+        total = round(sum(timed.values()), 3)
+
+        baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "BASELINE_BENCH.json")
+        regressions: dict[str, dict[str, float]] = {}
+        try:
+            with open(baseline_path) as fh:
+                base = json.load(fh)
+            if base.get("sf") == sf:
+                for n, b in base.get("queries", {}).items():
+                    cur = timed.get(n)
+                    if cur is not None and b and cur > 2.0 * b:
+                        regressions[n] = {"baseline": b, "current": cur}
+        except (OSError, ValueError):
+            pass  # no recorded baseline (or wrong sf) → gate is advisory
+
+        full = {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "errors": errors,
+            "regressions": regressions,
+            "n_queries": len(qs),
+            "n_timed": len(timed),
+            "sf": sf,
+        }
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_full.json")
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        print(json.dumps(full), flush=True)  # humans / logs
+
+        # Compact summary LAST — must fit the driver's ~2000-byte tail
+        # capture: slowest-20 queries only, full dict in bench_full.json.
+        slowest = dict(sorted(timed.items(), key=lambda kv: -kv[1])[:20])
         print(
             json.dumps(
                 {
                     "metric": "total_query_sec",
-                    "value": round(sum(timed), 3),
+                    "value": total,
                     "unit": "sec",
-                    "queries": timings,
-                    "errors": errors,
+                    "queries": slowest,
                     "n_queries": len(qs),
                     "n_timed": len(timed),
-                    "sf": _sf_of(SF_DIR),
+                    "n_errors": len(errors),
+                    "n_regressions": len(regressions),
+                    "sf": sf,
+                    "full": "bench_full.json",
                 }
             ),
             flush=True,

@@ -436,6 +436,106 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("cluster"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the low-round-count alternative to hash-min label
+    propagation in :func:`connected_components`.
+
+    Hash-min converges in O(graph diameter) rounds, which on a chain-
+    or path-shaped near-dup graph (common when documents form edit
+    chains) means one shuffle round per hop.  The star algorithm
+    contracts the graph toward per-component stars centered at the
+    minimum node id and converges in O(log^2 n) rounds regardless of
+    diameter — at 100 TB the round count, not the per-round shuffle,
+    is the wall-clock driver, so this is the scale path.  The hash-min
+    form stays as the semantically-obvious oracle twin.
+
+    Edges are kept directed large→small (``u > v``) between phases:
+
+    * large-star(u): over the full neighborhood Γ(u), let
+      m = min(Γ(u) ∪ {u}); emit (v, m) for every neighbor v > u.
+    * small-star(u): over the smaller neighbors only, let m = min;
+      re-point every other smaller neighbor and u itself at m.
+
+    Both phases are one groupBy-min plus one join — no state beyond
+    the edge set itself, ``localCheckpoint`` per round truncates the
+    iterative lineage, and convergence is a 3-scalar probe (count +
+    endpoint sums, monotone under contraction) rather than a join-diff.
+    Returns ``(node, cluster)`` with cluster = min reachable node id,
+    exactly :func:`connected_components`'s contract.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(d: DataFrame) -> DataFrame:
+        sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(d: DataFrame) -> DataFrame:
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(mins, "u")
+        moved = j.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        centers = mins.select("u", F.col("m").alias("v"))
+        return moved.union(centers).distinct()
+
+    prev: tuple | None = None
+    rounds = 0
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        # Fixed-point witness: count + endpoint sums + an order-
+        # insensitive content hash of the edge multiset — one scalar
+        # aggregate per round instead of a join-diff materialization.
+        cur = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.sum(F.hash("u", "v").cast("long")),
+            ).collect()[0]
+        )
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # At the fixed point every edge points straight at its component's
+    # minimum node; centers label themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("cluster")))
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+
 def topk_per_key(df: DataFrame, key_cols: list[str], order_cols: list, k: int) -> DataFrame:
     """row_number top-K helper shared by similarity search."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)

@@ -20,7 +20,7 @@ Scale shapes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.operators.dedup import topk_per_key
@@ -203,19 +203,93 @@ def bucket_near_dup(
     vec_col: str,
     bucket_col: str,
     threshold: float,
+    salt_groups: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """IVF-style near-dup: pairs within the same coarse bucket whose
     cosine ≥ ``threshold``.  Returns ``(id_a, id_b, bucket, cos)``
-    with ``id_a < id_b``."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(bucket_col).alias("bucket")
+    with ``id_a < id_b``.
+
+    Skew control — a self-join on the bucket key does Σ|bucket|²/2
+    comparisons, and at 100 TB one hot bucket turns that into a single
+    straggler task.  Two independent knobs:
+
+    * ``salt_groups`` (exact): decompose each bucket's pair space into
+      G(G+1)/2 salt-cells (Suri & Vassilvitskii's triangle-count
+      partitioning).  Every row gets ``salt = hash(id) % G`` and is
+      replicated into the G cells ``{min(salt,t),max(salt,t)}``; a
+      pair joins ONLY in its canonical cell ``{min,max}`` of the two
+      salts, so output is duplicate-free and result-identical to the
+      unsalted join while the hot bucket's quadratic work spreads over
+      G(G+1)/2 parallel tasks at G× row replication.  G=1 is the
+      plain join.
+
+    * ``max_bucket`` (bounded approximation): deterministically keep
+      only the first ``m`` rows per bucket (ordered by ``hash(id)``,
+      id tiebreak), capping worst-case candidates at m·(m-1)/2 per
+      bucket.  Pairs beyond the cap are dropped — the documented
+      trade when an adversarial bucket would otherwise dominate the
+      job.  ``None`` (default) keeps exact semantics.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(bucket_col).alias("bucket"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(bucket_col).alias("bucket")
-    )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket").orderBy(F.hash("vid").asc(), F.col("vid").asc())
+        base = (
+            base.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+
+    if salt_groups <= 1:
+        a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket")
+        b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+        joined = a.join(b, "bucket")
+    else:
+        g = salt_groups
+        salted = base.withColumn("salt", F.pmod(F.hash("vid"), F.lit(g)))
+        cells = salted.select(
+            "*",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.least("salt", F.lit(t)).alias("ci"),
+                                F.greatest("salt", F.lit(t)).alias("cj"),
+                            )
+                            for t in range(g)
+                        ]
+                    )
+                )
+            ).alias("cell"),
+        )
+        a = cells.select(
+            F.col("vid").alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("salt").alias("salt_a"),
+            "bucket",
+            "cell",
+        )
+        b = cells.select(
+            F.col("vid").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("salt").alias("salt_b"),
+            "bucket",
+            "cell",
+        )
+        # Canonical-cell filter: each unordered pair matches in exactly
+        # one of its shared cells, so no post-join distinct is needed.
+        joined = a.join(b, ["bucket", "cell"]).where(
+            (F.col("cell.ci") == F.least("salt_a", "salt_b"))
+            & (F.col("cell.cj") == F.greatest("salt_a", "salt_b"))
+        )
+
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        joined.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "bucket", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -158,7 +158,11 @@ cells AS (
   FROM tok t, LATERAL (VALUES {cell_rows}) AS c(depth, bucket)
 ),
 sketch AS (
-  SELECT depth, bucket, SUM(n_true) AS counter FROM cells GROUP BY 1, 2
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the driver's hash
+  -- degrades to float64 (964.0 vs Spark's bigint 964) — the one r3
+  -- hash-mismatch.  BIGINT keeps both engines integer-typed.
+  SELECT depth, bucket, CAST(SUM(n_true) AS BIGINT) AS counter
+  FROM cells GROUP BY 1, 2
 ),
 total AS (SELECT SUM(n_true) AS n FROM tok),
 est AS (

@@ -335,6 +335,22 @@ SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
 """
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as :func:`dedup_clusters`, computed with
+    the large-star/small-star contraction (O(log^2 n) rounds) instead
+    of hash-min propagation (O(diameter) rounds) — the variant you run
+    at 100 TB where the near-dup graph's diameter is unbounded.  Shares
+    DEDUP_CLUSTERS_ORACLE: identical (doc_id, cluster) output."""
+    from myfitnesspaw_spark.operators.dedup import connected_components_star
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 # --- minhash_lsh_pairs ----------------------------------------------------
 
 MH_HASHES = 16
@@ -612,7 +628,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
     )
     corpus = vecs.select("vec_id", "embedding", "label").unionByName(copies)
-    return bucket_near_dup(corpus, "vec_id", "embedding", "label", NEAR_DUP_THRESHOLD)
+    # salt_groups=4: exact salt-cell decomposition spreads each label
+    # bucket's quadratic pair space over 10 cells — with ~5 labels the
+    # unsalted join caps at 5 parallel tasks and one hot label is a
+    # straggler; salted it is 50 cells of bounded size.
+    return bucket_near_dup(
+        corpus, "vec_id", "embedding", "label", NEAR_DUP_THRESHOLD, salt_groups=4
+    )
 
 
 EMBEDDING_NEAR_DUP_ORACLE = f"""

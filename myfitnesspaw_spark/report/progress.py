@@ -122,10 +122,56 @@ class ProgressReport:
         }
 
 
+def render_html_jinja(
+    report: ProgressReport,
+    chart_cid: str | None = None,
+    style: dict | None = None,
+) -> str:
+    """R4 full parity: jinja2 template-inheritance rendering.
+
+    The reference renders ``mfp_progress_report.jinja2`` extending
+    ``lisko_report_base.jinja2`` with ``data``/``style`` context dicts
+    (`/root/reference/myfitnesspaw/tasks.py:720-729`,
+    `types.py:87-127`); this renders the engine's own inheritance pair
+    under ``report/templates/``.  ``chart_cid`` switches the chart slot
+    to an inline ``cid:`` image (pair with an
+    :class:`myfitnesspaw_spark.report.email.Attachment` carrying the
+    same content id).  Raises ImportError where jinja2 is absent —
+    callers fall back to :func:`render_html`.
+    """
+    from pathlib import Path
+
+    from jinja2 import Environment, FileSystemLoader, select_autoescape
+
+    env = Environment(
+        loader=FileSystemLoader(Path(__file__).parent / "templates"),
+        autoescape=select_autoescape(["html", "j2"]),
+    )
+    ctx = report.context()
+    if not ctx["fresh"]:
+        return "<html><body><p>No fresh data — report skipped.</p></body></html>"
+    data = {
+        "title": f"{ctx['user']} — progress",
+        "user": ctx["user"],
+        "end_goal": ctx["end_goal"],
+        "columns": ctx["columns"],
+        "table": ctx["table"],
+        "segments": ctx["segments"],
+        "palette": ctx["palette"],
+        "chart_cid": chart_cid,
+        "report_name": "Progress Report",
+    }
+    return env.get_template("progress_report.html.j2").render(
+        data=data, style=style or {}
+    )
+
+
 def render_html(report: ProgressReport) -> str:
     """R4/K8: dependency-free HTML rendering of the report context
     (the reference's jinja2 template, `tasks.py:720-729`, reduced to
-    stdlib string building so it runs anywhere)."""
+    stdlib string building so it runs anywhere).  Where jinja2 is
+    installed, :func:`render_html_jinja` provides the
+    template-inheritance form."""
     ctx = report.context()
     if not ctx["fresh"]:
         return "<html><body><p>No fresh data — report skipped.</p></body></html>"

@@ -105,10 +105,24 @@ def _fake_client_day(user_id: int, day: _date) -> dict:
     }
 
 
+# Transient-by-default exception classes worth a retry: connection
+# resets, timeouts, and OS-level IO errors (ConnectionError and
+# TimeoutError are OSError subclasses; listed for documentation).
+# Deterministic bugs (TypeError, auth misconfig) fail FAST instead of
+# multiplying failure latency by max_retries sleeps per (user, day)
+# call across a partition (ADVICE r3).
+RETRYABLE_EXCEPTIONS: tuple[type[BaseException], ...] = (
+    ConnectionError,
+    TimeoutError,
+    OSError,
+)
+
+
 def _fetch_batches_fn(
     client: Callable[[int, _date], dict],
     max_retries: int,
     retry_delay_s: float,
+    retryable: tuple[type[BaseException], ...] = RETRYABLE_EXCEPTIONS,
 ):
     """Build the ``mapInPandas`` kernel with per-CALL retry semantics —
     the engine-side twin of the reference's
@@ -130,7 +144,7 @@ def _fetch_batches_fn(
         for attempt in range(max_retries + 1):
             try:
                 return client(user_id, day)
-            except Exception:
+            except retryable:
                 if attempt == max_retries:
                     raise
                 if retry_delay_s:
@@ -154,6 +168,7 @@ def fetch_days(
     client: Callable[[int, _date], dict] = _fake_client_day,
     max_retries: int = 5,
     retry_delay_s: float = 0.0,
+    retryable: tuple[type[BaseException], ...] = RETRYABLE_EXCEPTIONS,
 ) -> DataFrame:
     """Fan-out fetch: ``requests(user_id, date)`` → nested day rows.
 
@@ -162,11 +177,13 @@ def fetch_days(
     ``client``/``max_retries``/``retry_delay_s`` expose the reference's
     retry contract (see ``_fetch_batches_fn``); the default retry delay
     is 0 because the default client is deterministic and local.
+    ``retryable`` bounds which exception classes are worth a retry —
+    anything else (a deterministic client bug) propagates immediately.
     """
     if fetch_partitions:
         requests = requests.repartition(fetch_partitions)
     return requests.mapInPandas(
-        _fetch_batches_fn(client, max_retries, retry_delay_s), DAY_SCHEMA
+        _fetch_batches_fn(client, max_retries, retry_delay_s, retryable), DAY_SCHEMA
     )
 
 

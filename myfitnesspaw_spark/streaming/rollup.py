@@ -98,24 +98,30 @@ def _drain_update_merge(
     cumulative values) holds only the result rows, executor-side, behind
     a per-batch localCheckpoint.  On a Delta/Iceberg deployment the
     merge body becomes ``MERGE INTO`` keyed on ``key_cols``.
+
+    Oracle-parity caveat (ADVICE r3): batch-oracle equality relies on
+    availableNow draining the backlog in ONE micro-batch.  Across
+    multiple batches the watermark advances between them, and rows
+    arriving more than the watermark behind it are dropped — valid
+    streaming semantics, but a divergence from the batch oracle.  The
+    testdata is a single parquet file (single batch by construction);
+    a multi-batch drain (e.g. ``maxFilesPerTrigger``) emits a
+    RuntimeWarning so the divergence is visible rather than silent.
     """
     spark = agg.sparkSession
     # GLOBAL temp view: foreachBatch executes on a micro-batch session
     # clone, whose local temp views are invisible to the outer session.
-    spark.sql(f"DROP VIEW IF EXISTS global_temp.{state_view}")
+    # Seed it with an EMPTY frame of the aggregate's schema so a
+    # zero-row stream (no micro-batch ever fires _merge) still returns
+    # an empty DataFrame instead of raising TABLE_OR_VIEW_NOT_FOUND.
+    spark.createDataFrame([], agg.schema).createOrReplaceGlobalTempView(state_view)
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        exists = any(
-            t.name == state_view for t in s.catalog.listTables("global_temp")
-        )
-        if exists:
-            state = s.table(f"global_temp.{state_view}")
-            merged = state.join(
-                batch.select(key_cols), key_cols, "left_anti"
-            ).unionByName(batch)
-        else:
-            merged = batch
+        state = s.table(f"global_temp.{state_view}")
+        merged = state.join(
+            batch.select(key_cols), key_cols, "left_anti"
+        ).unionByName(batch)
         merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
 
     query = (
@@ -126,7 +132,23 @@ def _drain_update_merge(
         .start()
     )
     query.awaitTermination()
-    return spark.table(f"global_temp.{state_view}")
+    if len(query.recentProgress) > 1:
+        import warnings
+
+        warnings.warn(
+            f"{sink_name}: availableNow drain took {len(query.recentProgress)} "
+            "micro-batches; update-mode results may drop rows arriving behind "
+            "the advancing watermark and diverge from a batch oracle",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # Pin ONE final checkpoint for the returned result, then drop the
+    # view: the per-batch intermediate checkpoints become unreferenced
+    # and ContextCleaner can reclaim their storage — repeated bench
+    # runs otherwise accumulate pinned RDD blocks (ADVICE r3).
+    result = spark.table(f"global_temp.{state_view}").localCheckpoint(eager=True)
+    spark.sql(f"DROP VIEW IF EXISTS global_temp.{state_view}")
+    return result
 
 
 def streaming_hourly_rollup(

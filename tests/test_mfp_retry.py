@@ -64,3 +64,36 @@ def test_exhausted_retries_escalate(spark):
         fetch_days(
             _requests(spark), client=_flaky_client(10), max_retries=2
         ).collect()
+
+
+def test_deterministic_errors_fail_fast(spark):
+    """A non-retryable exception (deterministic client bug) must surface
+    on the FIRST attempt — not after max_retries sleeps per (user, day)
+    call across the partition."""
+    calls: dict = {}
+
+    def broken(user_id, day):
+        calls[(user_id, day)] = calls.get((user_id, day), 0) + 1
+        raise TypeError("deterministic bug")
+
+    with pytest.raises(Exception, match="deterministic bug"):
+        fetch_days(
+            _requests(spark), fetch_partitions=1, client=broken, max_retries=5
+        ).collect()
+    # Executor-side closure copy: counts aren't visible here, so assert
+    # the contract locally on the kernel instead.
+    from myfitnesspaw_spark.sources.mfp_source import _fetch_batches_fn
+    import datetime
+    import pandas as pd
+
+    kernel = _fetch_batches_fn(broken, max_retries=5, retry_delay_s=0.0)
+    calls.clear()
+    with pytest.raises(TypeError):
+        list(
+            kernel(
+                iter(
+                    [pd.DataFrame({"user_id": [1], "date": [datetime.date(2024, 3, 1)]})]
+                )
+            )
+        )
+    assert calls == {(1, datetime.date(2024, 3, 1)): 1}  # exactly one attempt

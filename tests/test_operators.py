@@ -219,3 +219,81 @@ def test_lloyd_drops_empty_clusters(spark):
     cents = lloyd_iterations(df, "v", [(0, [0, 0]), (1, [100, 100])], n_iter=1)
     assert [cid for cid, _ in cents] == [0]
     assert cents[0][1] == [0, 0]  # trunc((0+1+0)/3), trunc((0+0+1)/3)
+
+
+def test_star_cc_matches_hash_min_on_chain(spark):
+    # Chain 0-1-2-...-19 plus a separate triangle: worst case for
+    # hash-min (rounds = diameter) and the case the star variant
+    # exists for.  Both must label every node with its component min.
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(19)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + tri, "id_a long, id_b long")
+
+    expect = {i: 0 for i in range(20)} | {100: 100, 101: 100, 102: 100}
+
+    hm = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, max_iter=25).collect()
+    }
+    stats: dict = {}
+    star = {
+        r["node"]: r["cluster"]
+        for r in connected_components_star(edges, stats=stats).collect()
+    }
+    assert hm == expect
+    assert star == expect
+    # The point of the algorithm: round count ~log n, independent of
+    # the 19-hop diameter (hash-min needs one round per hop; the star
+    # variant took 5 + 1 confirming round here).
+    assert stats["rounds"] <= 7
+
+
+def test_star_cc_edge_cases(spark):
+    from myfitnesspaw_spark.operators.dedup import connected_components_star
+
+    # Self-loops and duplicate/reversed edges collapse; two components.
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2), (7, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster"] for r in connected_components_star(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_bucket_near_dup_salted_equals_unsalted(spark):
+    # The salt-cell decomposition must be result-identical to the
+    # plain bucket self-join (exact skew handling, no dup pairs).
+    from myfitnesspaw_spark.operators.similarity import bucket_near_dup
+
+    rows = [(i, [1.0, float(i % 3)], "hot" if i < 12 else "cold") for i in range(16)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>, b string")
+
+    plain = bucket_near_dup(df, "vid", "v", "b", 0.9)
+    salted = bucket_near_dup(df, "vid", "v", "b", 0.9, salt_groups=4)
+    p = sorted((r["id_a"], r["id_b"], r["bucket"]) for r in plain.collect())
+    s = sorted((r["id_a"], r["id_b"], r["bucket"]) for r in salted.collect())
+    assert p == s
+    assert len(s) == len(set(s))  # canonical-cell filter: no duplicates
+
+
+def test_bucket_near_dup_cap_bounds_candidates(spark):
+    # max_bucket=m caps worst-case candidates at m*(m-1)/2 per bucket,
+    # deterministically (same survivors on re-run).
+    from myfitnesspaw_spark.operators.similarity import bucket_near_dup
+
+    rows = [(i, [1.0, 0.0], "hot") for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>, b string")
+    capped = bucket_near_dup(df, "vid", "v", "b", 0.0, max_bucket=10)
+    got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
+    assert len(got) == 45  # 10*9/2 — the documented bound, all cos=1 pairs kept
+    again = sorted(
+        (r["id_a"], r["id_b"])
+        for r in bucket_near_dup(df, "vid", "v", "b", 0.0, max_bucket=10).collect()
+    )
+    assert got == again

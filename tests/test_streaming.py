@@ -32,3 +32,29 @@ def test_stateful_stream_matches_batch_closed_sessions(spark, sf_dir):
         for r in streamed.collect()
     }
     assert got == expected
+
+
+def test_drain_update_merge_empty_stream(spark, tmp_path):
+    # A zero-row stream never fires a micro-batch; the pre-seeded empty
+    # global view must make the drain return an empty frame instead of
+    # raising TABLE_OR_VIEW_NOT_FOUND (ADVICE r3).
+    import pyspark.sql.functions as F
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    src = str(tmp_path / "empty_events")
+    spark.createDataFrame(
+        [], "ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain_update_merge(agg, ["win", "event_type"], "empty_drain_state", "empty_drain_sink")
+    assert out.count() == 0
+    assert set(out.columns) == {"win", "event_type", "n_events"}
+    # The drain must clean up its global temp view after materializing.
+    assert not any(
+        t.name == "empty_drain_state" for t in spark.catalog.listTables("global_temp")
+    )
