@@ -96,6 +96,112 @@ FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 
+# --- bm25_rank ------------------------------------------------------------
+# Okapi BM25 retrieval scoring over the documents corpus for the 3
+# highest-document-frequency query terms — the ranking function a
+# corpus-curation / retrieval pass runs after TF-IDF.  Classic form:
+#
+#   score = IDF(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#
+# with k1=1.2, b=0.75.  Both factors are computed in exact integer
+# arithmetic so Spark and DuckDB agree bit-for-bit: the log-IDF is
+# replaced by the monotone rational surrogate (N − df + 1)·10⁶ DIV
+# (df + 1) (ln is last-ulp engine-dependent — same substitution as
+# tf_idf_topk's DIV-scaled IDF), and the tf saturation term is cleared
+# of fractions by multiplying through by 10·total_tokens:
+#
+#   tfc = tf·22·total_tokens·10³ DIV ((10·tf + 3)·total_tokens + 9·dl·n_docs)
+#
+# (22 = 10·(k1+1); 3 = 10·k1·(1−b); 9 = 10·k1·b; dl/avgdl =
+# dl·n_docs/total_tokens).  Scale shape: tf/df/dl are the same
+# aggregates TF-IDF builds; the query-term set and the corpus totals
+# are 1-row/3-row broadcasts; one window ranks top-10 per term.  At
+# real scale you'd keep doubles — the integer form is the
+# cross-engine-parity variant and preserves the exact ranking.
+
+BM25_TOPK = 10
+_BM25_IDF_SCALE = 1_000_000
+_BM25_TF_SCALE = 1_000
+_BM25_QTERMS = 3
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    qterms = df_counts.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        _BM25_QTERMS
+    )
+    # Long `/` in Spark routes through double (53-bit mantissa) — use
+    # the exact integer DIV the oracle's `//` also uses.
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            ((F.col("n_docs") - F.col("df") + 1) * _BM25_IDF_SCALE).alias("idf_num"),
+            (F.col("df") + 1).alias("idf_den"),
+            (F.col("tf") * 22 * F.col("total_tokens") * _BM25_TF_SCALE).alias("tf_num"),
+            (
+                (10 * F.col("tf") + 3) * F.col("total_tokens")
+                + 9 * F.col("dl") * F.col("n_docs")
+            ).alias("tf_den"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.expr("(idf_num DIV idf_den) * (tf_num DIV tf_den)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("term", "rank", "doc_id", "tf", "dl", "score")
+    )
+
+
+BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+terms AS (SELECT doc_id, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT {_BM25_QTERMS}),
+scored AS (
+  SELECT t.term, t.doc_id, t.tf, l.dl,
+         (((x.n_docs - q.df + 1) * {_BM25_IDF_SCALE}) // (q.df + 1))
+         * ((t.tf * 22 * x.total_tokens * {_BM25_TF_SCALE})
+            // ((10 * t.tf + 3) * x.total_tokens + 9 * l.dl * x.n_docs)) AS score
+  FROM tf t
+  JOIN qterms q ON t.term = q.term
+  JOIN dl l ON t.doc_id = l.doc_id, totals x
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT term, CAST(rank AS INT) AS rank, doc_id, tf, dl, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
 # --- ngram_contamination --------------------------------------------------
 # Decontamination pass: which training docs share an 8-word n-gram with
 # any doc in the held-out eval slice (doc_id % 17 == 0)?  The standard

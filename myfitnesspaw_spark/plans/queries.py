@@ -198,6 +198,9 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+# New in round 4 (behind the window; pytest-oracle-guarded until the
+# next rotation): Okapi BM25 retrieval scoring in exact integer form.
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 
 # Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
 register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)

@@ -208,3 +208,22 @@ def test_forward_fill_grid_joins_stay_small(spark, sf_dir):
     # never shuffled for the grid.
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_near_dup_salted_no_cartesian(spark, sf_dir):
+    # The salt-cell decomposition must stay an equi hash join on
+    # (bucket, cell) — a nested-loop/cartesian plan would mean the
+    # cell key failed to reach the join and the skew insurance is
+    # silently gone.
+    plan = _plan(spark, "embedding_near_dup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan  # join key carries the salt cell
+
+
+def test_dedup_clusters_star_same_result_as_hash_min(spark, sf_dir):
+    # Cheap end-to-end equivalence at test sf: both CC variants assign
+    # identical (doc_id, cluster) labels over the real pair graph.
+    a = sorted(map(tuple, _QUERIES["dedup_clusters"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, _QUERIES["dedup_clusters_star"](spark, sf_dir).collect()))
+    assert a == b
