@@ -239,9 +239,11 @@ def mfp_api_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cardio_minutes").alias("cardio_minutes"),
         F.sum("water").alias("water"),
     )
+    from myfitnesspaw_spark.streaming.rollup import state_shuffle_partitions
+
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions(spark))
     )
     try:
         query = (

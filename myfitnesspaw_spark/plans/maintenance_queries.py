@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.functions.numeric import money_cents
-from myfitnesspaw_spark.sources import load_table
+from myfitnesspaw_spark.sources import load_table, scatter
 
 # Everything before the cutover is "already materialized"; on/after is
 # the newly arrived delta partition.
@@ -103,7 +103,13 @@ _PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
 
 
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Prune to the profiled columns, THEN scatter: the Expand phase
+    # multiplies every input row (N_cols+1)× before the partial
+    # aggregate, so it must run at full parallelism — a single-split
+    # parquet otherwise serializes the 5× expansion onto one core
+    # (measured 4.1 s → 1.5 s at sf0.1).  Pruning first keeps the
+    # rebalance exchange to the 4 profiled columns.
+    li = scatter(load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [

@@ -62,6 +62,11 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 # New: large-star/small-star connected components — same contract and
 # oracle as dedup_clusters, O(log^2 n) rounds instead of O(diameter).
 register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+# New round-4 queries: BM25 retrieval scoring (exact integer form),
+# deterministic importance sampling, per-dimension embedding profile.
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
 
 # --- Part 3 backfill: round-1 block — oldest driver evidence (r1/r2).
 register("progress_report", PROGRESS_ORACLE)(progress_report)
@@ -111,14 +116,12 @@ register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
 )
 register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-
-# OLAP core (round-1 certified).
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-# --- end of the 50-query driver window (8 + 2 + 40 above) ---
+# --- end of the 50-query driver window (8 + 5 + 37 above) ---
 
 # Round-1 remainder (certified r1/r2; pytest-guarded).
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
 register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
 register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
@@ -198,9 +201,6 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
-# New in round 4 (behind the window; pytest-oracle-guarded until the
-# next rotation): Okapi BM25 retrieval scoring in exact integer form.
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 
 # Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
 register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)

@@ -381,3 +381,48 @@ SELECT event_type,
        TRUE AS merged_within_5pct
 FROM events GROUP BY 1
 """
+
+
+# --- weighted_sample ------------------------------------------------------
+# Deterministic importance sampling: each document keeps with
+# probability proportional to a per-row weight (here: token count
+# capped at 256 — the "sample long documents more" curation policy).
+# The per-row uniform is md5 bytes 2-3 of doc_id (a 16-bit lattice,
+# independent of the byte-0 lattice stratified_sample draws from), and
+# the keep test is `u16 < weight·256` in exact integers — re-run
+# stable, engine-portable, and a pure row-local filter that rides into
+# the scan at 100 TB exactly like the stratified variant.
+
+_WSAMPLE_CAP = 256
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    weight = F.least(F.size(tokens(F.col("text"))), F.lit(_WSAMPLE_CAP))
+    u16 = (
+        _hex_byte(F.md5(F.col("doc_id").cast("string")), 2) * 256
+        + _hex_byte(F.md5(F.col("doc_id").cast("string")), 4)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            weight.alias("weight"),
+            u16.alias("u16"),
+        )
+        .where(F.col("u16") < F.col("weight") * 256)
+        .select("doc_id", "lang", "weight", "u16")
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         LEAST(len({_WORDS}), {_WSAMPLE_CAP}) AS weight,
+         {_hex_byte_sql("md5(CAST(doc_id AS VARCHAR))", 2)} * 256
+         + {_hex_byte_sql("md5(CAST(doc_id AS VARCHAR))", 4)} AS u16
+  FROM documents
+)
+SELECT doc_id, lang, CAST(weight AS INT) AS weight, u16
+FROM w WHERE u16 < weight * 256
+"""

@@ -805,3 +805,48 @@ a3 AS (SELECT vec_id, cid, dist FROM (
 SELECT cid AS cluster, COUNT(*) AS n_points, CAST(SUM(dist) AS BIGINT) AS wcss
 FROM a3 GROUP BY 1
 """
+
+
+# --- embedding_dim_stats --------------------------------------------------
+# Per-dimension profile of the embedding column — the feature-space
+# screen (dead dimensions, scale drift) run before indexing/training a
+# 100 TB vector corpus.  posexplode turns (vec_id, array) into
+# (dim, value) pairs; ONE map-side-combined aggregate per dimension
+# computes n / min / max / sum / sum-of-squares in exact integer
+# micro-units (q = ROUND(v·10⁶), float32→double is exact, so both
+# engines quantize identically; Σq² ≤ D·N·10¹² stays far inside int64
+# at any per-dimension row count this side of 10⁶ — shard the sum by
+# vec_id range first at corpus scales beyond that).  D dims → D output
+# rows; the shuffle carries 5 numbers per (partition, dim).
+
+_DIM_SCALE = 1_000_000
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    q = F.round(F.col("val").cast("double") * _DIM_SCALE).cast("long")
+    return (
+        vecs.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select((F.col("pos") + 1).alias("dim"), q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            F.sum("q").alias("sum_q"),
+            F.sum(F.col("q") * F.col("q")).alias("sumsq_q"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(i AS INT) AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_DIM_SCALE}) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)
+SELECT dim, COUNT(*) AS n, MIN(q) AS min_q, MAX(q) AS max_q,
+       CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q * q) AS BIGINT) AS sumsq_q
+FROM pts GROUP BY 1
+"""

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.functions.numeric import epoch_us
-from myfitnesspaw_spark.streaming.rollup import read_events_stream
+from myfitnesspaw_spark.streaming.rollup import (
+    read_events_stream,
+    state_shuffle_partitions,
+)
 
 
 def stream_stream_click_error(
@@ -69,7 +72,7 @@ def stream_stream_click_error(
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions(spark))
     )
     try:
         query = (

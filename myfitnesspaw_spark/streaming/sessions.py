@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from myfitnesspaw_spark.functions.numeric import epoch_us, money_cents, ntz_from_us
+from myfitnesspaw_spark.streaming.rollup import state_shuffle_partitions
 
 DEFAULT_GAP_MIN = 30
 
@@ -186,7 +187,7 @@ def sessionize_stream(
     spark = events_stream.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions(spark))
     )
     try:
         query = (
