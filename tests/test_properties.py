@@ -85,3 +85,101 @@ def test_word_shingles_matches_python_reference(spark):
     }
     for i, toks in enumerate(cases):
         assert got[i] == _py_shingles(toks), (i, toks)
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_encoder_roundtrip(h, w, seed):
+    # encode_png must produce a decodable PNG whose scanlines carry the
+    # exact input pixels (filter 0, no loss).
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from myfitnesspaw_spark.report.chart import encode_png
+
+    rgb = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    png = encode_png(rgb)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    iw, ih = struct.unpack(">II", png[16:24])
+    assert (iw, ih) == (w, h)
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: idat.rindex(b"IEND") - 8])
+    back = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * 3)
+    assert (back[:, 0] == 0).all()  # filter byte 0 per scanline
+    assert (back[:, 1:].reshape(h, w, 3) == rgb).all()
+
+
+@given(
+    sa=st.integers(0, 15),
+    sb=st.integers(0, 15),
+    g=st.integers(1, 16),
+)
+@settings(max_examples=300, deadline=None)
+def test_salt_cell_pairing_exactly_once(sa, sb, g):
+    # The pairing argument behind bucket_near_dup's skew decomposition:
+    # rows with salts sa, sb share ≥1 cell, and the canonical-cell
+    # filter (cell == {min,max} of the two salts) selects EXACTLY one —
+    # so every pair joins once, with no post-join dedup.
+    sa, sb = sa % g, sb % g
+    cells_a = {(min(sa, t), max(sa, t)) for t in range(g)}
+    cells_b = {(min(sb, t), max(sb, t)) for t in range(g)}
+    shared = cells_a & cells_b
+    canonical = (min(sa, sb), max(sa, sb))
+    assert canonical in shared
+    matched = [c for c in shared if c == canonical]
+    assert len(matched) == 1
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    # Seeded random graphs: the distributed star contraction must agree
+    # with a direct union-find on the same edges.
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import connected_components_star
+
+    def union_find(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-label per node
+        return {n: find(n) for n in parent}
+
+    rng = np.random.RandomState(42)
+    for trial in range(4):
+        n = int(rng.randint(10, 60))
+        m = int(rng.randint(5, 120))
+        edges = [
+            (int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(m)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        expect = union_find(edges)
+        # union-find roots are not min-of-component by construction;
+        # normalize: min node per root group.
+        groups: dict = {}
+        for node, root in expect.items():
+            groups.setdefault(root, []).append(node)
+        want = {n_: min(g_) for r_, g_ in groups.items() for n_ in g_}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["cluster"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}"
