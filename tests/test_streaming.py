@@ -58,3 +58,42 @@ def test_drain_update_merge_empty_stream(spark, tmp_path):
     assert not any(
         t.name == "empty_drain_state" for t in spark.catalog.listTables("global_temp")
     )
+
+
+def test_drain_update_merge_warns_on_multibatch(spark, tmp_path):
+    # A multi-file drain with maxFilesPerTrigger=1 takes >1 micro-batch;
+    # the drain must surface the batch-oracle divergence risk as a
+    # RuntimeWarning instead of staying silent (ADVICE r3).
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    src = str(tmp_path / "two_file_events")
+    base = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click", 1.0), ("2024-01-01 01:05:00", "click", 2.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    base.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = _drain_update_merge(
+            agg, ["win", "event_type"], "multibatch_state", "multibatch_sink"
+        )
+        out.count()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "micro-batches" in str(w.message)
+        for w in caught
+    )
