@@ -393,3 +393,54 @@ SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --- recursive_user_spine (WITH RECURSIVE, Spark 4 SQL surface) -----------
+# Per-user day spine generated by RECURSION: each user's series runs
+# from their own first to last active day (data-dependent depth — the
+# shape recursion exists for; a global `sequence()` spine like
+# forward_fill_gauge's would over-generate per user).  Spark 4 accepts
+# only UNION ALL in recursive CTEs, so the pattern is the bounded
+# ladder (`WHERE d < last_d`) — acyclic by construction, depth ≤ the
+# date span (29 days here, under the 100-level default limit).  The
+# DuckDB oracle runs the IDENTICAL recursive CTE — both engines
+# terminate on the same bound.  Scale shape: the seed aggregate is one
+# shuffle; each recursion level is a narrow projection of the previous
+# level (no joins inside the loop); the final count join shuffles on
+# (user_id, day).
+
+def recursive_user_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rus")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine (user_id, day, last_d) AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))
+          FROM events_rus GROUP BY user_id
+          UNION ALL
+          SELECT user_id, DATE_ADD(day, 1), last_d FROM spine WHERE day < last_d
+        ),
+        daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events_rus GROUP BY 1, 2
+        )
+        SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        """
+    )
+
+
+RECURSIVE_USER_SPINE_ORACLE = """
+WITH RECURSIVE spine (user_id, day, last_d) AS (
+  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+         MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT user_id, day + INTERVAL 1 DAY, last_d FROM spine WHERE day < last_d
+),
+daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n_events
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""

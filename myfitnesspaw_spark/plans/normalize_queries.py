@@ -320,3 +320,40 @@ SELECT l_returnflag,
        CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS VARCHAR)
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --- variant_props_rollup (Spark 4 VARIANT) -------------------------------
+# The modern twin of E2's JSON deserialization: ``parse_json`` lifts the
+# semi-structured ``props`` string into a VARIANT (binary-encoded,
+# shredding-ready — the Spark 4 path for schema-on-read at scale;
+# get_json_object re-parses text per access, VARIANT parses once) and
+# ``variant_get`` does typed path extraction.  Rolled up per event_type
+# so the oracle certifies both the extraction and NULL semantics
+# (missing path → NULL → skipped by SUM/COUNT(col), kept by COUNT(*)).
+
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+VARIANT_PROPS_ROLLUP_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM x GROUP BY 1
+"""

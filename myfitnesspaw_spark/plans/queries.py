@@ -63,10 +63,17 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 # oracle as dedup_clusters, O(log^2 n) rounds instead of O(diameter).
 register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
 # New round-4 queries: BM25 retrieval scoring (exact integer form),
-# deterministic importance sampling, per-dimension embedding profile.
+# deterministic importance sampling, per-dimension embedding profile,
+# and the Spark 4 SQL-surface pair (recursive CTE, VARIANT).
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
 register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
 
 # --- Part 3 backfill: round-1 block — oldest driver evidence (r1/r2).
 register("progress_report", PROGRESS_ORACLE)(progress_report)
@@ -114,11 +121,11 @@ register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_ev
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-# --- end of the 50-query driver window (8 + 5 + 37 above) ---
+# --- end of the 50-query driver window (8 + 7 + 35 above) ---
 
 # Round-1 remainder (certified r1/r2; pytest-guarded).
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
