@@ -8,12 +8,13 @@ and hash-compares values).
 REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
 correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
-Round 4 leads with the 8 IO/OLAP queries that have never had a driver
-row (pytest-oracle-green only), the re-typed cms_heavy_hitters oracle
-(r3's one hash-fail — DuckDB HUGEINT vs Spark bigint), and the new
-large-star connected-components variant; the backfill is the round-1
-block whose last driver certification is the oldest (r1/r2).  With
-this rotation every registered query has had at least one driver-side
+Round 4 window = the 8 IO/OLAP queries that had never had a driver row
+(pytest-oracle-green only), the re-typed cms_heavy_hitters oracle
+(r3's one hash-fail — DuckDB HUGEINT vs Spark bigint), the 6 queries
+new this round (star CC, BM25, weighted sampling, embedding profile,
+recursive CTE, VARIANT), and 35 backfill slots from the round-1 block
+whose last driver certification is the oldest (r1/r2).  With this
+rotation every registered query has had at least one driver-side
 CORRECTNESS row.  Everything outside the window stays guarded by
 tests/test_registry_oracle.py at every sf.
 """
