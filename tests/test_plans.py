@@ -227,3 +227,45 @@ def test_dedup_clusters_star_same_result_as_hash_min(spark, sf_dir):
     a = sorted(map(tuple, _QUERIES["dedup_clusters"](spark, sf_dir).collect()))
     b = sorted(map(tuple, _QUERIES["dedup_clusters_star"](spark, sf_dir).collect()))
     assert a == b
+
+
+def _nodes(spark, name, sf_dir) -> list[str]:
+    import re
+
+    plan = _plan(spark, name, sf_dir)
+    return [
+        re.sub(r"^\(\d+\)\s*", "", ln.strip())
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\)", ln.strip())
+    ]
+
+
+def test_embedding_dim_stats_partial_agg_before_shuffle(spark, sf_dir):
+    # Desired shape: scatter exchange → posexplode Generate → PARTIAL
+    # HashAggregate → one hash exchange on dim → final HashAggregate.
+    # A missing map-side combine would shuffle every (dim, value) pair
+    # — D·N rows instead of D·partitions.
+    nodes = _nodes(spark, "embedding_dim_stats", sf_dir)
+    assert sum(n.startswith("Exchange") for n in nodes) == 2
+    assert sum(n.startswith("HashAggregate") for n in nodes) == 2
+    gen = nodes.index("Generate")
+    first_agg = min(i for i, n in enumerate(nodes) if n.startswith("HashAggregate"))
+    assert gen < first_agg  # aggregate consumes the exploded pairs
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_dir):
+    # The 3-row query-term set and 1-row totals must broadcast; a
+    # sort-merge or cartesian plan would shuffle the tf table per join.
+    nodes = _nodes(spark, "bm25_rank", sf_dir)
+    assert any(n.startswith("BroadcastExchange") for n in nodes)
+    assert not any(n.startswith("SortMergeJoin") for n in nodes)
+    assert not any(n.startswith("CartesianProduct") for n in nodes)
+
+
+def test_weighted_sample_is_scan_local(spark, sf_dir):
+    # The keep test is a pure row-local filter: the ONLY exchange is
+    # the deliberate scatter rebalance — no aggregate, no join, so a
+    # second exchange means the filter stopped being row-local.
+    nodes = _nodes(spark, "weighted_sample", sf_dir)
+    assert sum(n.startswith("Exchange") for n in nodes) == 1
+    assert not any(n.startswith("HashAggregate") for n in nodes)
