@@ -410,6 +410,10 @@ GROUP BY 1, 2
 # (user_id, day).
 
 def recursive_user_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Depth = per-user date span (29 days in the testdata).  Raise the
+    # recursion ceiling defensively so a wider-span dataset fails on
+    # semantics, not on the default 100-level limit.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rus")
     return spark.sql(
         """

@@ -161,3 +161,64 @@ SELECT 'l_linestatus', n_rows,
        (SELECT MAX(l_linestatus) FROM lineitem)
 FROM one
 """
+
+
+# --- snapshot_full_outer_diff ---------------------------------------------
+# Snapshot reconciliation via FULL OUTER join — the one join type the
+# registry didn't exercise, and the canonical warehouse-maintenance
+# use for it: given yesterday's and today's snapshot of a keyed table,
+# classify every key as added / removed / changed / same in ONE pass.
+# Both snapshots derive deterministically from orders (old = keys not
+# ≡0 mod 3 with prices bumped on keys ≡0 mod 5; new = keys not ≡0
+# mod 7), so the classification matrix covers all four states.  Scale
+# shape: one shuffle per side on the join key (or zero with bucketed
+# snapshots — sinks/warehouse.py::write_bucketed); the CASE
+# classification and count aggregate ride on the join's partitioning.
+
+def snapshot_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = money_cents(F.col("o_totalprice"))
+    old = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, cents + 100)
+        .otherwise(cents)
+        .alias("old_cents"),
+    )
+    new = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", cents.alias("new_cents")
+    )
+    status = (
+        F.when(F.col("old_cents").isNull(), F.lit("added"))
+        .when(F.col("new_cents").isNull(), F.lit("removed"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        old.join(new, "o_orderkey", "full")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+SNAPSHOT_FULL_OUTER_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS old_cents
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+new AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+diff AS (
+  SELECT CASE WHEN o.old_cents IS NULL THEN 'added'
+              WHEN n.new_cents IS NULL THEN 'removed'
+              WHEN o.old_cents <> n.new_cents THEN 'changed'
+              ELSE 'same' END AS status
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT status, COUNT(*) AS n_keys FROM diff GROUP BY 1
+"""
