@@ -97,3 +97,79 @@ def test_drain_update_merge_warns_on_multibatch(spark, tmp_path):
         issubclass(w.category, RuntimeWarning) and "micro-batches" in str(w.message)
         for w in caught
     )
+
+
+def test_checkpointed_stream_resumes_exactly_once(spark, tmp_path):
+    # The incremental-ingest contract at scale: a checkpointed stream
+    # stopped and restarted over a GROWN source must process each file
+    # exactly once — the resumed query picks up only the new file, and
+    # the merged state equals a batch recompute over everything.
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "growing_events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double"
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    batch1 = [("2024-01-01 00:10:00", "click", 1.0),
+              ("2024-01-01 00:20:00", "click", 2.0),
+              ("2024-01-01 00:40:00", "error", 3.0)]
+    batch2 = [("2024-01-01 01:10:00", "click", 4.0),
+              ("2024-01-01 00:15:00", "view", 5.0)]
+
+    results = {}
+
+    def run_round(tag):
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+        def merge(batch, _bid):
+            for r in batch.collect():
+                results[r["event_type"]] = (r["n"], r["cents"])
+
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    write_batch(batch1, "overwrite")
+    q1 = run_round("first")
+    assert results == {"click": (2, 300), "error": (1, 300)}
+    n_input_1 = sum(int(p["numInputRows"]) for p in q1.recentProgress)
+
+    write_batch(batch2, "append")
+    q2 = run_round("resume")
+    # Resume reads ONLY the new file (2 rows), not the original 3 —
+    # the checkpoint's file log is what makes re-runs incremental.
+    n_input_2 = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    assert n_input_1 == 3 and n_input_2 == 2
+    # Streaming aggregate state survived the restart: counts include
+    # BOTH files exactly once, matching a batch recompute.
+    batch_truth = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert results == batch_truth == {
+        "click": (3, 700), "error": (1, 300), "view": (1, 500)
+    }
