@@ -51,7 +51,13 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = scatter(load_table(spark, sf_dir, "documents"))
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregate and the scoring join; checkpoint
+    # it so the corpus explode runs once (same discipline as bm25_rank).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -128,8 +134,16 @@ _BM25_QTERMS = 3
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus pass: tf is the only aggregate that reads the token
+    # explode; dl (Σ tf per doc), df, and the corpus totals all derive
+    # from it.  localCheckpoint pins tf so its three consumers don't
+    # each re-run the corpus explode.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")

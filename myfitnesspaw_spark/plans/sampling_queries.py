@@ -69,10 +69,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
 
-    # One md5 per occurrence, materialized; 4 byte extracts per row.
-    hashed = occ.select("token", F.md5(F.col("token")).alias("__h"))
+    # ONE corpus pass: the token explode + count shuffle happens once,
+    # and the sketch derives from the VOCABULARY (counter = Σ n_true
+    # over tokens hashing to the cell — identical counters to a
+    # per-occurrence build, same as the oracle's tok-derived sketch).
+    # md5 and the 4× cell expand run per DISTINCT token, not per
+    # occurrence — at 100 TB that is the difference between touching
+    # the corpus twice and touching it once.  localCheckpoint pins the
+    # vocabulary (bounded) so its three consumers (sketch, estimate,
+    # total) don't re-run the corpus aggregation.
+    true_counts = occ.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_true")
+    ).localCheckpoint()
+
+    hashed = true_counts.select("n_true", F.md5(F.col("token")).alias("__h"))
     cells = hashed.select(
-        "token",
+        "n_true",
         F.explode(
             F.array(
                 *[
@@ -84,11 +96,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("token", "c.depth", "c.bucket")
+    ).select("n_true", "c.depth", "c.bucket")
 
-    sketch = cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("counter"))
+    sketch = cells.groupBy("depth", "bucket").agg(F.sum("n_true").alias("counter"))
 
-    true_counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
     total = true_counts.agg(F.sum("n_true").alias("__N"))
 
     # Estimate = min over depths of the token's counter.

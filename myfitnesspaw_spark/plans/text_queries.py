@@ -136,20 +136,23 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_chars(F.col("text")).alias("__chars"),
     )
     docs = chars.select("doc_id", "lang_true")
+    # ONE corpus pass: the char explode + (doc, bigram) count shuffle
+    # runs once (localCheckpoint pins the bounded per-doc bigram
+    # table); the per-language profile derives from it by re-keying
+    # through the tiny doc→lang map — freq = Σ cnt over a language's
+    # docs, identical counts to re-exploding the corpus per branch.
     doc_bg = (
         chars.select(
             "doc_id", F.explode(char_bigram_codes(F.col("__chars"))).alias("bg")
         )
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     profile = (
-        chars.select(
-            F.col("lang_true").alias("lang"),
-            F.explode(char_bigram_codes(F.col("__chars"))).alias("bg"),
-        )
-        .groupBy("lang", "bg")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        doc_bg.join(F.broadcast(docs), "doc_id")
+        .groupBy(F.col("lang_true").alias("lang"), "bg")
+        .agg(F.sum("cnt").alias("freq"))
     )
     scores = (
         doc_bg.join(F.broadcast(profile), "bg")
