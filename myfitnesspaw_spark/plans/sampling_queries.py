@@ -52,11 +52,12 @@ def _hex_byte_sql(expr: str, off: int) -> str:
 # accuracy contract (estimate never undercounts; overestimate bounded
 # by the row's worst-case collision mass).
 #
-# Scale shape: one shuffle to the 1024 (depth, bucket) counters with
-# full map-side combine; one shuffle for true counts (the contract
-# needs ground truth; a production pass would keep only the sketch);
-# the estimate join broadcasts the 1024-row sketch.  The top-K window
-# runs over the aggregated vocabulary, not the corpus.
+# Scale shape: ONE corpus pass (token explode → vocabulary counts,
+# map-side combined); the 1024-cell sketch, the estimate, and the
+# corpus total all derive from the checkpointed vocabulary (the
+# contract needs ground truth; a production pass would keep only the
+# sketch).  The estimate join broadcasts the 1024-row sketch; the
+# top-K window runs over the aggregated vocabulary, not the corpus.
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
