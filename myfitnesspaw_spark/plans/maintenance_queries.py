@@ -222,3 +222,65 @@ diff AS (
 )
 SELECT status, COUNT(*) AS n_keys FROM diff GROUP BY 1
 """
+
+
+# --- zorder_code_layout ---------------------------------------------------
+# Multi-dimensional data layout: the 32-bit Morton (Z-order) code that
+# interleaves customer and order-day — the clustering key a 100 TB
+# warehouse sorts/range-partitions by so that BOTH `o_custkey = ?` and
+# date-range predicates prune row groups via min/max stats (each
+# dimension's bits spread across the code keep nearby (x, y) pairs in
+# nearby code ranges).  The code itself is 10 integer bit-ops per row
+# (classic bit-spreading), exact in both engines; the layout move is
+# then `repartitionByRange("zcode")` + sortWithinPartitions at write
+# time.  Output = per-row codes, certifying the interleave function;
+# deterministic and row-local.
+
+_SPREAD_MASKS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(col):  # 16-bit value → even bit positions of 32 bits
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_code_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x16 = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    y16 = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).bitwiseAND(F.lit(0xFFFF))
+    z = _spread_bits(x16).bitwiseOR(F.shiftleft(_spread_bits(y16), 1))
+    return orders.select(
+        "o_orderkey",
+        x16.alias("x16"),
+        y16.alias("y16"),
+        z.cast("long").alias("zcode"),
+    )
+
+
+def _spread_sql(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for shift, mask in _SPREAD_MASKS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+ZORDER_CODE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey & 65535) AS x16,
+         ((CAST(o_orderdate AS DATE) - DATE '1992-01-01') & 65535) AS y16
+  FROM orders
+)
+SELECT o_orderkey, x16, y16,
+       CAST({_spread_sql("x16")} | ({_spread_sql("y16")} << 1) AS BIGINT) AS zcode
+FROM base
+"""

@@ -10,11 +10,11 @@ correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
 Round 4 window = the 8 IO/OLAP queries that had never had a driver row
 (pytest-oracle-green only), the re-typed cms_heavy_hitters oracle
-(r3's one hash-fail — DuckDB HUGEINT vs Spark bigint), the 7 queries
+(r3's one hash-fail — DuckDB HUGEINT vs Spark bigint), the 8 queries
 new this round (star CC, BM25, weighted sampling, embedding profile,
-recursive CTE, VARIANT, full-outer snapshot diff), and 34 backfill
-slots from the round-1 block
-whose last driver certification is the oldest (r1/r2).  With this
+recursive CTE, VARIANT, full-outer snapshot diff, Z-order codes), and
+33 backfill slots from the round-1 block whose last driver
+certification is the oldest (r1/r2).  With this
 rotation every registered query has had at least one driver-side
 CORRECTNESS row.  Everything outside the window stays guarded by
 tests/test_registry_oracle.py at every sf.
@@ -79,6 +79,7 @@ register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
 register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
     mq.snapshot_full_outer_diff
 )
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 
 # --- Part 3 backfill: round-1 block — oldest driver evidence (r1/r2).
 register("progress_report", PROGRESS_ORACLE)(progress_report)
@@ -122,10 +123,10 @@ register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 # dependents stay in-window per ADVICE r3 — loader changes must always
 # be co-certified with a sample of their dependent queries).
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-# --- end of the 50-query driver window (8 + 8 + 34 above) ---
+# --- end of the 50-query driver window (8 + 9 + 33 above) ---
 
 # Round-1 remainder (certified r1/r2; pytest-guarded).
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
