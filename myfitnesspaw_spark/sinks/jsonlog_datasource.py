@@ -1,0 +1,108 @@
+"""Spark 4 Python DataSource WRITER — a partition-parallel JSON-lines
+sink with two-phase commit.
+
+The reference's sinks are driver-side ``executemany`` into SQLite
+(`/root/reference/myfitnesspaw/tasks.py:39-128`) — single-writer,
+transactional.  The engine-grade equivalent of a custom sink is a
+``DataSourceWriter``: every partition writes its rows independently
+(executor-side, no driver funnel), and atomicity comes from the
+two-phase protocol — tasks write to attempt-unique temp files and
+return a commit message; only the DRIVER's ``commit`` renames them
+into place and stamps a ``_SUCCESS`` manifest, so a failed/speculated
+task attempt can never leave partial output visible (``abort`` removes
+the temps).  That is the same contract Spark's own file committers
+implement, here over the Python DataSource API so the pattern is
+visible end-to-end.
+
+Local filesystem paths only in this sandbox; on a cluster the target
+must be shared storage (the protocol itself is storage-agnostic).
+Usage::
+
+    register(spark)
+    df.write.format("jsonlog").mode("overwrite").save("/path/dir")
+    spark.read.schema(ddl).json("/path/dir")  # read-back
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class JsonLogCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonLogWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlog sink requires a save path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonLogCommit:
+        # Executor-side, one call per partition.  The temp name carries
+        # partition id AND task attempt id: concurrent attempts of the
+        # same partition (speculation, retries) write distinct files
+        # and only the committed attempt's file survives.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{attempt}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonLogCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        # Driver-side, once, after every partition succeeded: publish
+        # atomically (rename) and stamp the manifest LAST so readers
+        # gating on _SUCCESS never observe a partial write.
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            if os.path.exists(final):
+                os.remove(final)
+            os.replace(m.tmp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"n_rows": total, "n_files": len(messages)}, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlog"
+
+    def writer(self, schema, overwrite: bool) -> JsonLogWriter:
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                shutil.rmtree(path)
+        return JsonLogWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom sink."""
+    spark.dataSource.register(JsonLogDataSource)

@@ -59,3 +59,39 @@ def test_bucketed_join_has_no_shuffle(spark, wh, sf_dir):
     # join at scale.
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_jsonlog_custom_sink_roundtrip(spark, tmp_path):
+    # Custom Python DataSource WRITER: partition-parallel write, driver
+    # two-phase commit, _SUCCESS manifest, clean read-back.
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.sinks.jsonlog_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonlog_out")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    ).repartition(4)
+    df.write.format("jsonlog").mode("overwrite").save(out)
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not any(f.endswith(".tmp") for f in files)  # temps all published
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest == {"n_rows": 100, "n_files": 4}
+
+    back = spark.read.schema("id long, grp long, d date").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # Overwrite mode replaces prior output completely.
+    df.limit(10).repartition(1).write.format("jsonlog").mode("overwrite").save(out)
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest2 == {"n_rows": 10, "n_files": 1}
