@@ -31,6 +31,7 @@ import shutil
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -90,6 +91,57 @@ class JsonLogWriter(DataSourceWriter):
                 pass
 
 
+class JsonLogStreamWriter(DataSourceStreamWriter):
+    """Streaming form: per-micro-batch two-phase commit.
+
+    Same executor-write / driver-publish split as the batch writer,
+    with the batch id woven into every published name — the committed
+    output of batch N is ``batch-N-part-*.jsonl`` plus a
+    ``_batch-N.manifest``, so a restarted query that re-attempts batch
+    N (checkpoint replay) idempotently overwrites exactly that batch's
+    files and nothing else.  That name-by-batch-id discipline is the
+    exactly-once contract every streaming file sink reduces to.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("checkpointpath")
+        if not self.path:
+            raise ValueError("jsonlog stream sink requires a path option")
+
+    def write(self, iterator) -> JsonLogCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".stream-{pid:05d}-{attempt}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonLogCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
+            if os.path.exists(final):
+                os.remove(final)
+            os.replace(m.tmp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, f"_batch-{batchId}.manifest"), "w") as fh:
+            json.dump({"batch": batchId, "n_rows": total, "n_files": len(messages)}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
 class JsonLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -101,6 +153,9 @@ class JsonLogDataSource(DataSource):
             if path and os.path.isdir(path):
                 shutil.rmtree(path)
         return JsonLogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonLogStreamWriter:
+        return JsonLogStreamWriter(self.options)
 
 
 def register(spark) -> None:

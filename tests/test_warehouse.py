@@ -95,3 +95,45 @@ def test_jsonlog_custom_sink_roundtrip(spark, tmp_path):
     df.limit(10).repartition(1).write.format("jsonlog").mode("overwrite").save(out)
     manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest2 == {"n_rows": 10, "n_files": 1}
+
+
+def test_jsonlog_stream_sink_per_batch_commit(spark, tmp_path):
+    # Streaming writer: per-micro-batch two-phase commit, batch id in
+    # every published name (idempotent checkpoint replay), no temps.
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.sinks.jsonlog_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    spark.range(20).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).coalesce(2).write.parquet(src)
+
+    q = (
+        spark.readStream.schema("id long, v long")
+        .parquet(src)
+        .writeStream.format("jsonlog")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    files = sorted(os.listdir(out))
+    assert not any(f.endswith(".tmp") for f in files)
+    manifests = [f for f in files if f.endswith(".manifest")]
+    assert manifests, files
+    total = sum(
+        json.load(open(os.path.join(out, m)))["n_rows"] for m in manifests
+    )
+    assert total == 20
+    back = spark.read.schema("id long, v long").json(os.path.join(out, "batch-*.jsonl"))
+    assert back.count() == 20
+    assert {r["id"] * 10 == r["v"] for r in back.collect()} == {True}
