@@ -26,6 +26,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -506,6 +508,7 @@ def connected_components_star(
 
     prev: tuple | None = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
@@ -521,10 +524,23 @@ def connected_components_star(
             ).collect()[0]
         )
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Exhausting max_iter without the witness matching means the
+        # final labels may not be component minima; say so instead of
+        # returning silently-truncated output.
+        warnings.warn(
+            f"connected_components_star: no fixed point after {rounds} "
+            f"rounds (max_iter={max_iter}); labels may be incomplete — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     # At the fixed point every edge points straight at its component's
     # minimum node; centers label themselves.

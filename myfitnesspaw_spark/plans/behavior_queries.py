@@ -412,25 +412,36 @@ GROUP BY 1, 2
 def recursive_user_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Depth = per-user date span (29 days in the testdata).  Raise the
     # recursion ceiling defensively so a wider-span dataset fails on
-    # semantics, not on the default 100-level limit.
+    # semantics, not on the default 100-level limit — and restore the
+    # prior value afterwards so the shared session is not perturbed
+    # (same save/restore discipline as streaming/rollup.py's shuffle-
+    # partition override).  The limit is consulted when the recursive
+    # plan is resolved, which `spark.sql` does eagerly.
+    prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rus")
-    return spark.sql(
-        """
-        WITH RECURSIVE spine (user_id, day, last_d) AS (
-          SELECT user_id, MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))
-          FROM events_rus GROUP BY user_id
-          UNION ALL
-          SELECT user_id, DATE_ADD(day, 1), last_d FROM spine WHERE day < last_d
-        ),
-        daily AS (
-          SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
-          FROM events_rus GROUP BY 1, 2
+    try:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rus")
+        return spark.sql(
+            """
+            WITH RECURSIVE spine (user_id, day, last_d) AS (
+              SELECT user_id, MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))
+              FROM events_rus GROUP BY user_id
+              UNION ALL
+              SELECT user_id, DATE_ADD(day, 1), last_d FROM spine WHERE day < last_d
+            ),
+            daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events_rus GROUP BY 1, 2
+            )
+            SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+            FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+            """
         )
-        SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
-        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
-        """
-    )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
 
 
 RECURSIVE_USER_SPINE_ORACLE = """

@@ -25,9 +25,11 @@ Usage::
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -49,6 +51,11 @@ class JsonLogWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonlog sink requires a save path")
         self.overwrite = overwrite
+        # Driver-side, once per write job.  Appended jobs publish under
+        # job-unique names so a second append can never clobber an
+        # earlier job's part files (same guarantee Spark's file
+        # committers get from jobId-bearing file names).
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> JsonLogCommit:
         # Executor-side, one call per partition.  The temp name carries
@@ -73,15 +80,35 @@ class JsonLogWriter(DataSourceWriter):
         # Driver-side, once, after every partition succeeded: publish
         # atomically (rename) and stamp the manifest LAST so readers
         # gating on _SUCCESS never observe a partial write.
+        #
+        # Overwrite mode cleared the directory before tasks launched, so
+        # plain indexed names are unambiguous.  Append mode embeds the
+        # job token: earlier jobs' part files keep their own tokens and
+        # are never touched, and the manifest accumulates across jobs.
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            if self.overwrite:
+                final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            else:
+                final = os.path.join(
+                    self.path, f"part-{self.job_token}-{i:05d}.jsonl"
+                )
             if os.path.exists(final):
                 os.remove(final)
             os.replace(m.tmp_path, final)
             total += m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            json.dump({"n_rows": total, "n_files": len(messages)}, fh)
+        n_files = len(messages)
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            try:
+                with open(success) as fh:
+                    prior = json.load(fh)
+                total += int(prior.get("n_rows", 0))
+                n_files += int(prior.get("n_files", 0))
+            except (ValueError, OSError):
+                pass
+        with open(success, "w") as fh:
+            json.dump({"n_rows": total, "n_files": n_files}, fh)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -104,7 +131,9 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, options: dict):
-        self.path = options.get("path") or options.get("checkpointpath")
+        # No checkpointLocation fallback: data files must never land in
+        # the checkpoint directory next to Spark's offset/commit logs.
+        self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlog stream sink requires a path option")
 
@@ -124,11 +153,20 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         return JsonLogCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        # A checkpoint replay of batch N may produce FEWER partitions
+        # than a prior partially-committed attempt; sweep every
+        # existing batch-N part file first so readers that do not gate
+        # on the manifest can never see stale duplicates.
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId}-part-*.jsonl")
+        ):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         total = 0
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
-            if os.path.exists(final):
-                os.remove(final)
             os.replace(m.tmp_path, final)
             total += m.n_rows
         with open(os.path.join(self.path, f"_batch-{batchId}.manifest"), "w") as fh:

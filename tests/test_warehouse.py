@@ -97,6 +97,29 @@ def test_jsonlog_custom_sink_roundtrip(spark, tmp_path):
     assert manifest2 == {"n_rows": 10, "n_files": 1}
 
 
+def test_jsonlog_append_does_not_clobber(spark, tmp_path):
+    # Two append jobs must coexist: job-unique tokens in the published
+    # names mean the second job can never overwrite the first job's
+    # part files (ADVICE r4 medium: indexed names + delete-on-conflict
+    # silently lost the first append's data).
+    import json
+    import os
+
+    from myfitnesspaw_spark.sinks.jsonlog_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonlog_append")
+    spark.range(0, 30).repartition(2).write.format("jsonlog").mode("append").save(out)
+    spark.range(30, 50).repartition(2).write.format("jsonlog").mode("append").save(out)
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts) == 4, parts  # 2 jobs x 2 partitions, none clobbered
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest == {"n_rows": 50, "n_files": 4}
+    back = spark.read.schema("id long").json(os.path.join(out, "part-*.jsonl"))
+    assert sorted(r.id for r in back.collect()) == list(range(50))
+
+
 def test_jsonlog_stream_sink_per_batch_commit(spark, tmp_path):
     # Streaming writer: per-micro-batch two-phase commit, batch id in
     # every published name (idempotent checkpoint replay), no temps.
@@ -137,3 +160,64 @@ def test_jsonlog_stream_sink_per_batch_commit(spark, tmp_path):
     back = spark.read.schema("id long, v long").json(os.path.join(out, "batch-*.jsonl"))
     assert back.count() == 20
     assert {r["id"] * 10 == r["v"] for r in back.collect()} == {True}
+
+
+def test_jsonlog_stream_replay_is_exactly_once(spark, tmp_path):
+    # Abort/replay contract: a batch whose commit marker is missing
+    # from the checkpoint (crash between sink commit and checkpoint
+    # commit) is re-executed on restart; the sink must converge to
+    # exactly one copy of that batch — including sweeping stale part
+    # files from a prior attempt that produced MORE partitions.
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.sinks.jsonlog_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "replay_src")
+    out = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+    df = spark.range(20).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    df.where("id < 10").coalesce(1).write.parquet(src)
+    df.where("id >= 10").coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("jsonlog")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    assert len(commits) >= 2, commits  # maxFilesPerTrigger=1 → >=2 batches
+    last = commits[-1]
+
+    # Simulate the crash window: sink committed batch N (files are on
+    # disk) but the checkpoint commit marker was never written, and an
+    # earlier attempt left an extra orphan part for that batch.
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the marker
+        os.remove(crc)
+    orphan = os.path.join(out, f"batch-{int(last)}-part-00099.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"id": 999, "v": 9990}) + "\n")
+
+    run_stream()  # replays exactly batch N
+
+    assert not os.path.exists(orphan)  # stale attempt swept
+    back = spark.read.schema("id long, v long").json(os.path.join(out, "batch-*.jsonl"))
+    assert sorted(r.id for r in back.collect()) == list(range(20))  # no dupes
+    manifests = [f for f in os.listdir(out) if f.endswith(".manifest")]
+    assert len(manifests) == len(commits)  # one manifest per batch, ever
