@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from myfitnesspaw_spark.operators.multimodal import (
     attach_binary_payload,
-    decode_images,
+    attach_png_payload,
+    decode_png_images,
     sample_frames,
 )
 from myfitnesspaw_spark.sources import load_table, scatter
@@ -185,17 +186,34 @@ QUALIFY session_no < MAX(session_no) OVER (PARTITION BY user_id)
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec round trip, all executor-side: synthesize a grayscale
+    # PNG per document (deflate + cycling scanline filters), then
+    # chunk-parse / CRC-check / inflate / un-filter it back and emit
+    # decoded dimensions + exact pixel sum.  Pixels and dimensions are
+    # arithmetic in (doc_id, text byte length), which is what lets the
+    # oracle below recompute the decode output without a PNG library.
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    return decode_images(attach_binary_payload(docs))
+    return decode_png_images(attach_png_payload(docs))
 
 
+# Expected decode output, recomputed arithmetically: w = n%37+8,
+# h = n%23+8 over the text byte length n, pixel(i) = (doc_id*31+i*7)
+# mod 256 summed over i < w*h (lateral generate_series — this DuckDB
+# build has no WITH ORDINALITY).
 MULTIMODAL_DECODE_ORACLE = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS fake_width,
-       CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS fake_height,
-       md5(text) AS checksum
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 37 + 8 AS w,
+         octet_length(encode(text)) % 23 + 8 AS h
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(SUM((d.doc_id * 31 + i.i * 7) % 256) AS BIGINT) AS pixel_sum
+FROM dims d,
+     LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS i) i
+GROUP BY d.doc_id, d.w, d.h
 """
 
 

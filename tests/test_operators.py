@@ -297,3 +297,39 @@ def test_bucket_near_dup_cap_bounds_candidates(spark):
         for r in bucket_near_dup(df, "vid", "v", "b", 0.0, max_bucket=10).collect()
     )
     assert got == again
+
+
+def test_png_codec_round_trip_all_filters():
+    # Pure-Python property: encode→decode is identity for every
+    # scanline filter type (height ≥ 5 cycles through all five).
+    from myfitnesspaw_spark.operators.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+        synth_pixels,
+    )
+
+    for doc_id, w, h in [(0, 8, 8), (7, 37, 23), (123456, 44, 30), (99, 9, 5)]:
+        pixels = synth_pixels(doc_id, w, h)
+        data = png_encode_gray(pixels, w, h)
+        dw, dh, decoded = png_decode_gray(data)
+        assert (dw, dh) == (w, h)
+        assert decoded == pixels
+
+    # Corruption is detected, not silently decoded.
+    good = png_encode_gray(synth_pixels(1, 8, 8), 8, 8)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip a byte inside IHDR payload
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode_gray(bytes(bad))
+
+
+def test_multimodal_decode_matches_oracle(spark, duck):
+    from myfitnesspaw_spark.plans.stream_queries import (
+        MULTIMODAL_DECODE_ORACLE,
+        multimodal_decode,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(multimodal_decode(spark, SF_DIR), duck, MULTIMODAL_DECODE_ORACLE)
