@@ -106,6 +106,7 @@ def _drain_update_merge(
     key_cols: list[str],
     state_view: str,
     sink_name: str,
+    multi_batch_exact: bool = True,
 ) -> DataFrame:
     """Drain a watermarked streaming aggregate in UPDATE mode through a
     ``foreachBatch`` keyed merge, returning the final merged state.
@@ -120,14 +121,17 @@ def _drain_update_merge(
     a per-batch localCheckpoint.  On a Delta/Iceberg deployment the
     merge body becomes ``MERGE INTO`` keyed on ``key_cols``.
 
-    Oracle-parity caveat (ADVICE r3): batch-oracle equality relies on
-    availableNow draining the backlog in ONE micro-batch.  Across
-    multiple batches the watermark advances between them, and rows
-    arriving more than the watermark behind it are dropped — valid
-    streaming semantics, but a divergence from the batch oracle.  The
-    testdata is a single parquet file (single batch by construction);
-    a multi-batch drain (e.g. ``maxFilesPerTrigger``) emits a
-    RuntimeWarning so the divergence is visible rather than silent.
+    Multi-batch drains (ADVICE r3 → closed r5): across micro-batches
+    the watermark advances between triggers and rows arriving more than
+    the watermark behind it are dropped — valid streaming semantics,
+    but a divergence from a batch oracle.  Callers draining a BOUNDED
+    backlog therefore declare a backlog-spanning drain watermark (see
+    the rollup functions' ``drain_watermark``): the keep-latest merge
+    needs no window finalization for correctness, so a wide watermark
+    makes any ``maxFilesPerTrigger`` split oracle-exact and the caller
+    passes ``multi_batch_exact=True``.  A caller that keeps a tight
+    (continuous-operation) watermark passes ``multi_batch_exact=False``
+    and gets the RuntimeWarning on a >1-batch drain instead.
     """
     spark = agg.sparkSession
     # GLOBAL temp view: foreachBatch executes on a micro-batch session
@@ -153,7 +157,7 @@ def _drain_update_merge(
         .start()
     )
     query.awaitTermination()
-    if len(query.recentProgress) > 1:
+    if not multi_batch_exact and len(query.recentProgress) > 1:
         import warnings
 
         warnings.warn(
@@ -177,6 +181,7 @@ def streaming_hourly_rollup(
     sf_dir: str,
     watermark: str = "1 hour",
     sink_name: str = "streaming_hourly_rollup_sink",
+    drain_watermark: str | None = "3650 days",
 ) -> DataFrame:
     """Tumbling 1-hour rollup per event_type, executed as a real
     Structured Streaming query (update mode → foreachBatch keyed merge,
@@ -187,10 +192,19 @@ def streaming_hourly_rollup(
     that stays O(open windows) instead of O(history) at 100 TB.  Money
     sums go through exact integer cents (functions/numeric.py) for
     oracle parity.
+
+    ``drain_watermark``: this entry point drains a BOUNDED backlog and
+    returns, so by default it declares a backlog-spanning watermark —
+    no row can ever be late, and a multi-micro-batch drain (e.g. under
+    ``maxFilesPerTrigger``) stays exactly batch-oracle-equal; state is
+    bounded by the backlog's window count, which is what a replay
+    holds anyway.  A continuous deployment passes ``None`` to fall
+    back to ``watermark`` as the state-eviction policy and accepts
+    late-drop semantics.
     """
     events = read_events_stream(spark, sf_dir)
     agg = (
-        events.withWatermark("ts", watermark)
+        events.withWatermark("ts", drain_watermark or watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -206,7 +220,11 @@ def streaming_hourly_rollup(
     )
     try:
         state = _drain_update_merge(
-            agg, ["win", "event_type"], f"{sink_name}_state", sink_name
+            agg,
+            ["win", "event_type"],
+            f"{sink_name}_state",
+            sink_name,
+            multi_batch_exact=drain_watermark is not None,
         )
     finally:
         if old_parts is not None:
@@ -225,6 +243,7 @@ def streaming_sliding_rollup(
     sf_dir: str,
     watermark: str = "1 hour",
     sink_name: str = "streaming_sliding_rollup_sink",
+    drain_watermark: str | None = "3650 days",
 ) -> DataFrame:
     """Sliding-window rollup (2-hour windows every hour) per event_type
     — each event lands in exactly two overlapping windows.
@@ -232,11 +251,13 @@ def streaming_sliding_rollup(
     Same execution shape as the tumbling rollup (real streaming query,
     update mode → foreachBatch keyed merge, availableNow); the slide
     multiplies state rows by window/slide = 2×, which the watermark
-    still bounds — the scale knob a 100 TB stream cares about.
+    still bounds — the scale knob a 100 TB stream cares about.  Same
+    ``drain_watermark`` contract as :func:`streaming_hourly_rollup`:
+    backlog-spanning by default so a multi-batch drain is oracle-exact.
     """
     events = read_events_stream(spark, sf_dir)
     agg = (
-        events.withWatermark("ts", watermark)
+        events.withWatermark("ts", drain_watermark or watermark)
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -249,7 +270,11 @@ def streaming_sliding_rollup(
     )
     try:
         state = _drain_update_merge(
-            agg, ["win", "event_type"], f"{sink_name}_state", sink_name
+            agg,
+            ["win", "event_type"],
+            f"{sink_name}_state",
+            sink_name,
+            multi_batch_exact=drain_watermark is not None,
         )
     finally:
         if old_parts is not None:

@@ -60,28 +60,78 @@ def test_drain_update_merge_empty_stream(spark, tmp_path):
     )
 
 
-def test_drain_update_merge_warns_on_multibatch(spark, tmp_path):
-    # A multi-file drain with maxFilesPerTrigger=1 takes >1 micro-batch;
-    # the drain must surface the batch-oracle divergence risk as a
-    # RuntimeWarning instead of staying silent (ADVICE r3).
+def _multibatch_fixture(spark, tmp_path, name):
+    # 4 one-row files spanning 4 hours; maxFilesPerTrigger=1 forces a
+    # 4-micro-batch drain with arbitrary file (hence event-time) order.
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / name)
+    rows = [
+        ("2024-01-01 00:05:00", "click", 1.0),
+        ("2024-01-01 01:05:00", "click", 2.0),
+        ("2024-01-01 02:05:00", "error", 3.0),
+        ("2024-01-01 03:05:00", "click", 4.0),
+    ]
+    base = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    base.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return base, stream
+
+
+def test_drain_update_merge_multibatch_is_oracle_exact(spark, tmp_path):
+    # With a backlog-spanning drain watermark (the rollup entry points'
+    # default), a forced multi-micro-batch drain must equal the batch
+    # aggregate exactly — no rows dropped behind an advancing watermark
+    # (ADVICE r3/r4 → the single-batch drain assumption removed in r5).
     import warnings
 
     import pyspark.sql.functions as F
 
     from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
 
-    src = str(tmp_path / "two_file_events")
-    base = spark.createDataFrame(
-        [("2024-01-01 00:05:00", "click", 1.0), ("2024-01-01 01:05:00", "click", 2.0)],
-        "ts_s string, event_type string, value double",
-    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
-    base.repartition(2).write.parquet(src)
-
-    stream = (
-        spark.readStream.schema("ts timestamp, event_type string, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    base, stream = _multibatch_fixture(spark, tmp_path, "mb_exact_events")
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("v"))
     )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = _drain_update_merge(
+            agg, ["win", "event_type"], "mb_exact_state", "mb_exact_sink",
+            multi_batch_exact=True,
+        )
+        got = sorted(
+            (r["win"]["start"].isoformat(), r["event_type"], r["n_events"], r["v"])
+            for r in out.collect()
+        )
+    expected = sorted(
+        (r["win"]["start"].isoformat(), r["event_type"], r["n_events"], r["v"])
+        for r in base.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert got == expected
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
+def test_drain_update_merge_warns_on_multibatch_tight_watermark(spark, tmp_path):
+    # A caller keeping a tight continuous-operation watermark opts out
+    # of exactness (multi_batch_exact=False) and must get the
+    # divergence RuntimeWarning on a >1-batch drain (ADVICE r3).
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    _base, stream = _multibatch_fixture(spark, tmp_path, "mb_warn_events")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -90,7 +140,8 @@ def test_drain_update_merge_warns_on_multibatch(spark, tmp_path):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         out = _drain_update_merge(
-            agg, ["win", "event_type"], "multibatch_state", "multibatch_sink"
+            agg, ["win", "event_type"], "multibatch_state", "multibatch_sink",
+            multi_batch_exact=False,
         )
         out.count()
     assert any(
