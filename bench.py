@@ -65,6 +65,59 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class BenchBook:
+    """Per-query bookkeeping for the two-pass bench loop.
+
+    Invariants (unit-tested in tests/test_bench_book.py):
+    - a query with ANY successful timing is never an error, regardless
+      of which pass failed — ``errors`` means "no valid timing exists";
+    - the recorded timing is the MIN across passes (steady state);
+    - ``statuses`` distinguishes ok / error / not_run (hard-deadline
+      cut before the query was ever attempted).
+    """
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float | None] = {}
+        self.errors: dict[str, str] = {}
+        self.attempted: set[str] = set()
+
+    def success(self, name: str, dt: float) -> None:
+        self.attempted.add(name)
+        prev = self.timings.get(name)
+        self.timings[name] = round(dt if prev is None else min(prev, dt), 3)
+
+    def failure(self, name: str, msg: str) -> None:
+        self.attempted.add(name)
+        self.errors[name] = msg[:300]
+        self.timings.setdefault(name, None)
+
+    def retry_order(self, qs: dict) -> list[tuple[str, object]]:
+        """Pass-2 order: slowest successful timings first (cold-start
+        amortization), errored queries last (each gets one retry)."""
+        return sorted(
+            qs.items(),
+            key=lambda kv: (
+                self.timings.get(kv[0]) is None,
+                -(self.timings.get(kv[0]) or 0.0),
+            ),
+        )
+
+    def finalize(self, all_names) -> tuple[dict, dict, dict]:
+        timed = {n: v for n, v in self.timings.items() if v is not None}
+        errors = {
+            n: m for n, m in self.errors.items() if self.timings.get(n) is None
+        }
+        statuses = {
+            n: (
+                "ok"
+                if n in timed
+                else "error" if n in self.attempted else "not_run"
+            )
+            for n in all_names
+        }
+        return timed, errors, statuses
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
     qs = registry.queries()
@@ -94,8 +147,7 @@ def main() -> None:
     soft_deadline = float(os.environ.get("BENCH_SOFT_BUDGET_SEC", "300"))
     hard_deadline = float(os.environ.get("BENCH_HARD_BUDGET_SEC", "480"))
 
-    timings: dict[str, float | None] = {}
-    errors: dict[str, str] = {}
+    book = BenchBook()
 
     def _gc_quiesce() -> None:
         # Untimed GC so each query measures its own plan, not the
@@ -113,12 +165,9 @@ def main() -> None:
         try:
             _run(fn(spark, SF_DIR))
         except Exception as exc:  # fault isolation: record, keep going
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            timings.setdefault(name, None)
+            book.failure(name, f"{type(exc).__name__}: {exc}")
             return
-        dt = time.perf_counter() - t0
-        prev = timings.get(name)
-        timings[name] = round(dt if prev is None else min(prev, dt), 3)
+        book.success(name, time.perf_counter() - t0)
 
     try:
         for name, fn in qs.items():  # pass 1: every query once
@@ -133,14 +182,7 @@ def main() -> None:
         # of the suite reaches a warm MIN before the budget runs out.
         # Errored queries sort last and get one retry (a transient
         # fault must not permanently exclude a query — ADVICE r3).
-        pass2 = sorted(
-            qs.items(),
-            key=lambda kv: (
-                timings.get(kv[0]) is None,  # errored retries last
-                -(timings.get(kv[0]) or 0.0),
-            ),
-        )
-        for name, fn in pass2:
+        for name, fn in book.retry_order(qs):
             if time.monotonic() - start > soft_deadline:
                 break
             _gc_quiesce()
@@ -148,8 +190,7 @@ def main() -> None:
     finally:
         # A query with any successful timing is not an error; drop
         # stale pass-1 messages superseded by a pass-2 success.
-        errors = {n: m for n, m in errors.items() if timings.get(n) is None}
-        timed = {n: v for n, v in timings.items() if v is not None}
+        timed, errors, statuses = book.finalize(qs.keys())
         sf = _sf_of(SF_DIR)
         total = round(sum(timed.values()), 3)
 
@@ -171,7 +212,8 @@ def main() -> None:
             "metric": "total_query_sec",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": book.timings,
+            "statuses": statuses,
             "errors": errors,
             "regressions": regressions,
             "n_queries": len(qs),
