@@ -61,6 +61,22 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def _load_baseline_queries() -> dict[str, float]:
+    """Best-known per-query times (same sf), for the pass-2 recovery
+    ordering and the regression gate.  Empty when absent/mismatched."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+    )
+    try:
+        with open(path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == _sf_of(SF_DIR):
+            return {k: v for k, v in base.get("queries", {}).items() if v}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -91,14 +107,35 @@ class BenchBook:
         self.errors[name] = msg[:300]
         self.timings.setdefault(name, None)
 
-    def retry_order(self, qs: dict) -> list[tuple[str, object]]:
-        """Pass-2 order: slowest successful timings first (cold-start
-        amortization), errored queries last (each gets one retry)."""
+    def retry_order(
+        self, qs: dict, baseline: dict | None = None
+    ) -> list[tuple[str, object]]:
+        """Pass-2 order: largest expected RECOVERY first, errored
+        queries last (each gets one retry).
+
+        Recovery for a query = pass-1 timing − its best-known baseline
+        time: the seconds a warm rep can plausibly win back.  Plain
+        slowest-first spent the budget on queries that are genuinely
+        slow and already near their floor (iterative CC, sketches)
+        while 2-4× cold-start inflation on mid-pack queries went
+        unrepped — measured r5: only ~26 of 113 queries fit in the
+        pass-2 budget, so targeting matters.  Queries without a
+        baseline entry count their full timing as recoverable (new
+        queries get repped early).
+        """
+        base = baseline or {}
+
+        def recovery(name: str) -> float:
+            cur = self.timings.get(name)
+            if cur is None:
+                return 0.0
+            return cur - base.get(name, 0.0)
+
         return sorted(
             qs.items(),
             key=lambda kv: (
                 self.timings.get(kv[0]) is None,
-                -(self.timings.get(kv[0]) or 0.0),
+                -recovery(kv[0]),
             ),
         )
 
@@ -149,6 +186,8 @@ def main() -> None:
 
     book = BenchBook()
 
+    wall = {"quiesce_sec": 0.0, "pass1_wall_sec": None, "pass2_runs": 0}
+
     def _gc_quiesce() -> None:
         # Untimed GC so each query measures its own plan, not the
         # major collection of 30 predecessors' shuffle garbage.
@@ -157,8 +196,10 @@ def main() -> None:
         # ContextCleaner can only unpersist them once the Python
         # wrappers are collected — measured storage-memory creep
         # otherwise inflates late-suite queries ~2×.
+        t0 = time.monotonic()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        wall["quiesce_sec"] += time.monotonic() - t0
 
     def _timed(name: str, fn) -> None:
         t0 = time.perf_counter()
@@ -180,13 +221,15 @@ def main() -> None:
         # state-store init) concentrates in the slowest cold numbers,
         # so spending the soft budget there first maximizes how much
         # of the suite reaches a warm MIN before the budget runs out.
+        wall["pass1_wall_sec"] = round(time.monotonic() - start, 1)
         # Errored queries sort last and get one retry (a transient
         # fault must not permanently exclude a query — ADVICE r3).
-        for name, fn in book.retry_order(qs):
+        for name, fn in book.retry_order(qs, _load_baseline_queries()):
             if time.monotonic() - start > soft_deadline:
                 break
             _gc_quiesce()
             _timed(name, fn)
+            wall["pass2_runs"] += 1
     finally:
         # A query with any successful timing is not an error; drop
         # stale pass-1 messages superseded by a pass-2 success.
@@ -194,19 +237,11 @@ def main() -> None:
         sf = _sf_of(SF_DIR)
         total = round(sum(timed.values()), 3)
 
-        baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                     "BASELINE_BENCH.json")
         regressions: dict[str, dict[str, float]] = {}
-        try:
-            with open(baseline_path) as fh:
-                base = json.load(fh)
-            if base.get("sf") == sf:
-                for n, b in base.get("queries", {}).items():
-                    cur = timed.get(n)
-                    if cur is not None and b and cur > 2.0 * b:
-                        regressions[n] = {"baseline": b, "current": cur}
-        except (OSError, ValueError):
-            pass  # no recorded baseline (or wrong sf) → gate is advisory
+        for n, b in _load_baseline_queries().items():
+            cur = timed.get(n)
+            if cur is not None and cur > 2.0 * b:
+                regressions[n] = {"baseline": b, "current": cur}
 
         full = {
             "metric": "total_query_sec",
@@ -219,6 +254,7 @@ def main() -> None:
             "n_queries": len(qs),
             "n_timed": len(timed),
             "sf": sf,
+            "wall": {**wall, "total_wall_sec": round(time.monotonic() - start, 1)},
         }
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_full.json")

@@ -63,6 +63,7 @@ def test_double_failure_is_error_and_unattempted_is_not_run():
 
 
 def test_retry_order_slowest_first_errors_last():
+    # No baseline → full timing counts as recoverable → slowest first.
     b = bench.BenchBook()
     qs = {"fast": 1, "slow": 2, "err": 3, "mid": 4}
     b.success("fast", 0.1)
@@ -71,3 +72,17 @@ def test_retry_order_slowest_first_errors_last():
     b.failure("err", "Boom")
     order = [name for name, _ in b.retry_order(qs)]
     assert order == ["slow", "mid", "fast", "err"]
+
+
+def test_retry_order_targets_largest_recovery_vs_baseline():
+    # "floor" is slow but already at its baseline (nothing to win);
+    # "inflated" is mid-pack but 4x its baseline (3s recoverable);
+    # "new" has no baseline entry → full timing recoverable.
+    b = bench.BenchBook()
+    qs = {"floor": 1, "inflated": 2, "new": 3}
+    b.success("floor", 8.0)
+    b.success("inflated", 4.0)
+    b.success("new", 2.0)
+    baseline = {"floor": 8.0, "inflated": 1.0}
+    order = [name for name, _ in b.retry_order(qs, baseline)]
+    assert order == ["inflated", "new", "floor"]
