@@ -8,15 +8,20 @@ and hash-compares values).
 REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
 correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
-Round 4 window = the 8 IO/OLAP queries that had never had a driver row
-(pytest-oracle-green only), the re-typed cms_heavy_hitters oracle
-(r3's one hash-fail — DuckDB HUGEINT vs Spark bigint), the 8 queries
-new this round (star CC, BM25, weighted sampling, embedding profile,
-recursive CTE, VARIANT, full-outer snapshot diff, Z-order codes), and
-33 backfill slots from the round-1 block whose last driver
-certification is the oldest (r1/r2).  With this
-rotation every registered query has had at least one driver-side
-CORRECTNESS row.  Everything outside the window stays guarded by
+
+Round-5 window (freshness rotation, VERDICT r4 #1):
+1. Three PERMANENT canaries that stay in-window every round from now
+   on — the flagship, one streaming path, one dedup path — so a loader
+   or session regression can never hide behind the rotation.
+2. Every query whose plan changed this round (real PNG multimodal
+   codec, scale-aware near-dup salting, multi-batch-exact drain
+   watermark, recursion-limit conf restore).
+3. The 12 remaining round-1/2-certified queries — the oldest driver
+   evidence in the registry.
+4. 28 round-3-certified queries (streaming + OLAP + curation blocks).
+Everything left OUTSIDE the window was driver-certified in r3 or r4,
+so after this round no query's latest green row is more than two
+rounds old.  Out-of-window queries stay guarded by
 tests/test_registry_oracle.py at every sf.
 """
 
@@ -41,98 +46,31 @@ from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_repor
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
 
-# --- Driver window, part 1: the 8 queries with no driver row ever.
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+# --- Window part 1: permanent canaries (pinned in-window every round).
+register("progress_report", PROGRESS_ORACLE)(progress_report)
+register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
+register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: round-4 fixes/additions needing a fresh driver row.
-# cms: oracle counter re-typed to BIGINT (r3's only hash-fail was
-# DuckDB HUGEINT degrading to float64 under the driver's hash).
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-# New: large-star/small-star connected components — same contract and
-# oracle as dedup_clusters, O(log^2 n) rounds instead of O(diameter).
-register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
-# New round-4 queries: BM25 retrieval scoring (exact integer form),
-# deterministic importance sampling, per-dimension embedding profile,
-# and the Spark 4 SQL-surface pair (recursive CTE, VARIANT).
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
-register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
-register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+# --- Part 2: plans changed in round 5 — must re-certify.
+# Real stdlib PNG codec replaced the fake decode kernel.
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+# Scale-aware salt_groups (1 at sf<=0.1, 4 beyond; result-identical).
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+# Backlog-spanning drain watermark (multi-batch drains now oracle-exact).
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+# cteRecursionLevelLimit now saved/restored around the recursive CTE.
 register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
     bq.recursive_user_spine
 )
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 
-# --- Part 3 backfill: round-1 block — oldest driver evidence (r1/r2).
-register("progress_report", PROGRESS_ORACLE)(progress_report)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
-register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
-register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
-register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
-register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
-
-# Training-data pipeline ops over documents/embeddings (SURVEY.md §7.2.7).
-register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
-register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
-register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
-register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
-register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
-register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
-register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
-register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
-register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
-register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
-register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
-register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
-
-# Normalization pipeline (SURVEY.md §2.3/§2.4: N1-N9, E1/E2, D3, Q2e).
-register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
-register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
-register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
-register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
-register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
-
-# Streaming / stateful / multimodal (round-1 certified; events-ts
-# dependents stay in-window per ADVICE r3 — loader changes must always
-# be co-certified with a sample of their dependent queries).
-register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-# --- end of the 50-query driver window (8 + 9 + 33 above) ---
-
-# Round-1 remainder (certified r1/r2; pytest-guarded).
+# --- Part 3: the 12 remaining round-1/2-certified queries (oldest
+# driver evidence left in the registry).
 register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
 register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
@@ -143,18 +81,13 @@ register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
 register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
 register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
 
-# --- Round-3-certified block (all green in CORRECTNESS_r03).
-# Streaming fixes certified r3.
-register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+# --- Part 4: round-3-certified backfill — streaming, OLAP, curation.
 register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
     sq.stream_stream_click_error_q
 )
 register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
     sq.sessionize_stateful_stream
 )
-
-# OLAP extensions.
 register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
 register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
 register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
@@ -183,26 +116,6 @@ register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
 register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
     oq.distinct_users_per_type
 )
-
-# Behavioral analytics over events.
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-
-# Sketches + corpus sampling.
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-
-# Corpus-curation + warehouse-history extensions.
 register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
 register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
 register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
@@ -214,21 +127,92 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+# --- end of the 50-query driver window (3 + 5 + 12 + 30 above) ---
 
-# Referential-integrity audit + explicit cascade semantics (SURVEY §7.4).
+# Round-4-certified block (driver-green in CORRECTNESS_r04; pytest-
+# guarded until their next rotation).
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
+)
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+
+# Round-3-certified remainder (behavioral, sketches, integrity, ETL —
+# age 2 at r5, due for the r6 rotation window).
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
 register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
 register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
     iq.cascade_delete_consistency
 )
-
-# Warehouse maintenance: algebraic (partial-state) view refresh.
-register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
-    mq.incremental_agg_merge
-)
-
-# End-to-end ETL flow: fetch → bronze JSON → CDC diff → silver (§3.1).
-register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
 register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)

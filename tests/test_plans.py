@@ -211,14 +211,28 @@ def test_forward_fill_grid_joins_stay_small(spark, sf_dir):
 
 
 def test_embedding_near_dup_salted_no_cartesian(spark, sf_dir):
-    # The salt-cell decomposition must stay an equi hash join on
-    # (bucket, cell) — a nested-loop/cartesian plan would mean the
-    # cell key failed to reach the join and the skew insurance is
-    # silently gone.
+    # The registered query is scale-aware (plain bucket join at small
+    # sf, salted beyond sf0.1) but must be an equi join either way.
     plan = _plan(spark, "embedding_near_dup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "cell" in plan  # join key carries the salt cell
+
+    # The SALTED form (the >sf0.1 scale path) must stay an equi hash
+    # join on (bucket, cell) — a nested-loop/cartesian plan would mean
+    # the cell key failed to reach the join and the skew insurance is
+    # silently gone.  Build it explicitly at G=4.
+    from myfitnesspaw_spark.operators.similarity import bucket_near_dup
+    from myfitnesspaw_spark.plans.text_queries import NEAR_DUP_THRESHOLD
+    from myfitnesspaw_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    salted = bucket_near_dup(
+        vecs, "vec_id", "embedding", "label", NEAR_DUP_THRESHOLD, salt_groups=4
+    )
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in splan
+    assert "BroadcastNestedLoopJoin" not in splan
+    assert "cell" in splan  # join key carries the salt cell
 
 
 def test_dedup_clusters_star_same_result_as_hash_min(spark, sf_dir):
