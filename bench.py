@@ -61,9 +61,7 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
-def _load_baseline_queries() -> dict[str, float]:
-    """Best-known per-query times (same sf), for the pass-2 recovery
-    ordering and the regression gate.  Empty when absent/mismatched."""
+def _load_baseline() -> dict:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
     )
@@ -71,10 +69,16 @@ def _load_baseline_queries() -> dict[str, float]:
         with open(path) as fh:
             base = json.load(fh)
         if base.get("sf") == _sf_of(SF_DIR):
-            return {k: v for k, v in base.get("queries", {}).items() if v}
+            return base
     except (OSError, ValueError):
         pass
     return {}
+
+
+def _load_baseline_queries() -> dict[str, float]:
+    """Best-known per-query times (same sf), for the pass-2 recovery
+    ordering and the regression gate.  Empty when absent/mismatched."""
+    return {k: v for k, v in _load_baseline().get("queries", {}).items() if v}
 
 
 def _run(df) -> None:
@@ -237,11 +241,16 @@ def main() -> None:
         sf = _sf_of(SF_DIR)
         total = round(sum(timed.values()), 3)
 
-        regressions: dict[str, dict[str, float]] = {}
+        # >2x gate vs best-known; a flagged entry carries its baseline
+        # comment when one exists (documented deliberate trades).
+        comments = _load_baseline().get("comments", {})
+        regressions: dict[str, dict] = {}
         for n, b in _load_baseline_queries().items():
             cur = timed.get(n)
             if cur is not None and cur > 2.0 * b:
                 regressions[n] = {"baseline": b, "current": cur}
+                if n in comments:
+                    regressions[n]["comment"] = comments[n]
 
         full = {
             "metric": "total_query_sec",

@@ -17,9 +17,12 @@ import json
 import sys
 
 
-def _timings(path: str) -> dict[str, float]:
+def _load(path: str) -> dict:
     with open(path) as fh:
-        data = json.load(fh)
+        return json.load(fh)
+
+
+def _timings(data: dict) -> dict[str, float]:
     return {k: v for k, v in data.get("queries", {}).items() if v is not None}
 
 
@@ -27,7 +30,11 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old, new = _timings(sys.argv[1]), _timings(sys.argv[2])
+    old_data, new_data = _load(sys.argv[1]), _load(sys.argv[2])
+    old, new = _timings(old_data), _timings(new_data)
+    # Justified-trade comments may live on either artifact (usually the
+    # baseline); print them next to any flagged ratio.
+    comments = {**old_data.get("comments", {}), **new_data.get("comments", {})}
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
     both = sorted(set(old) & set(new))
@@ -41,7 +48,8 @@ def main() -> int:
     moved.sort(reverse=True)
     for ratio, name in moved:
         tag = "SLOWER" if ratio > 1 else "faster"
-        print(f"{ratio:6.2f}x {tag:7s} {name}: {old[name]} -> {new[name]}")
+        note = f"  [{comments[name]}]" if name in comments else ""
+        print(f"{ratio:6.2f}x {tag:7s} {name}: {old[name]} -> {new[name]}{note}")
 
     for name in sorted(set(new) - set(old)):
         print(f"   new          {name}: {new[name]}")

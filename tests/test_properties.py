@@ -183,3 +183,67 @@ def test_star_cc_random_graphs_match_union_find(spark):
             for r in connected_components_star(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_star_cc_adversarial_shapes(spark):
+    # Adversarial topologies for the contraction (VERDICT r4 #7):
+    # a long path chain (worst case for hash-min propagation — the
+    # shape star CC exists to beat), a high-degree star, self-loops,
+    # and a barbell (two chains bridged by one edge).  All must label
+    # every node with its component minimum, converge (witness hit,
+    # not max_iter exhaustion), and do so in far fewer rounds than the
+    # chain's diameter.
+    from myfitnesspaw_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(200)]  # diameter 200
+    star = [(1000, 1000 + i) for i in range(1, 80)]  # hub 1000
+    loops = [(5, 5), (1000, 1000), (2000, 2000)]  # self-loops dropped
+    barbell = (
+        [(3000 + i, 3000 + i + 1) for i in range(30)]
+        + [(4000 + i, 4000 + i + 1) for i in range(30)]
+        + [(3030, 4000)]
+    )
+    edges = chain + star + loops + barbell
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+
+    assert stats["converged"] is True
+    assert stats["rounds"] <= 10, stats  # O(log^2 n), not O(diameter)
+
+    for i in range(201):  # chain: all label 0
+        assert got[i] == 0
+    for i in range(1, 80):  # star: all label hub-min 1000
+        assert got[1000 + i] == 1000
+    assert got[1000] == 1000
+    for i in range(31):  # barbell: one component, min 3000
+        assert got[3000 + i] == 3000
+        assert got[4000 + i] == 3000
+    # Pure self-loop node 2000 has no real edge → not a graph node.
+    assert 2000 not in got
+    # Node 5 sits inside the chain; its self-loop must not perturb it.
+    assert got[5] == 0
+
+
+def test_star_cc_warns_on_max_iter_exhaustion(spark):
+    # Exhausting max_iter without the fixed-point witness must WARN and
+    # record converged=False (ADVICE r4: silent truncation could emit
+    # labels that are not component minima).
+    import warnings
+
+    from myfitnesspaw_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(80)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components_star(df, max_iter=1, stats=stats).collect()
+    assert stats["converged"] is False
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "fixed point" in str(w.message)
+        for w in caught
+    )
