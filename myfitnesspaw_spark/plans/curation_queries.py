@@ -599,3 +599,141 @@ SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
 FROM documents d JOIN bounded b USING (lang)
 WHERE d.n_chars < b.lo OR d.n_chars > b.hi
 """
+
+
+# --- sequence_packing -----------------------------------------------------
+# Context-window packing — the tokenize→concatenate→chunk step every
+# LLM training pipeline runs between curation and the data loader.
+# Documents are streamed per source in doc_id order; each doc's START
+# OFFSET in its source's token stream assigns it to the pack (training
+# context) the stream-chunker would place it in: pack_id = start_off
+# DIV budget.  This is the offset-binning form used at scale (exact
+# first-fit packing is sequential by definition); packs can overflow
+# the budget by at most one document's tokens, which the rollup makes
+# visible per pack.
+#
+# Scale shape: the cumulative offset is a window PARTITIONED BY source
+# (never global), the rollup is one map-side-combined aggregate on
+# (source, pack_id) — two shuffles total, no Python, no collect.
+
+PACK_BUDGET = 256  # tokens per training context
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    packed = off.withColumn("pack_id", F.expr(f"start_off DIV {PACK_BUDGET}"))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_WORDS}) AS n_tokens FROM documents
+),
+off AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT source, CAST(start_off // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM off GROUP BY 1, 2
+"""
+
+
+# --- inverted_index_build -------------------------------------------------
+# Posting-list construction — the retrieval-side inverse of the corpus:
+# per token, document frequency + total occurrences over the FULL
+# postings, and a deterministic capped posting string (first
+# IDX_POSTINGS_CAP docs by doc_id, each as doc:tf:first_pos) standing
+# in for the block a search engine would store.
+#
+# Scale shape: one shuffle builds per-(token, doc) term frequencies
+# (map-side combined from the posexplode); the stats rollup and the
+# cap window both run PARTITIONED BY token on that aggregated table —
+# never over raw occurrences; the cap bounds every posting string.
+# collect_list goes through array_sort(struct) so the assembled string
+# is order-deterministic regardless of shuffle arrival.
+
+IDX_POSTINGS_CAP = 5
+
+
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    ).where(F.col("token") != "")
+    tf = occ.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("n_occurrences"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = tf.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= IDX_POSTINGS_CAP
+    )
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf", "first_pos"))),
+                lambda s: F.concat_ws(
+                    ":", s["doc_id"], s["tf"], s["first_pos"]
+                ),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "token")
+
+
+INVERTED_INDEX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+occ AS (
+  SELECT doc_id, w[i.i] AS token, i.i - 1 AS pos
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) i
+  WHERE w[i.i] <> ''
+),
+tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+  FROM occ GROUP BY 1, 2
+),
+stats AS (
+  SELECT token, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+  FROM tf GROUP BY 1
+),
+capped AS (
+  SELECT token, doc_id, tf, first_pos,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+  FROM tf
+),
+postings AS (
+  SELECT token,
+         string_agg(doc_id || ':' || tf || ':' || first_pos, ',' ORDER BY doc_id)
+           AS postings
+  FROM capped WHERE rk <= {IDX_POSTINGS_CAP} GROUP BY token
+)
+SELECT s.token, s.doc_freq, s.n_occurrences, p.postings
+FROM stats s JOIN postings p USING (token)
+"""

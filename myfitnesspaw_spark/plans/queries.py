@@ -15,7 +15,8 @@ Round-5 window (freshness rotation, VERDICT r4 #1):
    or session regression can never hide behind the rotation.
 2. Every query whose plan changed this round (real PNG multimodal
    codec, scale-aware near-dup salting, multi-batch-exact drain
-   watermark, recursion-limit conf restore).
+   watermark, recursion-limit conf restore) plus the two queries NEW
+   this round (sequence packing, inverted index build).
 3. The 12 remaining round-1/2-certified queries — the oldest driver
    evidence in the registry.
 4. 28 round-3-certified queries (streaming + OLAP + curation blocks).
@@ -63,6 +64,10 @@ register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_s
 register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
     bq.recursive_user_spine
 )
+# New in round 5 (never certified): context-window packing and
+# posting-list construction over documents.
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
@@ -131,8 +136,9 @@ register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
 register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )
+# --- end of the 50-query driver window (3 + 7 + 12 + 28 above) ---
+
 register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
-# --- end of the 50-query driver window (3 + 5 + 12 + 30 above) ---
 
 # Round-4-certified block (driver-green in CORRECTNESS_r04; pytest-
 # guarded until their next rotation).

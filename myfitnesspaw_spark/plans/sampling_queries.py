@@ -124,7 +124,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = est.join(sk_j, f"b{j}")
     cms = F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)])
 
-    w = Window.orderBy(F.desc("n_true"), F.asc("token"))
+    # Top-K via orderBy+limit → TakeOrderedAndProject: every partition
+    # computes a partial top-K and only K rows reach the driver-side
+    # merge.  The row_number() form this replaces compiled to a GLOBAL
+    # (unpartitioned) window — a single-partition sort of the whole
+    # vocabulary, the exact anti-pattern a 100 TB vocabulary cannot
+    # survive.  The sort (n_true desc, token asc) is total, so the
+    # selected rows are identical.
     return (
         est.crossJoin(F.broadcast(total))
         .select(
@@ -139,9 +145,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bound_ok"
             ),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= CMS_TOPK)
-        .drop("rk")
+        .orderBy(F.desc("n_true"), F.asc("token"))
+        .limit(CMS_TOPK)
     )
 
 
