@@ -283,3 +283,32 @@ def test_weighted_sample_is_scan_local(spark, sf_dir):
     nodes = _nodes(spark, "weighted_sample", sf_dir)
     assert sum(n.startswith("Exchange") for n in nodes) == 1
     assert not any(n.startswith("HashAggregate") for n in nodes)
+
+
+def test_sequence_packing_window_is_partitioned(spark, sf_dir):
+    # The cumulative token offset must run PARTITIONED BY source — a
+    # global window would single-partition the whole corpus stream.
+    plan = _plan(spark, "sequence_packing", sf_dir)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "unpartitioned packing window"
+    # Documents scan is pruned: lang never leaves the reader.
+    assert "lang" not in plan.split("ReadSchema")[1]
+
+
+def test_inverted_index_windows_and_joins_are_keyed(spark, sf_dir):
+    # Both the cap window and the stats/postings join must be keyed on
+    # token — no global window, no cartesian anywhere.
+    plan = _plan(spark, "inverted_index_build", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The row_number cap runs per token.
+    assert "row_number" in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_cms_topk_is_take_ordered(spark, sf_dir):
+    # Top-K selection must be TakeOrderedAndProject (distributed
+    # partial top-K), not a global-order window sort.
+    plan = _plan(spark, "cms_heavy_hitters", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
