@@ -383,6 +383,38 @@ def simhash_pairs(
     )
 
 
+class _loop_shuffle_partitions:
+    """Size ``spark.sql.shuffle.partitions`` to the ITERATIVE graph for
+    the duration of a CC loop, restoring the prior value on exit.
+
+    The contracted edge set is orders of magnitude smaller than the
+    corpus the pairs came from (47 edges at sf0.1 vs 5000 docs), yet
+    every loop round pays 3-4 shuffles at the corpus-sized partition
+    count — per-task scheduling overhead dominates the rounds.  Target
+    one partition per ~50k edges, clamped to [4, current]: big graphs
+    keep the cluster-sized spread, small graphs stop paying 32 empty
+    tasks per shuffle per round.  Same state-volume-not-core-count
+    policy as streaming/rollup.py::state_shuffle_partitions.
+    """
+
+    def __init__(self, spark, n_edges: int):
+        self.spark = spark
+        self.prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+        cur = int(self.prior or spark.sparkContext.defaultParallelism)
+        self.target = max(4, min(cur, n_edges // 50_000 + 4))
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.target))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prior is None:
+            self.spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prior)
+        return False
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -411,30 +443,31 @@ def connected_components(
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    )
-    prev_sum: int | None = None
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
+    with _loop_shuffle_partitions(edges.sparkSession, edges.count()):
+        labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
         )
-        labels = (
-            labels.join(nbr, labels.node == nbr.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+        prev_sum: int | None = None
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nlbl"))
             )
-            .localCheckpoint()
-        )
-        # Labels only ever decrease, so Σlbl is a convergence witness —
-        # one scalar aggregate instead of a join-diff.
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            labels = (
+                labels.join(nbr, labels.node == nbr.dst, "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            # Labels only ever decrease, so Σlbl is a convergence
+            # witness — one scalar aggregate instead of a join-diff.
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select("node", F.col("lbl").alias("cluster"))
 
 
@@ -482,6 +515,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    spark = edges.sparkSession
+    n_edges = e.count()
 
     def _large_star(d: DataFrame) -> DataFrame:
         sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -509,24 +544,25 @@ def connected_components_star(
     prev: tuple | None = None
     rounds = 0
     converged = False
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        rounds += 1
-        # Fixed-point witness: count + endpoint sums + an order-
-        # insensitive content hash of the edge multiset — one scalar
-        # aggregate per round instead of a join-diff materialization.
-        cur = tuple(
-            e.agg(
-                F.count(F.lit(1)),
-                F.sum("u"),
-                F.sum("v"),
-                F.sum(F.hash("u", "v").cast("long")),
-            ).collect()[0]
-        )
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    with _loop_shuffle_partitions(spark, n_edges):
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            rounds += 1
+            # Fixed-point witness: count + endpoint sums + an order-
+            # insensitive content hash of the edge multiset — one
+            # scalar aggregate per round, no join-diff materialization.
+            cur = tuple(
+                e.agg(
+                    F.count(F.lit(1)),
+                    F.sum("u"),
+                    F.sum("v"),
+                    F.sum(F.hash("u", "v").cast("long")),
+                ).collect()[0]
+            )
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
     if not converged:
         # Exhausting max_iter without the witness matching means the
         # final labels may not be component minima; say so instead of
