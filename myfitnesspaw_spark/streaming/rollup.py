@@ -291,6 +291,8 @@ def streaming_dedup_counts(
     spark: SparkSession,
     sf_dir: str,
     sink_name: str = "streaming_dedup_counts_sink",
+    watermark: str = "1 hour",
+    drain_watermark: str | None = "3650 days",
 ) -> DataFrame:
     """Watermarked streaming DEDUPLICATION chained into an aggregate —
     two stateful operators in one query (Spark 3.4+): dropDuplicates
@@ -308,11 +310,17 @@ def streaming_dedup_counts(
     handful of rows at any data scale, so complete-mode re-emission is
     O(types), not O(history) — and chaining two stateful operators
     (dropDuplicates → agg) restricts which output modes Spark accepts.
+
+    Same ``drain_watermark`` contract as :func:`streaming_hourly_rollup`:
+    the default backlog-spanning watermark means a multi-micro-batch
+    drain cannot evict dedup state ahead of late-arriving keys, so the
+    drained counts equal the batch dedup exactly; continuous
+    deployments pass ``None`` to bound dedup state by ``watermark``.
     """
     events = read_events_stream(spark, sf_dir)
     dedup = (
         events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
-        .withWatermark("minute", "1 hour")
+        .withWatermark("minute", drain_watermark or watermark)
         .dropDuplicates(["user_id", "minute", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_user_minutes"))
