@@ -317,3 +317,84 @@ def test_full_report_flow_end_to_end():
     att = msg.get_payload()[-1]
     assert base64.b64decode(att.get_payload()) == png  # PNG survives intact
     assert att["Content-ID"] == f"<{cid}>"
+
+
+def test_failure_payload_structure():
+    from myfitnesspaw_spark.report.notifications import build_failure_payload
+
+    p = build_failure_payload("mfp", "etl_flow", "Boom: fetch timed out")
+    blocks = p["blocks"]
+    assert blocks[0]["type"] == "header"
+    fields = blocks[2]["fields"]
+    assert any("`mfp`" in f["text"] for f in fields)
+    assert any("`etl_flow`" in f["text"] for f in fields)
+    assert "Boom: fetch timed out" in blocks[3]["text"]["text"]
+    assert blocks[-1] == {"type": "divider"}  # branded context then divider
+
+
+def test_notify_on_failure_posts_and_reraises():
+    import pytest
+
+    from myfitnesspaw_spark.report.notifications import (
+        CollectingTransport,
+        notify_on_failure,
+    )
+
+    t = CollectingTransport()
+    with pytest.raises(ValueError, match="kaput"):
+        with notify_on_failure("mfp", "report_flow", t):
+            raise ValueError("kaput")
+    assert len(t.payloads) == 1
+    assert "ValueError: kaput" in str(t.payloads[0])
+
+    # No failure → no notification.
+    with notify_on_failure("mfp", "report_flow", t):
+        pass
+    assert len(t.payloads) == 1
+
+
+def test_streaming_listener_posts_on_failed_query(spark, tmp_path):
+    # A streaming query whose micro-batch raises must surface through
+    # the listener bus as a failure payload (SURVEY §2.10's
+    # onQueryTermination hook).
+    import time
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.report.notifications import (
+        CollectingTransport,
+        FailureNotificationListener,
+    )
+
+    t = CollectingTransport()
+    listener = FailureNotificationListener("mfp", t)
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "fail_src")
+        spark.range(5).select(F.col("id")).write.parquet(src)
+
+        def boom(batch, batch_id):
+            raise RuntimeError("deliberate micro-batch failure")
+
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .writeStream.foreachBatch(boom)
+            .queryName("failing_query_under_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+        # Listener events are delivered asynchronously.
+        deadline = time.time() + 30
+        while not t.payloads and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert t.payloads, "listener never delivered the failure payload"
+    text = str(t.payloads[0])
+    assert "deliberate micro-batch failure" in text
+    assert str(q.id) in text  # flow slot = query id (name not on event)
