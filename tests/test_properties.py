@@ -247,3 +247,27 @@ def test_star_cc_warns_on_max_iter_exhaustion(spark):
         issubclass(w.category, RuntimeWarning) and "fixed point" in str(w.message)
         for w in caught
     )
+
+
+@given(
+    w=st.integers(1, 50),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_random_content(w, h, seed):
+    # Pure-Python property over the multimodal codec (no Spark): any
+    # pixel field survives encode→decode exactly, for every dimension
+    # combination (h < 5 exercises partial filter-cycle coverage, w = 1
+    # the degenerate scanline).
+    import random
+
+    from myfitnesspaw_spark.operators.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    rng = random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h))
+    dw, dh, decoded = png_decode_gray(png_encode_gray(pixels, w, h))
+    assert (dw, dh, decoded) == (w, h, pixels)
