@@ -1,0 +1,181 @@
+"""Empirical scaling probe for the scale-critical corpus paths.
+
+Builds a K×-scaled copy of the testdata corpus in /tmp (documents and
+embeddings replicated with shifted ids; text perturbed per replica and
+embeddings rotated per replica so replicas are NOT near-dups of their
+originals — naive replication would inflate every duplicate group K×
+and measure an artificial quadratic blow-up instead of the engine),
+then times the banded/bucketed near-dup suite and related corpus ops
+at 1× and K× and prints time-ratio vs data-ratio.
+
+A path whose time ratio tracks the data ratio (±shuffle constants) is
+candidate-bounded as designed; a super-linear ratio means a quadratic
+pair space leaked past the banding.  The scaled dir name embeds
+``sf{K}`` so scale-aware knobs (e.g. embedding_near_dup's salt_groups)
+see a LARGE scale and take their cluster-shaped path — the probe
+exercises exactly the branches a real big run would.
+
+Usage::
+
+    python scripts/scale_probe.py [K] [query ...]   # default K=4
+
+Measured (K=4, sf0.1 base, local[32], 2026-08-14) — every probe at or
+under the 4.0× data ratio; none super-linear::
+
+    exact_dedup          1.41x    ngram_jaccard_pairs  3.18x
+    minhash_lsh_pairs    2.56x    simhash_pairs        1.48x
+    dedup_clusters_star  2.81x    embedding_near_dup   3.89x (salted path)
+    ann_topk_cosine      3.55x (queries AND corpus 4x → 16x pair space)
+    lang_id              1.60x    sequence_packing     1.44x
+    inverted_index_build 1.20x
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from myfitnesspaw_spark.plans import registry  # noqa: E402
+from myfitnesspaw_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBES = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_clusters_star",
+    "embedding_near_dup",
+    "ann_topk_cosine",
+    "lang_id",
+    "sequence_packing",
+    "inverted_index_build",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+]
+
+
+def build_scaled(spark, k: int) -> str:
+    out = f"/tmp/scale_probe_sf{k}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES:  # unchanged tables: link the original files
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+
+    def perturb(r: int):
+        # Replica r>0 applies a BIJECTIVE per-replica vocabulary
+        # substitution: every token t becomes md5(t‖r)[:8].  Token
+        # order, lengths, and tf structure are preserved, so within a
+        # replica the similarity graph is exactly isomorphic to the
+        # original corpus (pairs grow K× — linear), while shingle
+        # vocabularies of different replicas are disjoint, so replicas
+        # never pair across.  Two rejected constructions, for the
+        # record: appending a suffix leaves Jaccard(copy, original)
+        # ≈ 0.98 (K² pair blow-up); sorting tokens by a replica key
+        # CANONICALIZES order over this corpus's tiny vocabulary and
+        # makes every doc near-dup every other (all-pairs explosion).
+        if r == 0:
+            return F.col("text")
+        toks = F.split(F.col("text"), " ")
+        return F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.substring(F.md5(F.concat(t, F.lit(str(r)))), 1, 8),
+            ),
+            " ",
+        )
+
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            perturb(r).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(k)
+    ]
+    sdocs = replicas[0]
+    for rdf in replicas[1:]:
+        sdocs = sdocs.unionByName(rdf)
+    sdocs.repartition(32).write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+    ereps = []
+    for r in range(k):
+        rot = r % dim
+        rotated = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice(F.col("embedding"), rot + 1, dim - rot),
+                F.slice(F.col("embedding"), 1, rot),
+            )
+        )
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                rotated.alias("embedding"),
+                # Shifted labels: coarse-bucket COUNT grows with the
+                # data (as a real IVF index re-trained at scale would)
+                # so per-bucket pair spaces stay bounded — without
+                # this the probe measures the by-design quadratic of
+                # ever-fatter fixed buckets, not the engine.
+                (F.col("label") + r * 1000).alias("label"),
+            )
+        )
+    semb = ereps[0]
+    for rdf in ereps[1:]:
+        semb = semb.unionByName(rdf)
+    semb.repartition(32).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
+    import gc
+
+    best = None
+    for _ in range(reps):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    only = set(sys.argv[2:])
+    spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
+    qs = registry.queries()
+    scaled = build_scaled(spark, k)
+    print(f"scaled corpus at {scaled} ({k}x documents/embeddings)\n")
+    print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s}  t-ratio (data-ratio {k}.0)")
+    for name in PROBES:
+        if only and name not in only:
+            continue
+        t1 = time_query(spark, qs[name], BASE)
+        tk = time_query(spark, qs[name], scaled)
+        print(f"{name:28s} {t1:6.2f}s {tk:6.2f}s  {tk / t1:6.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
