@@ -64,10 +64,15 @@ register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_s
 register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
     bq.recursive_user_spine
 )
-# New in round 5 (never certified): context-window packing and
-# posting-list construction over documents.
+# New in round 5 (never certified): context-window packing,
+# posting-list construction, and the streaming mergeable-sketch build
+# (additive base⊕delta state — shares the batch CMS oracle verbatim
+# because integer-sum sketches merge exactly under any batching).
 register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
 register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
@@ -133,11 +138,11 @@ register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+# --- end of the 50-query driver window (3 + 8 + 12 + 27 above) ---
+
 register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )
-# --- end of the 50-query driver window (3 + 7 + 12 + 28 above) ---
-
 register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
 
 # Round-4-certified block (driver-green in CORRECTNESS_r04; pytest-

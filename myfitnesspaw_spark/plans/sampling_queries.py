@@ -82,7 +82,17 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_counts = occ.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_true")
     ).localCheckpoint()
+    return cms_report_from_counts(true_counts)
 
+
+def cms_report_from_counts(true_counts: DataFrame) -> DataFrame:
+    """Heavy-hitter report from a ``(token, n_true)`` vocabulary table.
+
+    Shared tail of the batch and STREAMING sketch builds: because every
+    CMS counter is an integer SUM over the vocabulary, any partition of
+    the corpus into batches merges additively to the identical sketch —
+    which is what lets the streaming variant share the batch oracle.
+    """
     hashed = true_counts.select("n_true", F.md5(F.col("token")).alias("__h"))
     cells = hashed.select(
         "n_true",

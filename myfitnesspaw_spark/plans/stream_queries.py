@@ -289,3 +289,74 @@ JOIN events e
  AND e.ts <= c.ts + INTERVAL 5 MINUTE
 WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
+
+
+# --- streaming_cms_heavy_hitters ------------------------------------------
+# Mergeable-sketch maintenance as a STREAM: each micro-batch computes
+# its partial vocabulary counts and foreachBatch merges them
+# ADDITIVELY into global state (base ⊕ delta, the incremental-view-
+# maintenance shape) — then the shared CMS tail reports heavy hitters
+# from the merged vocabulary.  Every CMS counter is an integer SUM, so
+# ANY partition of the corpus into micro-batches produces the
+# bit-identical sketch and estimate: unlike watermarked aggregates,
+# additive state needs no drain-watermark caveat at all, which is why
+# this query shares the batch oracle verbatim.  State is vocabulary-
+# bounded (distinct tokens), executor-side behind a localCheckpoint.
+
+def streaming_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.functions.text import tokens
+    from myfitnesspaw_spark.plans.sampling_queries import cms_report_from_counts
+
+    # The documents table ships as a single FILE in the testdata but as
+    # a DIRECTORY of part files when produced by a Spark write; the
+    # file-stream source accepts only directories, so stream the dir
+    # directly when it is one, else the parent dir with a leaf-name
+    # glob (which would miss part files in the directory case).
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+    state_view = "cms_stream_counts"
+    spark.createDataFrame([], "token string, n_true bigint").createOrReplaceGlobalTempView(
+        state_view
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        delta = (
+            batch.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_true"))
+        )
+        merged = (
+            s.table(f"global_temp.{state_view}")
+            .unionByName(delta)
+            .groupBy("token")
+            .agg(F.sum("n_true").alias("n_true"))
+        )
+        merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
+
+    query = (
+        raw.writeStream.foreachBatch(_merge)
+        .queryName("streaming_cms_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    counts = spark.table(f"global_temp.{state_view}").localCheckpoint(eager=True)
+    spark.sql(f"DROP VIEW IF EXISTS global_temp.{state_view}")
+    return cms_report_from_counts(counts)

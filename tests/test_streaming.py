@@ -224,3 +224,32 @@ def test_checkpointed_stream_resumes_exactly_once(spark, tmp_path):
     assert results == batch_truth == {
         "click": (3, 700), "error": (1, 300), "view": (1, 500)
     }
+
+
+def test_streaming_cms_multibatch_equals_batch(spark, tmp_path, sf_dir):
+    # Additive sketch state merges exactly under ANY batching: a forced
+    # 3-micro-batch build over a split corpus must produce the same
+    # heavy-hitter report as the single-pass batch build over the same
+    # rows (integer-sum counters commute — no watermark caveats).
+    import os
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.plans.sampling_queries import cms_heavy_hitters
+    from myfitnesspaw_spark.plans.stream_queries import streaming_cms_heavy_hitters
+
+    split_dir = str(tmp_path / "cms_split")
+    os.makedirs(split_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 3 files → 3 micro-batches under maxFilesPerTrigger=1.
+    docs.withColumn("__b", F.pmod(F.col("doc_id"), F.lit(3))).repartition(
+        3, "__b"
+    ).drop("__b").write.parquet(f"{split_dir}/documents.parquet")
+
+    streamed = streaming_cms_heavy_hitters(
+        spark, split_dir, max_files_per_trigger=1
+    )
+    batch = cms_heavy_hitters(spark, sf_dir)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
