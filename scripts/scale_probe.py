@@ -19,15 +19,21 @@ Usage::
 
     python scripts/scale_probe.py [K] [query ...]   # default K=4
 
-Measured (K=4, sf0.1 base, local[32], 2026-08-14) — every probe at or
-under the 4.0× data ratio; none super-linear::
+Measured (sf0.1 base, local[32], 2026-08-14) — time-ratio at K=4 and
+K=8; every probe at or under its data ratio (ANN's pair space grows
+K², so its ratios compare against 16×/64×)::
 
-    exact_dedup          1.41x    ngram_jaccard_pairs  3.18x
-    minhash_lsh_pairs    2.56x    simhash_pairs        1.48x
-    dedup_clusters_star  2.81x    embedding_near_dup   3.89x (salted path)
-    ann_topk_cosine      3.55x (queries AND corpus 4x → 16x pair space)
-    lang_id              1.60x    sequence_packing     1.44x
-    inverted_index_build 1.20x
+    query                  K=4     K=8   (data ratio  4.0 / 8.0)
+    exact_dedup           1.41x   1.49x
+    ngram_jaccard_pairs   3.18x   5.84x
+    minhash_lsh_pairs     2.56x   1.97x
+    simhash_pairs         1.48x   2.77x
+    dedup_clusters_star   2.81x   6.22x
+    embedding_near_dup    3.89x   6.23x  (salted scale path active)
+    ann_topk_cosine       3.55x   9.75x  (vs 16x / 64x pair space)
+    lang_id               1.60x   2.82x
+    sequence_packing      1.44x   1.32x
+    inverted_index_build  1.20x   1.35x
 """
 
 from __future__ import annotations
