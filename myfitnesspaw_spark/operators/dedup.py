@@ -159,6 +159,62 @@ def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> 
     return verify_pairs(shingles, cand, id_col, threshold)
 
 
+def jaccard_pairs_delta(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    delta_ids: DataFrame,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a delta only — the incremental form a
+    periodically-updated corpus runs: base×base pairs were found by
+    prior runs and are never recomputed; the probe side of the
+    inverted-index join is restricted to delta docs BEFORE the
+    shuffle, so join cost is O(delta activity), not O(corpus²).
+
+    ``delta_ids`` is a single-column DataFrame of ``id_col`` values.
+    Each qualifying pair is emitted exactly once via the flag rule:
+    probe p pairs with index doc i when ``p < i``, or when ``p > i``
+    and i is NOT itself in the delta (a delta×delta pair would
+    otherwise be found from both probe directions).  Returns the same
+    ``(id_a, id_b, n_shared, n_a, n_b, jaccard)`` contract as
+    :func:`jaccard_pairs` restricted to pairs with a delta member.
+    """
+    shingles = shingles.localCheckpoint()  # sizes + index + probe read it
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    marked = delta_ids.select(F.col(id_col)).withColumn("__d", F.lit(True))
+    flagged = shingles.join(marked, id_col, "left").select(
+        F.col(id_col), "shingle", F.coalesce("__d", F.lit(False)).alias("__d")
+    )
+    probe = flagged.where(F.col("__d")).select(
+        F.col(id_col).alias("id_p"), "shingle"
+    )
+    index = flagged.select(
+        F.col(id_col).alias("id_i"), "shingle", F.col("__d").alias("__d_i")
+    )
+    shared = (
+        probe.join(index, "shingle")
+        .where(
+            (F.col("id_p") < F.col("id_i"))
+            | ((F.col("id_p") > F.col("id_i")) & (~F.col("__d_i")))
+        )
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str,

@@ -73,6 +73,10 @@ register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_bui
 register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
     sq.streaming_cms_heavy_hitters
 )
+# Pipeline closure for dedup: materialize the deduplicated corpus, and
+# the incremental (delta-only) detection a daily-updated corpus runs.
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
@@ -135,11 +139,11 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
     cq.error_click_window_join
 )
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+# --- end of the 50-query driver window (3 + 10 + 12 + 25 above) ---
+
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
-# --- end of the 50-query driver window (3 + 8 + 12 + 27 above) ---
-
 register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )

@@ -18,6 +18,8 @@ deterministic copies in-query since the base corpus has none.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -631,12 +633,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
     )
     corpus = vecs.select("vec_id", "embedding", "label").unionByName(copies)
-    # salt_groups=4: exact salt-cell decomposition spreads each label
-    # bucket's quadratic pair space over 10 cells — with ~5 labels the
+    # Scale-aware salting (result-identical by construction at any G):
+    # the exact salt-cell decomposition spreads each label bucket's
+    # quadratic pair space over G(G+1)/2 cells — with ~5 labels the
     # unsalted join caps at 5 parallel tasks and one hot label is a
-    # straggler; salted it is 50 cells of bounded size.
+    # straggler.  But salting costs G× row replication, which at small
+    # data is pure overhead (r4 measured 0.84→1.37 s at sf0.1), so G
+    # follows the data scale: plain join up to sf0.1, G=4 (10 cells
+    # per bucket) beyond — and when the scale is unknown, assume big.
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    small = m is not None and float(m.group(1)) <= 0.1
     return bucket_near_dup(
-        corpus, "vec_id", "embedding", "label", NEAR_DUP_THRESHOLD, salt_groups=4
+        corpus,
+        "vec_id",
+        "embedding",
+        "label",
+        NEAR_DUP_THRESHOLD,
+        salt_groups=1 if small else 4,
     )
 
 
@@ -852,4 +865,100 @@ WITH pts AS (
 SELECT dim, COUNT(*) AS n, MIN(q) AS min_q, MAX(q) AS max_q,
        CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q * q) AS BIGINT) AS sumsq_q
 FROM pts GROUP BY 1
+"""
+
+
+# --- dedup_survivors ------------------------------------------------------
+# The MATERIALIZATION step that closes the dedup pipeline: detect →
+# cluster → emit the deduplicated corpus.  Survivors = every doc that
+# is its cluster's canonical minimum (cluster = min reachable doc_id)
+# plus every doc in no near-dup pair at all — implemented as one LEFT
+# ANTI join of the corpus against the non-canonical cluster members.
+# Scale shape: the CC label table is pair-graph-sized (tiny next to
+# the corpus); the anti join broadcasts it onto the corpus scan.
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import connected_components
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    losers = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT y.d, r.lbl FROM reach r JOIN sym y ON y.s = r.node
+),
+assign AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM assign WHERE node <> cluster)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+# --- delta_dedup_pairs ----------------------------------------------------
+# Incremental (delta) near-dup detection — the run a daily-updated
+# corpus actually executes: only pairs TOUCHING the new batch are
+# computed; base×base pairs were found by prior runs.  The probe side
+# of the inverted-index join is restricted to the delta BEFORE the
+# shuffle (O(delta activity), not O(corpus²)); the delta here is the
+# deterministic 10% slice doc_id % 10 = 0.  The oracle is free to
+# compute all pairs and filter — semantics, not strategy.
+
+def delta_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import jaccard_pairs_delta
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    delta = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    return jaccard_pairs_delta(sh, "doc_id", JACCARD_THRESHOLD, delta)
+
+
+DELTA_DEDUP_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+  AND (s.id_a % 10 = 0 OR s.id_b % 10 = 0)
 """

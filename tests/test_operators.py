@@ -333,3 +333,29 @@ def test_multimodal_decode_matches_oracle(spark, duck):
     from tests.conftest import SF_DIR, assert_matches_oracle
 
     assert_matches_oracle(multimodal_decode(spark, SF_DIR), duck, MULTIMODAL_DECODE_ORACLE)
+
+
+def test_jaccard_pairs_delta_equals_filtered_full(spark, sf_dir):
+    # The incremental (delta-probe) join must equal the full pair set
+    # filtered to pairs touching the delta — each pair found EXACTLY
+    # once (delta×delta pairs are reachable from both probe directions
+    # and must not double-count n_shared).
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_delta,
+        shingle_sets,
+    )
+    from myfitnesspaw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    delta = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    got = sorted(map(tuple, jaccard_pairs_delta(sh, "doc_id", 0.4, delta).collect()))
+    full = jaccard_pairs(sh, "doc_id", 0.4).where(
+        (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    )
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and got  # non-empty at the fixture threshold
