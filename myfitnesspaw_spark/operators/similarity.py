@@ -293,3 +293,103 @@ def bucket_near_dup(
         .select("id_a", "id_b", "bucket", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def srp_signature_col(int_vec: Column, signs: list[list[int]]) -> Column:
+    """Signed-random-projection signature of an integer vector column
+    as a long: bit j = [Σ_d int_vec[d]·signs[j][d] ≥ 0].
+
+    ``signs`` is an NB×D ±1 matrix embedded as ONE 2-D literal (same
+    flat-tree discipline as ``_centroid_scores`` — NB separate folds
+    would build an O(NB·D) expression tree per reference).  Exact
+    integer arithmetic end to end, so the signature is reproducible
+    cross-engine bit for bit.
+
+    PERF: ``int_vec`` MUST be a materialized column attribute, not an
+    inline expression — expressions captured by the transform lambda
+    re-evaluate once per hyperplane (NB×).
+    """
+    signs2d = F.array(*[F.array(*[F.lit(int(s)) for s in row]) for row in signs])
+    bits = F.transform(
+        signs2d,
+        lambda srow: F.when(
+            F.aggregate(
+                F.zip_with(int_vec, srow, lambda a, s: a * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(len(signs))])
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    signs: list[list[int]],
+    band_bits: int,
+    threshold: float,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via signed-random-projection LSH —
+    the embedding-side sibling of SimHash (which bands token hashes).
+
+    Pipeline: float vector → exact integer micro-units (truncation,
+    both engines agree) → NB-bit SRP signature (one shuffle-free
+    projection) → signature split into NB/band_bits bands → band-key
+    self-join for candidates (the ONLY shuffle that grows with N;
+    identical/near vectors agree on whole bands with high
+    probability) → exact cosine verify on candidates only.  Never
+    compares all pairs; band keys are content-derived and uniform
+    under the hyperplane family, so the shuffle has no planted skew.
+
+    Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``, each pair once.
+    """
+    nb = len(signs)
+    n_bands = nb // band_bits
+    base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    sig = (
+        base.withColumn(
+            "iv",
+            F.transform(
+                F.col("vec"), lambda x: (x.cast("double") * scale).cast("long")
+            ),
+        )
+        .withColumn("sig", srp_signature_col(F.col("iv"), signs))
+        .drop("iv")
+    )
+    bands = sig.select(
+        "vid",
+        F.expr(
+            f"explode(transform(sequence(0, {n_bands - 1}), b -> struct("
+            f"b AS band, pmod(sig DIV CAST(pow(2, {band_bits} * b) AS BIGINT), "
+            f"{1 << band_bits}) AS bval)))"
+        ).alias("bk"),
+    ).select("vid", "bk.band", "bk.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -254,3 +254,191 @@ SELECT i.doc_id, COUNT(*) AS n_bigrams,
 FROM inst i JOIN model m USING (bigram)
 GROUP BY i.doc_id
 """
+
+# --- semantic_dedup -------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster the embedding space with a
+# coarse quantizer, then near-duplicate ONLY within clusters and drop
+# every non-canonical member (survivor = lowest id of each qualifying
+# pair).  This differs from embedding_near_dup in that the bucket is
+# LEARNED from the vectors (nearest-centroid assignment) rather than a
+# given label column — the actual cluster→dedup pipeline shape.
+#
+# Scale shape: assignment is a shuffle-free projection over broadcast
+# centroid literals (operators/similarity.py::ivf_coarse_assign); the
+# within-cluster pair join shuffles on the learned cluster key with
+# the same salting/cap escape hatches as bucket_near_dup; the drop
+# set is one map-side-combined aggregate over qualifying pairs.
+# Σ cluster² replaces N², exactly as in the paper.
+
+SEMDEDUP_NC = 12
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import (
+        bucket_near_dup,
+        ivf_coarse_assign,
+    )
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    copies = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(copies)
+    # Coarse quantizer = the SEMDEDUP_NC lowest-id base vectors —
+    # driver-side by design (every clustered-dedup index build
+    # collects its K centroids once), re-broadcast as literals.
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in vecs.where(F.col("vec_id") < SEMDEDUP_NC).collect()
+    ]
+    assigned = ivf_coarse_assign(corpus, "embedding", cents, out_col="cluster_id")
+    pairs = bucket_near_dup(
+        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD
+    )
+    # Drop rule: any id that appears as the LARGER side of a
+    # qualifying pair; witness = its smallest lower-id near-dup.
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.max("bucket").alias("cluster_id"),
+        F.min("id_a").alias("witness_id"),
+        F.min_by("cos", "id_a").alias("witness_cos"),
+        F.count(F.lit(1)).alias("n_witnesses"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import _duck_cosine
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {SEMDEDUP_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cosine("e.embedding", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM corpus e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+         {_duck_cosine("a.embedding", "b.embedding")} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT id_b AS dropped_id,
+       CAST(MAX(cluster_id) AS INT) AS cluster_id,
+       MIN(id_a) AS witness_id,
+       arg_min(cos, id_a) AS witness_cos,
+       COUNT(*) AS n_witnesses
+FROM pairs GROUP BY id_b
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
+
+# --- srp_lsh_pairs --------------------------------------------------------
+# Embedding-cosine near-dup via signed-random-projection LSH — the
+# third LSH family in the suite next to MinHash (set Jaccard) and
+# SimHash (token-weighted Hamming): NB deterministic ±1 hyperplanes
+# (md5-derived, embedded as literals in BOTH engines), 16-bit
+# signature, 4-bit bands, candidates verified with exact cosine.
+# See operators/similarity.py::srp_lsh_pairs for the scale shape.
+
+SRP_BITS = 16
+SRP_DIM = 64
+SRP_BAND_BITS = 4
+SRP_THRESHOLD = 0.45
+SRP_SCALE = 1_000_000
+
+
+def _srp_signs() -> list[list[int]]:
+    """NB×D ±1 hyperplane matrix from md5("srp:{j}:{d}") parity —
+    deterministic, engine-independent (pure Python constants)."""
+    out = []
+    for j in range(SRP_BITS):
+        row = []
+        for d in range(SRP_DIM):
+            h = hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def srp_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import srp_lsh_pairs
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    copies = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(copies)
+    return srp_lsh_pairs(
+        corpus,
+        "vec_id",
+        "embedding",
+        _srp_signs(),
+        SRP_BAND_BITS,
+        SRP_THRESHOLD,
+        scale=SRP_SCALE,
+    )
+
+
+def _srp_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import _duck_cosine
+
+    signs = _srp_signs()
+    bit_terms = []
+    for j, row in enumerate(signs):
+        lit = "[" + ", ".join(str(s) for s in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {SRP_DIM}), "
+            f"i -> iv[i] * list_extract({lit}, i)), (a, v) -> a + v)"
+        )
+        bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    sig_expr = " + ".join(bit_terms)
+    n_bands = SRP_BITS // SRP_BAND_BITS
+    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+iv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(TRUNC(CAST(x AS DOUBLE) * {SRP_SCALE}) AS BIGINT)) AS iv
+  FROM corpus
+),
+sigs AS (SELECT vec_id, embedding, {sig_expr} AS sig FROM iv),
+bands AS (
+  SELECT vec_id, t.band,
+         (sig // CAST(power(2, {SRP_BAND_BITS} * t.band) AS BIGINT))
+           % {1 << SRP_BAND_BITS} AS bval
+  FROM sigs, LATERAL (VALUES {band_rows}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_duck_cosine("va.embedding", "vb.embedding")} AS cos
+FROM cand c
+JOIN corpus va ON va.vec_id = c.id_a
+JOIN corpus vb ON vb.vec_id = c.id_b
+WHERE {_duck_cosine("va.embedding", "vb.embedding")} >= {SRP_THRESHOLD}
+"""
+
+
+SRP_LSH_ORACLE = _srp_oracle()

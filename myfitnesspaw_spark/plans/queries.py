@@ -15,11 +15,16 @@ Round-5 window (freshness rotation, VERDICT r4 #1):
    or session regression can never hide behind the rotation.
 2. Every query whose plan changed this round (real PNG multimodal
    codec, scale-aware near-dup salting, multi-batch-exact drain
-   watermark, recursion-limit conf restore) plus the two queries NEW
-   this round (sequence packing, inverted index build).
+   watermark, recursion-limit conf restore) plus the queries NEW this
+   round (sequence packing, inverted index, streaming CMS, dedup
+   survivors, delta pairs, RAG chunking, mixture sampling, bigram-LM
+   scoring, semantic dedup, SRP LSH, stream-static enrichment).
 3. The 12 remaining round-1/2-certified queries — the oldest driver
    evidence in the registry.
-4. 28 round-3-certified queries (streaming + OLAP + curation blocks).
+4. Round-3-certified backfill up to the 50-entry boundary (streaming +
+   OLAP + curation blocks); entries pushed past the boundary by the
+   new registrations stay r3-certified (age 2) and lead the r6
+   rotation.
 Everything left OUTSIDE the window was driver-certified in r3 or r4,
 so after this round no query's latest green row is more than two
 rounds old.  Out-of-window queries stay guarded by
@@ -82,6 +87,11 @@ register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
 register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
@@ -144,7 +154,8 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
     cq.error_click_window_join
 )
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-# --- end of the 50-query driver window (3 + 10 + 12 + 25 above) ---
+# --- the 50-query driver window ends inside the block above; the
+# --- r3-certified tail pushed past it (age 2) leads the r6 rotation.
 
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)

@@ -360,3 +360,18 @@ def streaming_cms_heavy_hitters(
     counts = spark.table(f"global_temp.{state_view}").localCheckpoint(eager=True)
     spark.sql(f"DROP VIEW IF EXISTS global_temp.{state_view}")
     return cms_report_from_counts(counts)
+
+
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming.rollup import streaming_static_enrich
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
+STREAM_STATIC_ENRICH_ORACLE = f"""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS.replace("value", "e.value")}) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+"""

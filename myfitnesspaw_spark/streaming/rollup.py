@@ -342,3 +342,54 @@ def streaming_dedup_counts(
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(sink_name)
+
+
+def streaming_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_name: str = "streaming_static_enrich_sink",
+    drain_watermark: str = "3650 days",
+) -> DataFrame:
+    """Stream-static enrichment: the events STREAM inner-joined to the
+    static customer dimension (broadcast — the stateless join every
+    streaming enrichment pipeline runs), then rolled up per market
+    segment in update mode.
+
+    Scale shape: a stream-static join keeps NO join state — the static
+    side is planned as a broadcast into every micro-batch, so the only
+    stateful operator is the downstream segment aggregate (bounded by
+    segment cardinality).  The dimension is re-resolved per trigger,
+    which is exactly the slowly-changing-dimension refresh semantics a
+    continuous deployment wants.  Money sums ride exact integer cents.
+    """
+    from myfitnesspaw_spark.sources import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(customers), "user_id")
+    agg = (
+        joined.withWatermark("ts", drain_watermark)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions(spark))
+    )
+    try:
+        state = _drain_update_merge(
+            agg,
+            ["c_mktsegment", "event_type"],
+            f"{sink_name}_state",
+            sink_name,
+            multi_batch_exact=True,
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return state
