@@ -312,3 +312,56 @@ def test_cms_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, "cms_heavy_hitters", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def _count_nodes(plan: str, name: str) -> int:
+    """Count physical nodes of ``name`` in a formatted explain — each
+    node appears twice (tree line + detail section), so count only the
+    detail headers ``(<id>) <name>``."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def test_doc_chunk_overlap_is_scan_local(spark, sf_dir):
+    plan = _plan(spark, "doc_chunk_overlap", sf_dir)
+    # Chunking is a pure row-local projection: no join anywhere, and
+    # the only exchange allowed is the scatter() parallelism
+    # repartition before the scan-side projection.
+    assert "Join" not in plan
+    assert _count_nodes(plan, "Exchange") <= 1
+
+
+def test_mixture_sample_bounded_cross_and_broadcast_quota(spark, sf_dir):
+    plan = _plan(spark, "mixture_sample", sf_dir)
+    # Exactly one BroadcastNestedLoopJoin: the 1-row mixture total
+    # re-attached to the 20-row counts table — bounded by design.
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    # Per-source quotas reach the corpus through a broadcast, never a
+    # sort-merge shuffle of the corpus against a 20-row table.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_assignment_is_projection(spark, sf_dir):
+    plan = _plan(spark, "semantic_dedup", sf_dir)
+    # Nearest-centroid assignment rides in a Project over broadcast
+    # literals — cluster comparison must never appear as a join of the
+    # corpus against a centroid TABLE.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_srp_lsh_no_all_pairs_join(spark, sf_dir):
+    plan = _plan(spark, "srp_lsh_pairs", sf_dir)
+    # Candidates come from the band-key equi-join; an all-pairs
+    # (cartesian / nested-loop) comparison must never appear.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_model_joins_are_keyed(spark, sf_dir):
+    plan = _plan(spark, "bigram_lm_score", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
