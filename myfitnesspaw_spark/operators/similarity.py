@@ -351,6 +351,13 @@ def srp_lsh_pairs(
     compares all pairs; band keys are content-derived and uniform
     under the hyperplane family, so the shuffle has no planted skew.
 
+    A pair colliding in k bands would surface k times; instead of a
+    ``distinct`` (a full extra shuffle of the candidate set), each row
+    carries its 8-byte full signature through the band join and a pair
+    is kept ONLY at its lowest colliding band — a row-local predicate
+    (both signatures are present post-join), so candidates are unique
+    by construction and the dedup shuffle disappears at any scale.
+
     Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``, each pair once.
     """
     nb = len(signs)
@@ -368,12 +375,28 @@ def srp_lsh_pairs(
     )
     bands = sig.select(
         "vid",
+        "sig",
         F.expr(
             f"explode(transform(sequence(0, {n_bands - 1}), b -> struct("
             f"b AS band, pmod(sig DIV CAST(pow(2, {band_bits} * b) AS BIGINT), "
             f"{1 << band_bits}) AS bval)))"
         ).alias("bk"),
-    ).select("vid", "bk.band", "bk.bval")
+    ).select("vid", "sig", "bk.band", "bk.bval")
+    # First-collision-band predicate: every band below the joined one
+    # must DISAGREE between the two signatures.  sig < 2^NB so the
+    # double-typed pow/divide is exact.
+    def _band_of(sig_col: Column, b: Column) -> Column:
+        return F.pmod(
+            F.floor(
+                sig_col / F.pow(F.lit(2.0), (b * band_bits).cast("double"))
+            ).cast("long"),
+            F.lit(1 << band_bits),
+        )
+
+    first_collision = F.forall(
+        F.sequence(F.lit(0), F.col("a.band") - 1),
+        lambda b: _band_of(F.col("a.sig"), b) != _band_of(F.col("b.sig"), b),
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -382,8 +405,8 @@ def srp_lsh_pairs(
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
+        .where((F.col("a.band") == 0) | first_collision)
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .distinct()
     )
     va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))

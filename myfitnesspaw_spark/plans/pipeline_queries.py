@@ -442,3 +442,84 @@ WHERE {_duck_cosine("va.embedding", "vb.embedding")} >= {SRP_THRESHOLD}
 
 
 SRP_LSH_ORACLE = _srp_oracle()
+
+# --- quality_classifier_score ---------------------------------------------
+# Learned-filter inference as a projection — the fasttext-style quality
+# classifier every curation pipeline runs over the full corpus.  The
+# "model" is a fixed integer weight vector (trained offline; embedded
+# as literals) applied to exact-integer engineered features, so
+# inference is scan-local: broadcast weights, zero shuffle, and the
+# decision (logit ≥ 0) is engine-exact.  No float sigmoid is emitted:
+# exp() is last-ulp engine-dependent (same reason the suite's IDF
+# avoids ln) and the keep/drop decision only needs the logit sign.
+#
+# Scale shape: identical to any model-scoring pass at 100 TB — the
+# weights ride into every task as literals, scoring rides into the
+# scan; the ONLY cost is the row projection itself.
+
+#: (bias, n_tokens, distinct_millis, stop_millis, mean_wlen_millis)
+QC_WEIGHTS = (-1800, 9, 2, -4, 1)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars"),
+    )
+    feat = feat.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("1000 * n_distinct DIV n_tokens").alias("distinct_millis"),
+        F.expr("1000 * n_stop DIV n_tokens").alias("stop_millis"),
+        F.expr("1000 * n_chars DIV n_tokens").alias("mean_wlen_millis"),
+    )
+    w = QC_WEIGHTS
+    logit_units = (
+        F.lit(w[0])
+        + w[1] * F.col("n_tokens")
+        + w[2] * F.col("distinct_millis")
+        + w[3] * F.col("stop_millis")
+        + w[4] * F.col("mean_wlen_millis")
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_millis",
+        "stop_millis",
+        "mean_wlen_millis",
+        logit_units.alias("logit_units"),
+        (logit_units >= 0).alias("quality_pass"),
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS norm, {_WORDS} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         1000 * len(list_distinct(w)) // len(w) AS distinct_millis,
+         1000 * len(list_filter(w, t -> t IN ('the', 'a'))) // len(w)
+           AS stop_millis,
+         1000 * length(norm) // len(w) AS mean_wlen_millis
+  FROM d
+),
+scored AS (
+  SELECT *,
+         {QC_WEIGHTS[0]} + {QC_WEIGHTS[1]} * n_tokens
+           + {QC_WEIGHTS[2]} * distinct_millis
+           + {QC_WEIGHTS[3]} * stop_millis
+           + {QC_WEIGHTS[4]} * mean_wlen_millis AS logit_units
+  FROM feat
+)
+SELECT doc_id, n_tokens, distinct_millis, stop_millis, mean_wlen_millis,
+       CAST(logit_units AS BIGINT) AS logit_units,
+       logit_units >= 0 AS quality_pass
+FROM scored
+"""

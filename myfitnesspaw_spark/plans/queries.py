@@ -92,6 +92,14 @@ register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
 register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
     sq.stream_static_enrich_q
 )
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+# Shares the dropDuplicates oracle: with a backlog-spanning drain
+# watermark both forms equal batch DISTINCT.
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).

@@ -375,3 +375,11 @@ SELECT c.c_mktsegment, e.event_type,
 FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
 GROUP BY 1, 2
 """
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming.rollup import (
+        streaming_dedup_within_watermark_counts,
+    )
+
+    return streaming_dedup_within_watermark_counts(spark, sf_dir)
