@@ -416,3 +416,140 @@ def srp_lsh_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² over two integer vectors — exact integer L2²."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    int_vec_col: str,
+    codebooks: list[list[list[int]]],
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encoding: split the D-dim integer vector
+    into M = len(codebooks) subvectors and store, per subspace, the id
+    of the nearest codebook entry (exact integer L2², ties toward the
+    lower code).  The codebook (M×K×D/M ints — a handful of KB even at
+    K=256) rides into every task as ONE 3-D literal, so encoding a
+    100 TB corpus is a shuffle-free projection, exactly like IVF
+    coarse assignment.  Output column: ``array<int>`` of M codes —
+    the compressed representation an ADC scan reads instead of the
+    full vector (8 bytes vs 256 here; 64× at production D).
+    """
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    cb3d = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(v)) for v in code]) for code in book])
+            for book in codebooks
+        ]
+    )
+    iv = F.col(int_vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.array_min(
+            F.zip_with(
+                F.element_at(cb3d, mm + 1),
+                F.sequence(F.lit(0), F.lit(len(codebooks[0]) - 1)),
+                lambda cv, c: F.struct(
+                    _sq_l2(F.slice(iv, mm * sub_d + 1, F.lit(sub_d)), cv).alias(
+                        "dist"
+                    ),
+                    c.alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    return df.withColumn(out_col, codes)
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: the corpus is scanned in COMPRESSED
+    form (M one-byte codes per vector), each query precomputes its
+    M×K lookup table of subspace distances row-locally, and the scan
+    cost per (query, vector) drops from D multiplies to M array
+    lookups — the standard memory-bound ANN shape (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Scale: queries (with their LUTs) broadcast against the sharded
+    encoded corpus — identical topology to ``cosine_topk``, but the
+    corpus side streams codes instead of vectors, so the working set
+    shrinks by the compression ratio.  The only shuffle is the final
+    top-k on query_id.  Exact integer arithmetic end to end.
+
+    Returns ``(query_id, neighbor_id, rank, approx_dist)``, rank by
+    ascending ADC distance (neighbor id tiebreak).
+    """
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    cb3d = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(v)) for v in code]) for code in book])
+            for book in codebooks
+        ]
+    )
+
+    def _to_int(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(
+            "iv",
+            F.transform(
+                F.col(vec_col), lambda x: (x.cast("double") * scale).cast("long")
+            ),
+        ).select(F.col(id_col).alias(name), "iv")
+
+    enc = pq_encode(_to_int(corpus, "neighbor_id"), "iv", codebooks).select(
+        "neighbor_id", "codes"
+    )
+    lut = (
+        _to_int(queries, "query_id")
+        .withColumn(
+            "lut",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mm: F.transform(
+                    F.element_at(cb3d, mm + 1),
+                    lambda cv: _sq_l2(
+                        F.slice(F.col("iv"), mm * sub_d + 1, F.lit(sub_d)), cv
+                    ),
+                ),
+            ),
+        )
+        .select("query_id", "lut")
+    )
+    scored = (
+        enc.join(F.broadcast(lut), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda code, lrow: F.element_at(lrow, code + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("approx_dist"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("approx_dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "rank", "approx_dist")

@@ -523,3 +523,181 @@ SELECT doc_id, n_tokens, distinct_millis, stop_millis, mean_wlen_millis,
        logit_units >= 0 AS quality_pass
 FROM scored
 """
+
+# --- pagerank_dedup_graph -------------------------------------------------
+# Link analysis over the near-dup pair graph: 3 rounds of exact-integer
+# PageRank (operators/graph.py) pick the most CENTRAL member of each
+# duplicate neighborhood — the canonical-survivor signal to use when
+# "lowest id wins" is too crude.  The oracle unrolls the identical
+# 3 rounds as CTEs; every unit is integer arithmetic, so the two
+# engines agree bit for bit.
+
+PR_ITERATIONS = 3
+
+
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import jaccard_pairs_prefix, shingle_sets
+    from myfitnesspaw_spark.operators.graph import pagerank_integer
+    from myfitnesspaw_spark.plans.text_queries import JACCARD_THRESHOLD
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return pagerank_integer(pairs, iterations=PR_ITERATIONS).select(
+        F.col("node").alias("doc_id"), "deg", "rank_units"
+    )
+
+
+def _pagerank_oracle() -> str:
+    from myfitnesspaw_spark.operators.graph import PR_SCALE
+    from myfitnesspaw_spark.plans.text_queries import (
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    base = (15 * PR_SCALE) // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERATIONS + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT n.node, n.deg,
+         {base} + (85 * COALESCE(s.csum, 0)) // 100 AS rank
+  FROM deg n
+  LEFT JOIN (
+    SELECT y.d AS node, SUM(r.rank // r.deg) AS csum
+    FROM {prev} r JOIN sym y ON y.s = r.node
+    GROUP BY 1
+  ) s USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+r0 AS (SELECT node, deg, {PR_SCALE} AS rank FROM deg),
+{",".join(rounds)}
+SELECT node AS doc_id, deg, CAST(rank AS BIGINT) AS rank_units FROM {prev}
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+# --- pq_ann_topk ----------------------------------------------------------
+# Product-quantization ANN (Jégou et al.) — the memory-bound scale
+# path next to brute-force (ann_topk_cosine) and partition-pruned
+# (ivf_ann_topk) search: the corpus is scanned as M-byte PQ codes and
+# each query's M×K lookup table turns the per-pair cost into M array
+# reads.  Codebooks here are the subvectors of the PQ_K lowest-id
+# vectors (a seeded-init codebook without the Lloyd steps, same
+# determinism stance as the IVF centroids); distances are exact
+# integer L2² in micro-units, so encode, LUT, and ADC sums hash-match
+# DuckDB bit for bit.
+
+PQ_M = 8      # subspaces (64 dims → 8 per subspace)
+PQ_K = 4      # codes per subspace
+PQ_TOPK = 5
+PQ_QUERY_MOD = 50
+PQ_SCALE = 1_000_000
+
+
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import pq_ann_topk
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    sub_d = 64 // PQ_M
+    donors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in vecs.where(F.col("vec_id") < PQ_K).collect()
+    )
+    codebooks = [
+        [
+            [int(float(v) * PQ_SCALE) for v in vec[m * sub_d : (m + 1) * sub_d]]
+            for _, vec in donors
+        ]
+        for m in range(PQ_M)
+    ]
+    queries = vecs.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+    return pq_ann_topk(
+        queries, vecs, "vec_id", "embedding", codebooks, PQ_TOPK, scale=PQ_SCALE
+    )
+
+
+_PQ_L2 = (
+    "list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _pq_oracle() -> str:
+    sub_d = 64 // PQ_M
+    dist = _PQ_L2.format(n=sub_d, a="{a}", b="{b}")
+    return f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(TRUNC(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, t.m,
+         list_slice(iv, t.m * {sub_d} + 1, (t.m + 1) * {sub_d}) AS sv
+  FROM iv, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) AS t
+),
+cb AS (
+  SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM subs
+  WHERE vec_id < {PQ_K}
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {dist.format(a="s.sv", b="c.cv")} ASC, c.code ASC
+           ) AS rn
+    FROM subs s JOIN cb c USING (m)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {dist.format(a="q.sv", b="c.cv")} AS d
+  FROM subs q JOIN cb c USING (m)
+  WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_dist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_dist
+FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
+
+PQ_ANN_ORACLE = _pq_oracle()

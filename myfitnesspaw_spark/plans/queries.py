@@ -100,6 +100,11 @@ register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
 register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
     sq.streaming_dedup_within_watermark
 )
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).

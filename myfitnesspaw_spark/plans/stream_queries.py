@@ -383,3 +383,41 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     return streaming_dedup_within_watermark_counts(spark, sf_dir)
+
+
+def stream_stream_click_error_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.streaming.joins import stream_stream_click_error_outer
+
+    return stream_stream_click_error_outer(spark, sf_dir)
+
+
+# Unmatched clicks emit ONLY once the join's GLOBAL watermark has
+# passed click_ts + 5 min.  The global watermark is the MIN over both
+# watermarked inputs of (max event time seen − delay) — each side's
+# tracker sits after its event_type filter, so the horizon is the
+# least of the click and error maxima, not the raw stream max.
+STREAM_STREAM_OUTER_ORACLE = """
+WITH wm AS (
+  SELECT least(
+           max(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'click'),
+           max(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'error')
+         ) - INTERVAL 30 MINUTE AS w
+  FROM events
+),
+j AS (
+  SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id,
+         epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+           AS gap_us,
+         CAST(c.ts AS TIMESTAMP) AS click_ts
+  FROM events c
+  LEFT JOIN events e
+    ON c.user_id = e.user_id
+   AND e.event_type = 'error'
+   AND e.ts > c.ts
+   AND e.ts <= c.ts + INTERVAL 5 MINUTE
+  WHERE c.event_type = 'click'
+)
+SELECT click_id, user_id, error_id, gap_us
+FROM j, wm
+WHERE error_id IS NOT NULL OR click_ts + INTERVAL 5 MINUTE < wm.w
+"""
