@@ -365,3 +365,22 @@ def test_bigram_lm_model_joins_are_keyed(spark, sf_dir):
     plan = _plan(spark, "bigram_lm_score", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_ann_codes_scan_broadcast_lut(spark, sf_dir):
+    plan = _plan(spark, "pq_ann_topk", sf_dir)
+    # The ADC scan joins the ENCODED corpus against broadcast query
+    # LUTs — never a sort-merge shuffle of the corpus, never an
+    # uncompressed all-pairs comparison.
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi (self-exclusion) join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_joins_are_keyed(spark, sf_dir):
+    plan = _plan(spark, "pagerank_dedup_graph", sf_dir)
+    # Per-round rank⋈edges and the degree rollup are key-equi joins;
+    # localCheckpoint truncates lineage so the plan shows only the
+    # final round, not 3 rounds of accumulated joins.
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpointed round input
