@@ -701,3 +701,141 @@ FROM ranked WHERE rank <= {PQ_TOPK}
 
 
 PQ_ANN_ORACLE = _pq_oracle()
+
+# --- hard_negative_mining -------------------------------------------------
+# Contrastive-training data prep: for each sampled anchor vector, the
+# top-K most similar vectors of a DIFFERENT label — the "hard
+# negatives" a contrastive or reranker training loop mines from the
+# corpus (easy negatives are random; hard ones are near the decision
+# boundary).  Same broadcast-anchors × sharded-corpus topology as
+# brute-force ANN, with the label-mismatch predicate riding in the
+# join condition so same-label pairs never materialize.
+
+HN_K = 5
+HN_QUERY_MOD = 50
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import topk_per_key
+    from myfitnesspaw_spark.operators.similarity import cosine
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    anchors = vecs.where(F.col("vec_id") % HN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("anchor_label"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("anchor_label") != F.col("neg_label")
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.col("anchor_label").cast("int").alias("anchor_label"),
+        F.col("neg_label").cast("int").alias("neg_label"),
+        cosine(F.col("av"), F.col("nv")).alias("cos"),
+    )
+    return topk_per_key(
+        scored,
+        ["anchor_id"],
+        [F.col("cos").desc(), F.col("negative_id").asc()],
+        HN_K,
+    ).select("anchor_id", "negative_id", "anchor_label", "neg_label", "rank", "cos")
+
+
+def _hard_negative_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import _duck_cosine
+
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+  FROM embeddings WHERE vec_id % {HN_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT a.anchor_id, c.vec_id AS negative_id,
+         CAST(a.anchor_label AS INT) AS anchor_label,
+         CAST(c.label AS INT) AS neg_label,
+         {_duck_cosine("a.av", "c.embedding")} AS cos
+  FROM a JOIN embeddings c ON a.anchor_label <> c.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, negative_id, anchor_label, neg_label,
+       CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {HN_K}
+"""
+
+
+HARD_NEGATIVE_ORACLE = _hard_negative_oracle()
+
+# --- random_negative_sampling ---------------------------------------------
+# The uniform half of the contrastive recipe next to hard_negative_
+# mining: for each sampled anchor document, K negatives drawn from
+# OTHER sources by md5(anchor:candidate) rank — a deterministic,
+# re-run-stable stand-in for uniform sampling that needs no RNG state
+# and reproduces exactly on reprocessing (the same property the
+# suite's split/sample operators are built on).
+#
+# Scale shape: anchors broadcast against the sharded corpus; the rank
+# window partitions by anchor (bounded by the anchor sample), and the
+# md5 ranking key is computed in the scan projection.
+
+RN_K = 4
+RN_QUERY_MOD = 50
+
+
+def random_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import topk_per_key
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    anchors = docs.where(F.col("doc_id") % RN_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("negative_id"), F.col("source").alias("neg_source")
+    )
+    ring = cands.join(
+        F.broadcast(anchors), F.col("anchor_source") != F.col("neg_source")
+    ).select(
+        "anchor_id",
+        "negative_id",
+        "neg_source",
+        F.md5(
+            F.concat_ws(":", F.col("anchor_id").cast("string"),
+                        F.col("negative_id").cast("string"))
+        ).alias("ring_key"),
+    )
+    return topk_per_key(
+        ring,
+        ["anchor_id"],
+        [F.col("ring_key").asc(), F.col("negative_id").asc()],
+        RN_K,
+    ).select("anchor_id", "negative_id", "neg_source", "rank", "ring_key")
+
+
+RANDOM_NEGATIVE_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source FROM documents
+  WHERE doc_id % {RN_QUERY_MOD} = 0
+),
+ring AS (
+  SELECT a.anchor_id, d.doc_id AS negative_id, d.source AS neg_source,
+         md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+           AS ring_key
+  FROM a JOIN documents d ON a.anchor_source <> d.source
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY ring_key ASC, negative_id ASC) AS rank
+  FROM ring
+)
+SELECT anchor_id, negative_id, neg_source, CAST(rank AS INT) AS rank, ring_key
+FROM ranked WHERE rank <= {RN_K}
+"""

@@ -271,3 +271,102 @@ def test_png_codec_roundtrip_random_content(w, h, seed):
     pixels = bytes(rng.randrange(256) for _ in range(w * h))
     dw, dh, decoded = png_decode_gray(png_encode_gray(pixels, w, h))
     assert (dw, dh, decoded) == (w, h, pixels)
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(4, 40))
+@settings(max_examples=20, deadline=None)
+def test_pagerank_python_reference(spark, seed, n):
+    """pagerank_integer matches a direct Python evaluation of the same
+    integer recurrence on random undirected graphs."""
+    import random
+
+    from myfitnesspaw_spark.operators.graph import PR_SCALE, pagerank_integer
+
+    rng = random.Random(seed)
+    edges = set()
+    for _ in range(n):
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    if not edges:
+        edges = {(0, 1)}
+    edges = sorted(edges)
+
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    ranks = {v: PR_SCALE for v in sym}
+    base = (15 * PR_SCALE) // 100
+    for _ in range(3):
+        sums = {v: 0 for v in sym}
+        for v, nbrs in sym.items():
+            c = ranks[v] // len(nbrs)
+            for d in nbrs:
+                sums[d] += c
+        ranks = {v: base + (85 * sums[v]) // 100 for v in sym}
+    expected = {(v, len(sym[v]), ranks[v]) for v in sym}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["node"], r["deg"], r["rank_units"])
+        for r in pagerank_integer(df, iterations=3).collect()
+    }
+    assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_srp_first_collision_uniqueness(spark, seed):
+    """Candidate pairs are unique by construction (first-collision-band
+    rule) and identical to the distinct-based formulation."""
+    import random
+
+    from myfitnesspaw_spark.operators.similarity import srp_lsh_pairs
+    from myfitnesspaw_spark.plans.pipeline_queries import _srp_signs
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(30):
+        vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, vec))
+        if i % 7 == 0:  # planted near-dups: identical copies
+            rows.append((i + 1000, list(vec)))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = srp_lsh_pairs(df, "vec_id", "embedding", _srp_signs(), 4, 0.95).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pair emitted"
+    # Every planted identical copy must be found (identical signature
+    # ⇒ collides in every band ⇒ candidate; cosine = 1 ≥ threshold).
+    planted = {(i, i + 1000) for i in range(0, 30, 7)}
+    assert planted <= set(pairs)
+
+
+def test_pq_encode_donor_roundtrip(spark):
+    """Codebook donor vectors encode to their own code in every
+    subspace (distance 0 to themselves beats every other entry, ties
+    break low)."""
+    import random
+
+    from myfitnesspaw_spark.operators.similarity import pq_encode
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    codebooks = [
+        [[int(v * 1_000_000) for v in vec[m * 4 : (m + 1) * 4]] for vec in vecs]
+        for m in range(4)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).withColumn(
+        "iv",
+        F.transform(F.col("embedding"), lambda x: (x * 1_000_000).cast("long")),
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(df, "iv", codebooks).select("vec_id", "codes").collect()
+    }
+    for i in range(4):
+        assert got[i] == [i] * 4, f"donor {i} did not round-trip: {got[i]}"
