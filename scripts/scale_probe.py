@@ -34,6 +34,14 @@ K², so its ratios compare against 16×/64×)::
     lang_id               1.60x   2.82x
     sequence_packing      1.44x   1.32x
     inverted_index_build  1.20x   1.35x
+
+Round-5 additions (K=4 run, same base)::
+
+    srp_lsh_pairs             2.40x   (banded candidates: sublinear)
+    pq_ann_topk               1.04x   (vs 16x pair space; ADC scan)
+    semantic_dedup            6.54x   (vs 16x within-cluster pair space)
+    bigram_lm_score           1.94x
+    quality_classifier_score  2.00x
 """
 
 from __future__ import annotations
@@ -65,6 +73,13 @@ PROBES = [
     "lang_id",
     "sequence_packing",
     "inverted_index_build",
+    # round-5 additions: the new LSH family, compressed-domain ANN,
+    # semantic dedup, and the LM/classifier scoring passes.
+    "srp_lsh_pairs",
+    "pq_ann_topk",
+    "semantic_dedup",
+    "bigram_lm_score",
+    "quality_classifier_score",
 ]
 
 TABLES = [
