@@ -839,3 +839,137 @@ ranked AS (
 SELECT anchor_id, negative_id, neg_source, CAST(rank AS INT) AS rank, ring_key
 FROM ranked WHERE rank <= {RN_K}
 """
+
+# --- corpus_build_pipeline ------------------------------------------------
+# The end-to-end corpus build, composed from the suite's own stages in
+# ONE plan: learned quality filter (logit ≥ 0) + minimum-length gate →
+# exact dedup (keep the lowest doc_id per normalized-text hash) →
+# mixture balancing over the survivors → per-source rollup with a
+# content digest of the kept ids.  Certifying the COMPOSITION matters
+# as much as the stages: filters must ride into the scan below the
+# dedup shuffle, and the mixture quota must be computed on the deduped
+# counts, not the raw ones.
+#
+# Scale shape: stage 1 is scan-local; stage 2 is one map-side-combined
+# shuffle on the content hash; stage 3 reuses mixture_sample's shape
+# (20-row counts + 1-row total broadcast back, per-source rank
+# window).  One corpus pass end to end.
+
+CB_MIN_TOKENS = 30
+
+
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars"),
+    )
+    w = QC_WEIGHTS
+    logit = (
+        F.lit(w[0])
+        + w[1] * F.col("n_tokens")
+        + w[2] * F.expr("1000 * n_distinct DIV n_tokens")
+        + w[3] * F.expr("1000 * n_stop DIV n_tokens")
+        + w[4] * F.expr("1000 * n_chars DIV n_tokens")
+    )
+    filtered = feat.where((logit >= 0) & (F.col("n_tokens") >= CB_MIN_TOKENS))
+    # Exact dedup: lowest doc_id survives per normalized-content hash.
+    hashed = filtered.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    surv = hashed.withColumn(
+        "rk_dup",
+        F.row_number().over(Window.partitionBy("h").orderBy(F.col("doc_id").asc())),
+    ).where(F.col("rk_dup") == 1)
+    # Mixture balancing over the SURVIVORS.
+    weighted = surv.withColumn("w8", F.expr(_mix_weight_expr("source")))
+    counts = weighted.groupBy("source", "w8").agg(F.count(F.lit(1)).alias("n_dedup"))
+    n_total = counts.agg(F.min(F.expr(f"n_dedup * {MIX_DEN} DIV w8")).alias("n_units"))
+    quotas = counts.crossJoin(F.broadcast(n_total)).withColumn(
+        "quota", F.expr(f"w8 * n_units DIV {MIX_DEN}")
+    )
+    ranked = weighted.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    kept = ranked.join(
+        F.broadcast(quotas.select("source", "quota", "n_dedup")), "source"
+    ).where(F.col("rk") <= F.col("quota"))
+    return kept.groupBy("source").agg(
+        F.max("n_dedup").alias("n_dedup"),
+        F.max("quota").alias("quota"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+            )
+        ).alias("kept_md5"),
+    )
+
+
+CORPUS_BUILD_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source, {_NORM} AS norm, {_WORDS} AS w FROM documents
+),
+m AS (
+  SELECT doc_id, source, norm,
+         len(w) AS n_tokens,
+         1000 * len(list_distinct(w)) // len(w) AS distinct_millis,
+         1000 * len(list_filter(w, t -> t IN ('the', 'a'))) // len(w)
+           AS stop_millis,
+         1000 * length(norm) // len(w) AS mean_wlen_millis
+  FROM feat
+),
+filtered AS (
+  SELECT doc_id, source, norm FROM m
+  WHERE {QC_WEIGHTS[0]} + {QC_WEIGHTS[1]} * n_tokens
+        + {QC_WEIGHTS[2]} * distinct_millis
+        + {QC_WEIGHTS[3]} * stop_millis
+        + {QC_WEIGHTS[4]} * mean_wlen_millis >= 0
+    AND n_tokens >= {CB_MIN_TOKENS}
+),
+surv AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rk_dup
+    FROM filtered
+  ) WHERE rk_dup = 1
+),
+weighted AS (
+  SELECT doc_id, source, {_mix_weight_expr("source")} AS w8 FROM surv
+),
+counts AS (
+  SELECT source, w8, COUNT(*) AS n_dedup FROM weighted GROUP BY 1, 2
+),
+n_total AS (SELECT MIN(n_dedup * {MIX_DEN} // w8) AS n_units FROM counts),
+quotas AS (
+  SELECT source, n_dedup, w8 * n_units // {MIX_DEN} AS quota
+  FROM counts CROSS JOIN n_total
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM weighted
+),
+kept AS (
+  SELECT r.source, q.n_dedup, q.quota, r.doc_id
+  FROM ranked r JOIN quotas q USING (source)
+  WHERE r.rk <= q.quota
+)
+SELECT source, MAX(n_dedup) AS n_dedup, MAX(quota) AS quota,
+       COUNT(*) AS n_kept,
+       md5(array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ','))
+         AS kept_md5
+FROM kept GROUP BY source
+"""

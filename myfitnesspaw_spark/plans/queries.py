@@ -107,6 +107,7 @@ register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
 register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
 register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
 register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
