@@ -185,12 +185,44 @@ def main() -> None:
     # pass 2 re-runs queries for steady-state MIN timing while the soft
     # budget lasts.  Past the hard deadline nothing more runs.
     start = time.monotonic()
-    soft_deadline = float(os.environ.get("BENCH_SOFT_BUDGET_SEC", "300"))
-    hard_deadline = float(os.environ.get("BENCH_HARD_BUDGET_SEC", "480"))
+    # The soft budget scales with the registry: pass 1 alone costs
+    # ~2.2 s/query on this host, and a fixed 300 s starved pass 2 of
+    # warm retries once the suite passed ~130 queries (2 reps instead
+    # of ~30 → cold pass-1 numbers got recorded for most of the
+    # suite).  The hard deadline trails the soft one but stays under
+    # ~570 s so the finally-printed JSON line survives any plausible
+    # external driver timeout.
+    n_reg = max(1, len(qs))
+    soft_default = max(300.0, 3.0 * n_reg)
+    soft_deadline = float(
+        os.environ.get("BENCH_SOFT_BUDGET_SEC", str(soft_default))
+    )
+    hard_deadline = float(
+        os.environ.get(
+            "BENCH_HARD_BUDGET_SEC", str(min(570.0, soft_deadline + 150.0))
+        )
+    )
 
     book = BenchBook()
 
     wall = {"quiesce_sec": 0.0, "pass1_wall_sec": None, "pass2_runs": 0}
+
+    # Host calibration: a FIXED JVM compute (200M-row codegen sum)
+    # timed once per run.  Absolute query times on this shared VM vary
+    # ±2× run-to-run with neighbor load; the calibration constant lets
+    # any cross-round comparison normalize (query_sec / host_cal_sec
+    # is stable where raw seconds are not).  Best-of-2 so a single GC
+    # pause can't poison the constant.
+    try:
+        cal = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id * id)").collect()
+            el = time.perf_counter() - t0
+            cal = el if cal is None or el < cal else cal
+        wall["host_cal_sec"] = round(cal, 3)
+    except Exception:
+        wall["host_cal_sec"] = None
 
     def _gc_quiesce() -> None:
         # Untimed GC so each query measures its own plan, not the
@@ -289,6 +321,7 @@ def main() -> None:
                     "n_errors": len(errors),
                     "n_regressions": len(regressions),
                     "sf": sf,
+                    "host_cal_sec": wall.get("host_cal_sec"),
                     "full": "bench_full.json",
                 }
             ),
