@@ -973,3 +973,74 @@ SELECT source, MAX(n_dedup) AS n_dedup, MAX(quota) AS quota,
          AS kept_md5
 FROM kept GROUP BY source
 """
+
+# --- bpe_merge_candidates -------------------------------------------------
+# The inner step of BPE tokenizer TRAINING: count adjacent symbol
+# pairs across the corpus and surface the top merge candidates (one
+# merge = the most frequent pair; real training loops this, re-
+# tokenizing after each merge — this query certifies the distributed
+# counting step on the initial character vocabulary).  Pairs within
+# words only, words weighted by their corpus frequency — counting
+# distinct words once and multiplying by frequency is the standard
+# trick that makes BPE training corpus-size-independent (vocab-sized).
+#
+# Scale shape: word counts = one map-side-combined shuffle on the
+# word; pair explode runs over the DISTINCT word table (vocab-sized,
+# not corpus-sized); final top-K is a TakeOrderedAndProject, never a
+# global-order window.
+
+BPE_TOPK = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = words.withColumn("cs", F.split(F.col("word"), ""))
+    pairs = chars.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("cs") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("cs"), i), F.element_at(F.col("cs"), i + 1)
+                ),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    return (
+        counts.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_TOPK)
+        .withColumn(
+            "merge_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            ),
+        )
+    )
+
+
+BPE_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest({_WORDS}) AS w FROM documents
+  ) WHERE length(w) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT freq,
+         word[i] || word[i + 1] AS pair
+  FROM words, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i)
+),
+counts AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY 1)
+SELECT pair, pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+         AS merge_rank
+FROM counts
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""

@@ -18,7 +18,11 @@ Round-5 window (freshness rotation, VERDICT r4 #1):
    watermark, recursion-limit conf restore) plus the queries NEW this
    round (sequence packing, inverted index, streaming CMS, dedup
    survivors, delta pairs, RAG chunking, mixture sampling, bigram-LM
-   scoring, semantic dedup, SRP LSH, stream-static enrichment).
+   scoring, semantic dedup, SRP LSH, stream-static enrichment,
+   quality-classifier inference, watermark-bounded streaming dedup,
+   stream-stream LEFT OUTER join, integer PageRank, PQ ANN,
+   hard/random negative mining, the corpus-build capstone, and BPE
+   merge counting).
 3. The 12 remaining round-1/2-certified queries — the oldest driver
    evidence in the registry.
 4. Round-3-certified backfill up to the 50-entry boundary (streaming +
@@ -108,6 +112,7 @@ register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
 register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
 register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
 register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
