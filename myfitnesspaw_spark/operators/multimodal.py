@@ -284,3 +284,51 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def sample_frames(with_payload: DataFrame) -> DataFrame:
     """1:N frame sampling: multiple rows per payload (checksum kernel)."""
     return with_payload.mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Real resize path: decode → nearest-neighbor 2× downsample (stride
+    # sampling at even coordinates) → RE-ENCODE through the codec →
+    # decode again and emit from the round-tripped bytes, so the output
+    # proves the full decode/transform/encode cycle, not just the math.
+    for pdf in batches:
+        ids, ws, hs, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, pixels = png_decode_gray(bytes(payload))
+            out_w, out_h = (w + 1) // 2, (h + 1) // 2
+            small = bytes(
+                pixels[(2 * r) * w + (2 * c)]
+                for r in range(out_h)
+                for c in range(out_w)
+            )
+            w2, h2, rt = png_decode_gray(png_encode_gray(small, out_w, out_h))
+            assert (w2, h2, rt) == (out_w, out_h, small), "codec round trip"
+            ids.append(doc_id)
+            ws.append(out_w)
+            hs.append(out_h)
+            sums.append(sum(rt))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "out_width": pd.Series(ws, dtype="int32"),
+                "out_height": pd.Series(hs, dtype="int32"),
+                "resized_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+def resize_images(with_payload: DataFrame) -> DataFrame:
+    """1:1 real resize: decode each PNG, nearest-neighbor downsample by
+    2 (even-coordinate sampling), re-encode + re-decode through the
+    codec, emit resized dimensions and exact pixel sum."""
+    return with_payload.mapInPandas(_resize_batches, RESIZED_IMAGE_SCHEMA)

@@ -66,6 +66,7 @@ register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 # Real stdlib PNG codec replaced the fake decode kernel.
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
 # Scale-aware salt_groups (1 at sf<=0.1, 4 beyond; result-identical).
 register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
 # Backlog-spanning drain watermark (multi-batch drains now oracle-exact).

@@ -421,3 +421,31 @@ SELECT click_id, user_id, error_id, gap_us
 FROM j, wm
 WHERE error_id IS NOT NULL OR click_ts + INTERVAL 5 MINUTE < wm.w
 """
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.multimodal import resize_images
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    return resize_images(attach_png_payload(docs))
+
+
+# Sampled pixel (r, c) of the 2x nearest-neighbor downsample is source
+# pixel index 2r*w + 2c; pixel content is arithmetic in (doc_id, i).
+MULTIMODAL_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 37 + 8 AS w,
+         octet_length(encode(text)) % 23 + 8 AS h
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST((d.w + 1) // 2 AS INT) AS out_width,
+       CAST((d.h + 1) // 2 AS INT) AS out_height,
+       CAST(SUM((d.doc_id * 31 + (2 * r.r * d.w + 2 * c.c) * 7) % 256) AS BIGINT)
+         AS resized_sum
+FROM dims d,
+     LATERAL (SELECT unnest(generate_series(0, (d.h + 1) // 2 - 1)) AS r) r,
+     LATERAL (SELECT unnest(generate_series(0, (d.w + 1) // 2 - 1)) AS c) c
+GROUP BY d.doc_id, d.w, d.h
+"""
