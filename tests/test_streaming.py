@@ -253,3 +253,98 @@ def test_streaming_cms_multibatch_equals_batch(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def _userkeyed_multibatch_fixture(spark, tmp_path, name):
+    # 4 one-row files; duplicates of the same (user, minute, type) key
+    # land in DIFFERENT micro-batches under maxFilesPerTrigger=1, so
+    # dedup state must survive across batches to count correctly.
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / name)
+    rows = [
+        ("2024-01-01 00:05:10", 1, "click", 1.0),
+        ("2024-01-01 00:05:40", 1, "click", 2.0),   # dup key, later batch
+        ("2024-01-01 01:05:00", 2, "error", 3.0),
+        ("2024-01-01 00:05:50", 1, "click", 4.0),   # dup key again
+    ]
+    base = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    base.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return base, stream
+
+
+def test_dedup_within_watermark_multibatch_equals_batch_distinct(spark, tmp_path):
+    # dropDuplicatesWithinWatermark state must hold keys across a
+    # forced multi-batch drain under the backlog-spanning watermark:
+    # duplicates arriving in LATER micro-batches still dedup, so the
+    # final counts equal batch DISTINCT.
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    base, stream = _userkeyed_multibatch_fixture(spark, tmp_path, "ww_dedup_events")
+    dedup = (
+        stream.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "minute", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _drain_update_merge(
+        dedup, ["event_type"], "ww_dedup_state", "ww_dedup_sink",
+        multi_batch_exact=True,
+    )
+    got = sorted((r["event_type"], r["n"]) for r in out.collect())
+    expected = sorted(
+        (r["event_type"], r["n"])
+        for r in base.select(
+            "user_id", F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == expected
+
+
+def test_stream_static_join_multibatch_equals_batch(spark, tmp_path):
+    # Stream-static broadcast enrichment under a forced multi-batch
+    # drain: the static dim resolves in every micro-batch and the
+    # update-mode segment rollup equals the batch join + aggregate.
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    base, stream = _userkeyed_multibatch_fixture(spark, tmp_path, "ss_enrich_events")
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "user_id long, segment string"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "3650 days")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    out = _drain_update_merge(
+        agg, ["segment", "event_type"], "ss_enrich_state", "ss_enrich_sink",
+        multi_batch_exact=True,
+    )
+    got = sorted((r["segment"], r["event_type"], r["n"], r["v"]) for r in out.collect())
+    expected = sorted(
+        (r["segment"], r["event_type"], r["n"], r["v"])
+        for r in base.join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert got == expected
