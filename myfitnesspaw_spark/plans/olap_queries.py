@@ -1056,3 +1056,329 @@ WHERE NOT EXISTS (
 )
 GROUP BY o.o_orderstatus, o.o_orderpriority
 """
+
+
+# --- q7_volume_shipping (TPC-H Q7 shape) ----------------------------------
+
+Q7_NATION_A = "NATION_9"
+Q7_NATION_B = "NATION_10"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-sided star: revenue between a nation PAIR
+    (supplier nation ↔ customer nation, either direction) per ship
+    year.  The fact row reaches BOTH dimension chains — supplier→
+    nation and orders→customer→nation — so the plan holds two
+    broadcast chains off one lineitem⋈orders shuffle; the pair filter
+    is a disjunction over the two direction tuples.  Revenue in exact
+    integer cents.  (Adapted: this testdata has no l_shipmode /
+    returnflag variation on the pair — the join topology is the
+    certified part.)
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(F.col("l_shipdate")).alias("l_year"),
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q7_VOLUME_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+   OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- q8_market_share (TPC-H Q8 shape) -------------------------------------
+
+Q8_NATION = "NATION_9"
+Q8_REGION = "AMERICA"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's customer
+    market, the share of revenue supplied by one nation, per order
+    year.  The share is a CASE-gated integer-cent sum over the total
+    integer-cent sum in ONE aggregate pass (no join of two
+    aggregations), then a single final float division.
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year(F.col("o_orderdate")).alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("r_name") == Q8_REGION)
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_cents") / 100.0).alias("nation_revenue"),
+        (F.col("total_cents") / 100.0).alias("total_revenue"),
+        F.round(F.col("nation_cents") / F.col("total_cents"), 6).alias("mkt_share"),
+    )
+
+
+Q8_MARKET_SHARE_ORACLE = f"""
+WITH joined AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS rev_cents,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+  JOIN region r    ON nc.n_regionkey = r.r_regionkey
+  JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = '{Q8_REGION}'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_cents ELSE 0 END) / 100.0
+         AS nation_revenue,
+       SUM(rev_cents) / 100.0 AS total_revenue,
+       ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_cents ELSE 0 END)
+             / SUM(rev_cents), 6) AS mkt_share
+FROM joined GROUP BY 1
+"""
+
+
+# --- q17_small_quantity_revenue (TPC-H Q17 shape) -------------------------
+
+Q17_BRAND = "Brand#23"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-AVG filter: revenue of lineitems
+    whose quantity is below 20% of the part's average quantity, for
+    one brand.  The correlated subquery decorrelates into a per-part
+    aggregate joined back; the 0.2·avg comparison is cross-multiplied
+    into exact integers (5·qty·n < Σqty) so no float average touches
+    the correctness gate.  (Adapted: brand filter instead of the
+    absent p_container.)
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        money_cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    brand_items = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = brand_items.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_items")
+    )
+    small = brand_items.join(per_part, "l_partkey").where(
+        5 * F.col("qty") * F.col("n_items") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (F.sum("price_cents") / 100.0).alias("total_price"),
+    )
+
+
+Q17_SMALL_QTY_ORACLE = f"""
+WITH brand_items AS (
+  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_items
+  FROM brand_items GROUP BY 1
+)
+SELECT COUNT(*) AS n_small, SUM(b.price_cents) / 100.0 AS total_price
+FROM brand_items b JOIN per_part p USING (l_partkey)
+WHERE 5 * b.qty * p.n_items < p.sum_qty
+"""
+
+
+# --- q19_disjunctive_brackets (TPC-H Q19 shape) ---------------------------
+
+
+def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate brackets: revenue over
+    three OR-ed (brand, size-range, quantity-range) brackets — the
+    optimizer test is that the common ``l_partkey = p_partkey`` stays
+    a hash-join key while the disjunction evaluates as a residual, and
+    the part-side predicates still prune the build side.  (Adapted:
+    size ranges instead of the absent p_container/shipmode.)
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").alias("qty"),
+        money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    brackets = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("qty").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(brackets)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+Q19_BRACKETS_ORACLE = """
+SELECT COUNT(*) AS n_items,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- q22_dormant_customers (TPC-H Q22 shape) ------------------------------
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average positive account
+    balance and NO orders, counted per nation — a scalar subquery (the
+    global average, broadcast as a 1-row aggregate) plus a LEFT ANTI
+    join against orders.  Balance sums in exact integer cents.
+    (Adapted: grouped by nation key instead of the absent phone
+    country code.)
+    """
+    from myfitnesspaw_spark.functions.numeric import money_cents
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", money_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    avg_bal = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # above-average test cross-multiplied into exact integers.
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum("bal_cents") / 100.0).alias("total_acctbal"),
+    )
+
+
+Q22_DORMANT_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_bal AS (
+  SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM cust WHERE bal_cents > 0
+),
+rich AS (
+  SELECT c.* FROM cust c CROSS JOIN avg_bal a WHERE c.bal_cents * a.n > a.s
+)
+SELECT r.c_nationkey, COUNT(*) AS n_custs,
+       SUM(r.bal_cents) / 100.0 AS total_acctbal
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = r.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""

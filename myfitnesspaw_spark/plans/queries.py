@@ -114,6 +114,16 @@ register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_minin
 register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
 register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
 register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+# TPC-H optimizer-pattern completions (adapted to the slimmed schema).
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
