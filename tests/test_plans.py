@@ -384,3 +384,34 @@ def test_pagerank_joins_are_keyed(spark, sf_dir):
     # final round, not 3 rounds of accumulated joins.
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") >= 1  # checkpointed round input
+
+
+def test_q7_two_broadcast_chains_one_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q7_volume_shipping", sf_dir)
+    # Both dimension chains broadcast; the only SMJ-eligible join is
+    # lineitem⋈orders (fact⋈fact).
+    assert _count_nodes(plan, "BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelates_to_one_aggregate_join(spark, sf_dir):
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_dir)
+    # The correlated 0.2·avg filter must appear as aggregate + join,
+    # never a per-row subquery re-scan.
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_q19_brand_filter_prunes_build_side(spark, sf_dir):
+    plan = _plan(spark, "q19_disjunctive_brackets", sf_dir)
+    # The disjunction includes part-side brand/size predicates —
+    # Catalyst derives a build-side filter from the OR brackets so the
+    # broadcast build never carries non-qualifying parts.
+    assert "Brand#12" in plan and "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_broadcast_average(spark, sf_dir):
+    plan = _plan(spark, "q22_dormant_customers", sf_dir)
+    assert "LeftAnti" in plan, plan
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row avg
