@@ -221,3 +221,52 @@ def test_jsonlog_stream_replay_is_exactly_once(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == list(range(20))  # no dupes
     manifests = [f for f in os.listdir(out) if f.endswith(".manifest")]
     assert len(manifests) == len(commits)  # one manifest per batch, ever
+
+
+def test_training_shards_roundtrip_and_verify(spark, sf_dir, tmp_path):
+    """write_training_shards: deterministic membership, manifest
+    totals, and the read-back verifier all agree; a tampered shard is
+    caught."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.sinks.shards import (
+        MANIFEST_NAME,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from myfitnesspaw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, path, key_cols=["doc_id"], token_col="n_chars",
+        target_rows_per_shard=20,
+    )
+    n = docs.count()
+    assert manifest["n_rows"] == n
+    assert manifest["n_shards"] == (n + 19) // 20
+    assert sum(s["rows"] for s in manifest["shards"].values()) == n
+    assert sum(s["tokens"] for s in manifest["shards"].values()) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    # Deterministic membership: a second write produces the identical
+    # manifest (same shard ids, counts, digests).
+    path2 = str(tmp_path / "shards2")
+    manifest2 = write_training_shards(
+        docs, path2, key_cols=["doc_id"], token_col="n_chars",
+        target_rows_per_shard=20,
+    )
+    assert manifest2["shards"] == manifest["shards"]
+    # Verifier passes on intact data...
+    assert verify_training_shards(spark, path)["ok"]
+    # ...and catches a tampered manifest entry.
+    bad = dict(manifest)
+    first = next(iter(bad["shards"]))
+    bad["shards"][first] = {**bad["shards"][first], "rows": 10**9}
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(bad, fh)
+    res = verify_training_shards(spark, path)
+    assert not res["ok"] and res["mismatches"]
