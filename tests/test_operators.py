@@ -359,3 +359,31 @@ def test_jaccard_pairs_delta_equals_filtered_full(spark, sf_dir):
     )
     want = sorted(map(tuple, full.collect()))
     assert got == want and got  # non-empty at the fixture threshold
+
+
+def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
+    """observe_quality: metrics computed inside the SAME job as the
+    action match direct aggregates — the free in-flight quality gate."""
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.functions.observe import observe_quality
+    from myfitnesspaw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = observe_quality(
+        docs, "docs_quality", key_col="doc_id", value_col="n_chars"
+    )
+    n_collected = observed.count()
+    got = obs.get
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("nk"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("nv"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n"] == n_collected
+    assert got["n_null_key"] == direct["nk"] == 0
+    assert got["n_null_value"] == direct["nv"] == 0
+    assert got["value_min"] == direct["mn"]
+    assert got["value_max"] == direct["mx"]
