@@ -1044,3 +1044,82 @@ FROM counts
 ORDER BY pair_count DESC, pair ASC
 LIMIT {BPE_TOPK}
 """
+
+# --- sorted_neighborhood_pairs --------------------------------------------
+# Entity resolution on STRUCTURED attributes — the record-linkage
+# family next to the content-LSH operators: sorted-neighborhood
+# blocking (Hernández & Stolfo).  Records sort by the match key inside
+# prefix blocks; each record compares only against its next
+# SNM_WINDOW neighbors (lead columns — row-local after the sort, no
+# self-join), and candidates verify with exact Levenshtein distance.
+#
+# Scale shape: the block key caps every sort partition (range-
+# partition in production; pairs never cross blocks — the documented
+# SNM trade), the window is O(w) lead columns instead of a candidate
+# join, and verification is candidate-only.  Planted typo-copies
+# (name + 'x', key-shifted) certify recall.
+
+SNM_WINDOW = 2
+SNM_MAX_LEV = 2
+SNM_BLOCK_LEN = 15
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"), F.col("c_name").alias("name")
+    )
+    copies = cust.where(F.col("cid") % 100 == 0).select(
+        (F.col("cid") + 1_000_000).alias("cid"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+    )
+    corpus = scatter(cust.unionByName(copies)).withColumn(
+        "blk", F.substring("name", 1, SNM_BLOCK_LEN)
+    )
+    w = Window.partitionBy("blk").orderBy(F.col("name").asc(), F.col("cid").asc())
+    nbrs = corpus.select(
+        "cid",
+        "name",
+        *[F.lead("cid", k).over(w).alias(f"cid_{k}") for k in range(1, SNM_WINDOW + 1)],
+        *[
+            F.lead("name", k).over(w).alias(f"name_{k}")
+            for k in range(1, SNM_WINDOW + 1)
+        ],
+    )
+    cands = None
+    for k in range(1, SNM_WINDOW + 1):
+        c = nbrs.where(F.col(f"cid_{k}").isNotNull()).select(
+            F.least("cid", f"cid_{k}").alias("id_a"),
+            F.greatest("cid", f"cid_{k}").alias("id_b"),
+            F.levenshtein("name", f"name_{k}").alias("lev"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.where(F.col("lev") <= SNM_MAX_LEV)
+
+
+SNM_PAIRS_ORACLE = f"""
+WITH corpus AS (
+  SELECT c_custkey AS cid, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || 'x' FROM customer WHERE c_custkey % 100 = 0
+),
+blocked AS (
+  SELECT cid, name, substr(name, 1, {SNM_BLOCK_LEN}) AS blk FROM corpus
+),
+nbrs AS (
+  SELECT cid, name,
+         lead(cid, 1) OVER w AS cid_1, lead(name, 1) OVER w AS name_1,
+         lead(cid, 2) OVER w AS cid_2, lead(name, 2) OVER w AS name_2
+  FROM blocked
+  WINDOW w AS (PARTITION BY blk ORDER BY name, cid)
+),
+cands AS (
+  SELECT least(cid, cid_1) AS id_a, greatest(cid, cid_1) AS id_b,
+         CAST(levenshtein(name, name_1) AS INT) AS lev
+  FROM nbrs WHERE cid_1 IS NOT NULL
+  UNION ALL
+  SELECT least(cid, cid_2), greatest(cid, cid_2),
+         CAST(levenshtein(name, name_2) AS INT)
+  FROM nbrs WHERE cid_2 IS NOT NULL
+)
+SELECT id_a, id_b, lev FROM cands WHERE lev <= {SNM_MAX_LEV}
+"""

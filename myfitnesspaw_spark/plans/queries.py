@@ -124,6 +124,9 @@ register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
     oq.q19_disjunctive_brackets
 )
 register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
 
 # --- Part 3: the 12 remaining round-1/2-certified queries (oldest
 # driver evidence left in the registry).
