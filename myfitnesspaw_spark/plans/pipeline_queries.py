@@ -351,13 +351,23 @@ SEMDEDUP_ORACLE = _semdedup_oracle()
 # Embedding-cosine near-dup via signed-random-projection LSH — the
 # third LSH family in the suite next to MinHash (set Jaccard) and
 # SimHash (token-weighted Hamming): NB deterministic ±1 hyperplanes
-# (md5-derived, embedded as literals in BOTH engines), 16-bit
-# signature, 4-bit bands, candidates verified with exact cosine.
+# (md5-derived, embedded as literals in BOTH engines), 32-bit
+# signature, 8-bit bands, candidates verified with exact cosine.
 # See operators/similarity.py::srp_lsh_pairs for the scale shape.
+#
+# BAND WIDTH IS THE QUADRATIC-CONTROL KNOB: b-bit bands give 2^b
+# possible values per band, so random-collision candidates grow as
+# N²/2^b.  The r5 K=8 scale probe measured the original 4-bit bands
+# (16 values) at 11.4× time for 8× data — quadratic leakage — and
+# 8-bit bands cut the random-collision space 16×.  Identical vectors
+# still collide in every band (recall 1.0 on true duplicates); lower
+# collision probability for borderline-cosine pairs is the standard
+# LSH recall/candidate trade, and the exact-cosine verify keeps
+# precision exact either way.
 
-SRP_BITS = 16
+SRP_BITS = 32
 SRP_DIM = 64
-SRP_BAND_BITS = 4
+SRP_BAND_BITS = 8
 SRP_THRESHOLD = 0.45
 SRP_SCALE = 1_000_000
 

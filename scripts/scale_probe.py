@@ -35,13 +35,18 @@ K², so its ratios compare against 16×/64×)::
     sequence_packing      1.44x   1.32x
     inverted_index_build  1.20x   1.35x
 
-Round-5 additions (K=4 run, same base)::
+Round-5 additions (K=4 and K=8 runs, same base)::
 
-    srp_lsh_pairs             2.40x   (banded candidates: sublinear)
-    pq_ann_topk               1.04x   (vs 16x pair space; ADC scan)
-    semantic_dedup            6.54x   (vs 16x within-cluster pair space)
-    bigram_lm_score           1.94x
-    quality_classifier_score  2.00x
+    query                     K=4     K=8   (data ratio 4.0 / 8.0)
+    srp_lsh_pairs             2.40x  3.58x  (8-bit bands; the original
+                                            4-bit bands measured 11.4x
+                                            at K=8 — quadratic random-
+                                            collision leakage, fixed by
+                                            widening the band)
+    pq_ann_topk               1.04x  1.99x  (vs K² pair space; ADC scan)
+    semantic_dedup            6.54x  7.80x  (vs K² within-cluster pairs)
+    bigram_lm_score           1.94x  2.19x
+    quality_classifier_score  2.00x  1.58x
 """
 
 from __future__ import annotations
