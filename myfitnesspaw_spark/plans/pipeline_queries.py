@@ -269,6 +269,14 @@ GROUP BY i.doc_id
 # the same salting/cap escape hatches as bucket_near_dup; the drop
 # set is one map-side-combined aggregate over qualifying pairs.
 # Σ cluster² replaces N², exactly as in the paper.
+#
+# CLUSTER COUNT IS THE QUADRATIC-CONTROL KNOB: with NC fixed, cluster
+# sizes grow ∝ N and the within-cluster pair space grows N²/NC (the
+# K=8 probe measures 7.8× time for 8× data against that 64× pair
+# space).  Production SemDeDup scales NC ∝ N / target_cluster_size
+# (the paper runs ~100k clusters); this query pins NC so the oracle
+# is reproducible, and bucket_near_dup's ``max_bucket`` cap is the
+# bounded-work escape hatch when a deployment can't rescale NC.
 
 SEMDEDUP_NC = 12
 SEMDEDUP_THRESHOLD = 0.45

@@ -47,6 +47,11 @@ Round-5 additions (K=4 and K=8 runs, same base)::
     semantic_dedup            6.54x  7.80x  (vs K² within-cluster pairs)
     bigram_lm_score           1.94x  2.19x
     quality_classifier_score  2.00x  1.58x
+    pagerank_dedup_graph      2.41x    —
+    sorted_neighborhood_pairs 1.07x    —
+    corpus_build_pipeline     0.86x    —
+    hard_negative_mining      3.46x    —   (vs 16x anchorsxcorpus pairs)
+    bpe_merge_candidates      1.29x    —
 """
 
 from __future__ import annotations
@@ -85,6 +90,11 @@ PROBES = [
     "semantic_dedup",
     "bigram_lm_score",
     "quality_classifier_score",
+    "pagerank_dedup_graph",
+    "sorted_neighborhood_pairs",
+    "corpus_build_pipeline",
+    "hard_negative_mining",
+    "bpe_merge_candidates",
 ]
 
 TABLES = [
