@@ -193,14 +193,14 @@ def main() -> None:
     # ~570 s so the finally-printed JSON line survives any plausible
     # external driver timeout.
     n_reg = max(1, len(qs))
-    soft_default = max(300.0, 3.0 * n_reg)
+    hard_deadline = float(os.environ.get("BENCH_HARD_BUDGET_SEC", "480"))
+    # Soft budget scales with the suite but stays 60 s under the hard
+    # deadline: 480 s has survived every driver round so far, and an
+    # external kill past it would lose the finally-printed JSON line —
+    # never risk the output for extra warm reps.
+    soft_default = min(max(300.0, 3.0 * n_reg), hard_deadline - 60.0)
     soft_deadline = float(
         os.environ.get("BENCH_SOFT_BUDGET_SEC", str(soft_default))
-    )
-    hard_deadline = float(
-        os.environ.get(
-            "BENCH_HARD_BUDGET_SEC", str(min(570.0, soft_deadline + 150.0))
-        )
     )
 
     book = BenchBook()

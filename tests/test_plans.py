@@ -415,3 +415,11 @@ def test_q22_anti_join_with_broadcast_average(spark, sf_dir):
     plan = _plan(spark, "q22_dormant_customers", sf_dir)
     assert "LeftAnti" in plan, plan
     assert _count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row avg
+
+
+def test_snm_window_is_block_partitioned(spark, sf_dir):
+    plan = _plan(spark, "sorted_neighborhood_pairs", sf_dir)
+    # The neighborhood window partitions by the prefix block — a
+    # global-order window would single-partition the whole corpus.
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
