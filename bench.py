@@ -227,6 +227,27 @@ def main() -> None:
         wall["host_cal_sec"] = round(cal, 3)
     except Exception:
         wall["host_cal_sec"] = None
+    # IO calibration: a fixed parquet write+read round trip.  The two
+    # constants separate the noise dimensions — one recorded run showed
+    # compute 1.5× FASTER while streaming/file-heavy queries ran 2-3×
+    # slower (IO contention), which a single compute constant can't
+    # explain.
+    try:
+        import tempfile
+        import shutil
+
+        tmp = tempfile.mkdtemp(prefix="benchcal_")
+        try:
+            t0 = time.perf_counter()
+            spark.range(2_000_000).selectExpr(
+                "id", "cast(id % 97 as double) AS v"
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "cal"))
+            spark.read.parquet(os.path.join(tmp, "cal")).count()
+            wall["io_cal_sec"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        wall["io_cal_sec"] = None
 
     def _gc_quiesce() -> None:
         # Untimed GC so each query measures its own plan, not the
@@ -326,6 +347,7 @@ def main() -> None:
                     "n_regressions": len(regressions),
                     "sf": sf,
                     "host_cal_sec": wall.get("host_cal_sec"),
+                    "io_cal_sec": wall.get("io_cal_sec"),
                     "full": "bench_full.json",
                 }
             ),
