@@ -21,8 +21,9 @@ Round-5 window (freshness rotation, VERDICT r4 #1):
    scoring, semantic dedup, SRP LSH, stream-static enrichment,
    quality-classifier inference, watermark-bounded streaming dedup,
    stream-stream LEFT OUTER join, integer PageRank, PQ ANN,
-   hard/random negative mining, the corpus-build capstone, and BPE
-   merge counting).
+   hard/random negative mining, the corpus-build capstone, BPE merge
+   counting, multimodal resize, sorted-neighborhood record linkage,
+   and the five TPC-H optimizer patterns Q7/Q8/Q17/Q19/Q22).
 3. The 12 remaining round-1/2-certified queries — the oldest driver
    evidence in the registry.
 4. Round-3-certified backfill up to the 50-entry boundary (streaming +
