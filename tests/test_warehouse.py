@@ -270,3 +270,27 @@ def test_training_shards_roundtrip_and_verify(spark, sf_dir, tmp_path):
         json.dump(bad, fh)
     res = verify_training_shards(spark, path)
     assert not res["ok"] and res["mismatches"]
+
+
+def test_pack_then_shard_composition(spark, sf_dir, tmp_path):
+    """The data-loader handoff end to end: sequence_packing's training
+    contexts land as deterministic shards whose manifest token totals
+    equal the packer's output."""
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.plans.curation_queries import sequence_packing
+    from myfitnesspaw_spark.sinks.shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    packs = sequence_packing(spark, sf_dir)
+    path = str(tmp_path / "pack_shards")
+    manifest = write_training_shards(
+        packs, path, key_cols=["source", "pack_id"], token_col="pack_tokens",
+        target_rows_per_shard=50,
+    )
+    total_tokens = packs.agg(F.sum("pack_tokens")).collect()[0][0]
+    assert sum(s["tokens"] for s in manifest["shards"].values()) == total_tokens
+    assert manifest["n_rows"] == packs.count()
+    assert verify_training_shards(spark, path)["ok"]
