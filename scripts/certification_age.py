@@ -1,0 +1,83 @@
+"""Report every registered query's driver-certification age.
+
+The driver certifies the FIRST 50 registrations each round
+(CORRECTNESS_r{N}.json); the rotation policy (plans/queries.py
+docstring) wants no query's latest green row older than ~2 rounds.
+This script joins the registry against every CORRECTNESS artifact and
+prints, per query: the latest round with a green row, its age, and
+whether it sits in the current 50-entry window — the input the next
+round's rotation should be built from.
+
+Usage::
+
+    python scripts/certification_age.py [current_round]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from myfitnesspaw_spark.plans import registry
+
+    names = list(registry.queries())
+    latest_green: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+
+    current = int(sys.argv[1]) if len(sys.argv) > 1 else (max(rounds) + 1 if rounds else 1)
+    window = set(names[:50])
+    rows = []
+    for name in names:
+        green = latest_green.get(name)
+        age = None if green is None else current - green
+        rows.append((name, green, age, name in window))
+
+    never = [r for r in rows if r[1] is None and not r[3]]
+    stale = sorted(
+        (r for r in rows if r[2] is not None and r[2] > 2 and not r[3]),
+        key=lambda r: -r[2],
+    )
+    print(f"{len(rows)} registered; {len(window)} in the r{current} window")
+    print(f"never driver-certified AND out of window: {len(never)}")
+    for name, *_ in never:
+        print(f"  NEVER  {name}")
+    print(f"certified >2 rounds ago AND out of window: {len(stale)}")
+    for name, green, age, _ in stale:
+        print(f"  age {age}  (r{green})  {name}")
+    in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
+    print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
