@@ -141,7 +141,7 @@ def replace_by_keys(
     """
     cols = list(key_cols)
     keys = incoming.select(cols).distinct()
-    survivors = existing.join(F.broadcast(keys), cols, "left_anti")
+    survivors = existing.join(keys, cols, "left_anti")
     return survivors.unionByName(incoming)
 
 

@@ -61,7 +61,7 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -236,7 +236,7 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_doc_id"), "shingle"
     )
     return (
-        train.join(F.broadcast(ev), "shingle")
+        train.join(ev, "shingle")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -63,7 +63,7 @@ def nutrition_report(
     # Q2d: the 6-measure hash aggregation (reference's nutrient sextet).
     actual = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("custkey"), "date")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),

@@ -286,7 +286,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "o_year")
@@ -347,7 +347,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg((F.sum("rev_cents") / 100.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -395,8 +395,8 @@ def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("p_brand", F.col("n_name").alias("supp_nation"), "o_year")
         .agg((F.sum("rev_cents") / 100.0).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
@@ -592,7 +592,7 @@ def spend_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(money_cents(F.col("o_totalprice"))).alias("spend_cents"))
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    j = spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey).select(
+    j = spend.join(cust, spend.o_custkey == cust.c_custkey).select(
         "o_custkey", "c_nationkey", "spend_cents"
     )
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -732,7 +732,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("ship_month")
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(F.lit(0))).alias("promo_cents"),
@@ -791,7 +791,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(bulky, orders.o_orderkey == bulky.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
     )
 
@@ -1102,8 +1102,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
@@ -1172,8 +1172,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
@@ -1244,7 +1244,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") == Q17_BRAND
     ).select("p_partkey")
-    brand_items = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    brand_items = li.join(part, li.l_partkey == part.p_partkey)
     per_part = brand_items.groupBy("l_partkey").agg(
         F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_items")
     )
@@ -1304,7 +1304,7 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("qty").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(brackets)
         .agg(
             F.count(F.lit(1)).alias("n_items"),

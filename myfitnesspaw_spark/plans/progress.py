@@ -97,8 +97,8 @@ def progress_report(
     )
 
     base = (
-        goals.join(F.broadcast(customer), goals.custkey == customer.c_custkey)
-        .join(F.broadcast(weight), "custkey", "left")
+        goals.join(customer, goals.custkey == customer.c_custkey)
+        .join(weight, "custkey", "left")
         .join(activity, ["custkey", "date"], "left")
         .select(
             "custkey",

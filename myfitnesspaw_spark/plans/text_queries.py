@@ -141,8 +141,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus pass: the char explode + (doc, bigram) count shuffle
     # runs once (localCheckpoint pins the bounded per-doc bigram
     # table); the per-language profile derives from it by re-keying
-    # through the tiny doc→lang map — freq = Σ cnt over a language's
-    # docs, identical counts to re-exploding the corpus per branch.
+    # through the doc→lang map — freq = Σ cnt over a language's docs,
+    # identical counts to re-exploding the corpus per branch.  The map
+    # is one row PER DOC (corpus-sized), so it carries no broadcast
+    # hint: AQE broadcasts it while it fits and shuffles it at scale.
     doc_bg = (
         chars.select(
             "doc_id", F.explode(char_bigram_codes(F.col("__chars"))).alias("bg")
@@ -152,7 +154,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     profile = (
-        doc_bg.join(F.broadcast(docs), "doc_id")
+        doc_bg.join(docs, "doc_id")
         .groupBy(F.col("lang_true").alias("lang"), "bg")
         .agg(F.sum("cnt").alias("freq"))
     )

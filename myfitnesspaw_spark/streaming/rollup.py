@@ -351,14 +351,17 @@ def streaming_static_enrich(
     drain_watermark: str = "3650 days",
 ) -> DataFrame:
     """Stream-static enrichment: the events STREAM inner-joined to the
-    static customer dimension (broadcast — the stateless join every
-    streaming enrichment pipeline runs), then rolled up per market
-    segment in update mode.
+    static customer dimension (the stateless join every streaming
+    enrichment pipeline runs), then rolled up per market segment in
+    update mode.
 
-    Scale shape: a stream-static join keeps NO join state — the static
-    side is planned as a broadcast into every micro-batch, so the only
-    stateful operator is the downstream segment aggregate (bounded by
-    segment cardinality).  The dimension is re-resolved per trigger,
+    Scale shape: a stream-static join keeps NO join state — when the
+    dimension is small Catalyst's stats-based planning broadcasts it
+    into every micro-batch (no hard hint: customer grows with scale
+    factor, and a forced broadcast of a 100 TB-era dimension is an
+    executor OOM — a big dim correctly falls back to a per-batch
+    shuffle join), so the only stateful operator is the downstream
+    segment aggregate (bounded by segment cardinality).  The dimension is re-resolved per trigger,
     which is exactly the slowly-changing-dimension refresh semantics a
     continuous deployment wants.  Money sums ride exact integer cents.
     """
@@ -368,7 +371,7 @@ def streaming_static_enrich(
     customers = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
     )
-    joined = events.join(F.broadcast(customers), "user_id")
+    joined = events.join(customers, "user_id")
     agg = (
         joined.withWatermark("ts", drain_watermark)
         .groupBy("c_mktsegment", "event_type")

@@ -423,3 +423,37 @@ def test_snm_window_is_block_partitioned(spark, sf_dir):
     # global-order window would single-partition the whole corpus.
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# Round-6 broadcast-hint sweep (VERDICT r5 #1): hard F.broadcast()
+# hints were removed from every SCALE-PROPORTIONAL join side
+# (customer, part, supplier, corpus-derived maps) — at the 100 TB
+# design point a forced broadcast of a linearly-growing table is an
+# executor OOM, and the hint overrides AQE's size check.  Hints remain
+# only on constant-cardinality sides (nation=25, region=5, literal
+# bands, 1-row aggregates, bounded sketches/query sets).  These
+# queries must STILL plan a BroadcastHashJoin at test scale — now via
+# Catalyst's stats-based size check instead of a hint — so the sweep
+# is perf-free where broadcast is right and OOM-safe where it isn't.
+_DEHINTED_BROADCAST_QUERIES = [
+    "regional_revenue",          # customer de-hinted
+    "top_unshipped_orders",      # customer
+    "brand_nation_revenue",      # part + supplier
+    "spend_rank_dist",           # customer
+    "promo_revenue_share",       # part
+    "large_volume_customers",    # customer
+    "q7_volume_shipping",        # supplier + customer
+    "q8_market_share",           # customer + supplier
+    "q17_small_quantity_revenue",  # brand-filtered part
+    "q19_disjunctive_brackets",  # part
+    "progress_report",           # customer + per-user weight agg
+    "nutrition_report",          # segment-filtered customer
+    "tf_idf_topk",               # vocabulary-sized df_counts
+    "lang_id",                   # corpus-sized doc→lang map
+]
+
+
+@pytest.mark.parametrize("name", _DEHINTED_BROADCAST_QUERIES)
+def test_dehinted_dims_still_broadcast_by_stats(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
