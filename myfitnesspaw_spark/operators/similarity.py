@@ -393,9 +393,16 @@ def srp_lsh_pairs(
             F.lit(1 << band_bits),
         )
 
-    first_collision = F.forall(
-        F.sequence(F.lit(0), F.col("a.band") - 1),
-        lambda b: _band_of(F.col("a.sig"), b) != _band_of(F.col("b.sig"), b),
+    # Self-contained predicate: band 0 short-circuits to TRUE before
+    # the sequence is built — sequence(0, band-1) with band == 0 is the
+    # DESCENDING two-element [0, -1] (inferred-step hazard, SKILL.md),
+    # which would evaluate _band_of at b = -1 with a fractional
+    # pow(2, -band_bits) divisor.
+    first_collision = F.when(F.col("a.band") == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.sequence(F.lit(0), F.greatest(F.col("a.band") - 1, F.lit(0))),
+            lambda b: _band_of(F.col("a.sig"), b) != _band_of(F.col("b.sig"), b),
+        )
     )
     cand = (
         bands.alias("a")
@@ -405,7 +412,7 @@ def srp_lsh_pairs(
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .where((F.col("a.band") == 0) | first_collision)
+        .where(first_collision)
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
     )
     va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))

@@ -1187,11 +1187,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nation_cents"),
         F.sum("rev_cents").alias("total_cents"),
     )
+    # Market share in exact integer parts-per-million: ROUND(x, 6) on
+    # the double quotient rounds HALF_UP on BigDecimal in Spark but in
+    # floating point in DuckDB, so a boundary quotient can flip the
+    # 6th decimal cross-engine (ADVICE r5).  DECIMAL(38,0) guards the
+    # ×10⁶ against long overflow at 100 TB-era revenue totals; the
+    # ppm quotient itself is ≤ 10⁶.
     return agg.select(
         "o_year",
         (F.col("nation_cents") / 100.0).alias("nation_revenue"),
         (F.col("total_cents") / 100.0).alias("total_revenue"),
-        F.round(F.col("nation_cents") / F.col("total_cents"), 6).alias("mkt_share"),
+        F.expr(
+            "CAST((CAST(nation_cents AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_cents AS BIGINT)"
+        ).alias("mkt_share_ppm"),
     )
 
 
@@ -1214,8 +1223,8 @@ SELECT CAST(o_year AS BIGINT) AS o_year,
        SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_cents ELSE 0 END) / 100.0
          AS nation_revenue,
        SUM(rev_cents) / 100.0 AS total_revenue,
-       ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_cents ELSE 0 END)
-             / SUM(rev_cents), 6) AS mkt_share
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_cents ELSE 0 END)
+            * 1000000 // SUM(rev_cents) AS BIGINT) AS mkt_share_ppm
 FROM joined GROUP BY 1
 """
 

@@ -222,11 +222,19 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("units").alias("lm_units"),
     )
+    # avg probability in exact integer micro-units: ROUND(x, 6) on a
+    # double quotient rounds via BigDecimal HALF_UP in Spark but in
+    # floating point in DuckDB — a boundary-landing quotient can flip
+    # the last digit and flake the hash gate (ADVICE r5).  Integer DIV
+    # is bit-identical in both engines; per-doc operands stay far
+    # under 2^63 (lm_units ≤ n_bigrams × LM_SCALE).
     return scored.select(
         "doc_id",
         "n_bigrams",
         "lm_units",
-        F.round(F.col("lm_units") / F.col("n_bigrams") / LM_SCALE, 6).alias("avg_p"),
+        F.expr(f"lm_units * 1000000 DIV (n_bigrams * {LM_SCALE})").alias(
+            "avg_p_micro"
+        ),
     )
 
 
@@ -250,7 +258,8 @@ model AS (
 )
 SELECT i.doc_id, COUNT(*) AS n_bigrams,
        CAST(SUM(m.units) AS BIGINT) AS lm_units,
-       ROUND(SUM(m.units) / COUNT(*) / {LM_SCALE}, 6) AS avg_p
+       CAST(SUM(m.units) * 1000000 // (COUNT(*) * {LM_SCALE}) AS BIGINT)
+         AS avg_p_micro
 FROM inst i JOIN model m USING (bigram)
 GROUP BY i.doc_id
 """

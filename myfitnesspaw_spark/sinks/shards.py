@@ -12,8 +12,14 @@ membership (resume/dedup-safe).
 Scale shape: shard count derives from a cheap count aggregate; the
 write is ONE ``repartition(n, key)`` hash shuffle (deterministic
 membership — rows carry their shard id, computed from the hash key,
-not from task placement); per-shard stats come from the same pass that
-wrote them (groupBy shard_id on the written data's digest columns).
+not from task placement); per-shard stats are computed by RE-READING
+the written parquet — one extra columnar scan of the output, pruned
+to the key/token columns.  Recomputing them from the input lineage
+would run the plan a second time, and for any nondeterministic input
+(a sample, an unordered limit, a rand-derived column) the manifest
+would then describe rows that were never written — the verifier would
+later flag intact data as corrupt.  Reading back what the files
+actually contain makes the manifest trustworthy by construction.
 The manifest is a driver-side JSON of O(shards) size — never row data.
 """
 
@@ -65,21 +71,26 @@ def write_training_shards(
     ]
     if token_col is not None:
         stats_agg.append(F.sum(token_col).alias("tokens"))
-    # One shuffle: shard co-location for the write; stats ride the
-    # same shuffled data (groupBy shard_id needs no second exchange of
-    # the full rows because partitioning already matches).
+    # One shuffle: the repartition co-locates each shard for the write.
     shuffled = keyed.repartition(n_shards, "shard_id")
     shuffled.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    # Stats come from the WRITTEN files, not the input lineage: the
+    # write and a lineage re-execution are separate jobs, so for a
+    # nondeterministic input plan they can observe different rows —
+    # the manifest must describe the bytes on disk (the same scan
+    # verify_training_shards performs; column-pruned to key/token
+    # columns, so the read-back touches a fraction of the output).
+    written = df.sparkSession.read.parquet(path)
     stats = {
         int(r["shard_id"]): {
             "rows": int(r["rows"]),
             "digest_sum": str(r["digest_sum"]),
             **({"tokens": int(r["tokens"])} if token_col is not None else {}),
         }
-        for r in shuffled.groupBy("shard_id").agg(*stats_agg).collect()
+        for r in written.groupBy("shard_id").agg(*stats_agg).collect()
     }
     manifest = {
-        "n_rows": n_rows,
+        "n_rows": sum(s["rows"] for s in stats.values()),
         "n_shards": n_shards,
         "key_cols": key_cols,
         "token_col": token_col,

@@ -294,3 +294,32 @@ def test_pack_then_shard_composition(spark, sf_dir, tmp_path):
     assert sum(s["tokens"] for s in manifest["shards"].values()) == total_tokens
     assert manifest["n_rows"] == packs.count()
     assert verify_training_shards(spark, path)["ok"]
+
+
+def test_training_shards_manifest_describes_written_rows(spark, sf_dir, tmp_path):
+    """ADVICE r5: a NONDETERMINISTIC input plan (here a no-seed sample,
+    whose membership changes on every execution) must still produce a
+    manifest that verifies against the written files — the stats must
+    come from the parquet on disk, not from re-running the lineage."""
+    from myfitnesspaw_spark.sinks.shards import (
+        verify_training_shards,
+        write_training_shards,
+    )
+    from myfitnesspaw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # No seed: each job execution draws a different row subset.
+    flaky = docs.sample(0.5)
+    path = str(tmp_path / "shards_nondet")
+    manifest = write_training_shards(
+        flaky, path, key_cols=["doc_id"], token_col="n_chars",
+        target_rows_per_shard=20,
+    )
+    # The integrity gate must hold: every count/digest in the manifest
+    # matches the rows actually written.
+    assert verify_training_shards(spark, path)["ok"]
+    back = spark.read.parquet(path)
+    assert manifest["n_rows"] == back.count()
+    assert sum(s["rows"] for s in manifest["shards"].values()) == manifest["n_rows"]
