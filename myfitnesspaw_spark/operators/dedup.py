@@ -268,6 +268,8 @@ def minhash_lsh_pairs(
     band_rows: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    salt_groups: int = 1,
+    max_band_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact verification.
 
@@ -280,8 +282,29 @@ def minhash_lsh_pairs(
     3. verification: exact shingle Jaccard ≥ ``threshold`` on the
        candidate pairs only.
 
+    Hot-band control — a DEGENERATE band key (thousands of
+    near-identical docs, routine in real crawl data) makes the band
+    self-join emit m² candidate rows in one task.  Two independent
+    knobs, mirroring ``similarity.bucket_near_dup``:
+
+    * ``salt_groups`` (exact): salt-cell decomposition of each band
+      key's pair space (``operators/salting.py``) — result-identical
+      at any G, hot-band work spread over G(G+1)/2 tasks.
+    * ``max_band_rows`` (bounded approximation): deterministically
+      keep only the first m rows per band key (hash(id) order, id
+      tiebreak), capping candidates at m·(m-1)/2 per band.  Identical
+      docs collide in EVERY band, and each band draws an independent
+      hash-ordered subset, so true duplicate clusters still surface;
+      ``None`` keeps exact semantics.
+
     Returns ``(id_a, id_b, jaccard)``.
     """
+    from myfitnesspaw_spark.operators.salting import (
+        CELL_COL,
+        SALT_COL,
+        canonical_cell_pred,
+        with_salt_cells,
+    )
     num_bands = num_hashes // band_rows
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     # Materialized ONCE: the shingle array feeds both the signature
@@ -320,11 +343,40 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
 
-    left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    if max_band_rows is not None:
+        w = Window.partitionBy("band", "key").orderBy(
+            F.hash(F.col(id_col)).asc(), F.col(id_col).asc()
+        )
+        bands = (
+            bands.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_band_rows)
+            .drop("__bn")
+        )
+    if salt_groups > 1:
+        cells = with_salt_cells(bands, id_col, salt_groups)
+        left = cells.select(
+            F.col(id_col).alias("id_a"),
+            F.col(SALT_COL).alias("__salt_a"),
+            "band",
+            "key",
+            CELL_COL,
+        )
+        right = cells.select(
+            F.col(id_col).alias("id_b"),
+            F.col(SALT_COL).alias("__salt_b"),
+            "band",
+            "key",
+            CELL_COL,
+        )
+        paired = left.join(right, ["band", "key", CELL_COL]).where(
+            canonical_cell_pred()
+        )
+    else:
+        left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+        right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+        paired = left.join(right, ["band", "key"])
     candidates = (
-        left.join(right, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
+        paired.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )

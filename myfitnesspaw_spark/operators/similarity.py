@@ -249,44 +249,31 @@ def bucket_near_dup(
         b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
         joined = a.join(b, "bucket")
     else:
-        g = salt_groups
-        salted = base.withColumn("salt", F.pmod(F.hash("vid"), F.lit(g)))
-        cells = salted.select(
-            "*",
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.least("salt", F.lit(t)).alias("ci"),
-                                F.greatest("salt", F.lit(t)).alias("cj"),
-                            )
-                            for t in range(g)
-                        ]
-                    )
-                )
-            ).alias("cell"),
+        from myfitnesspaw_spark.operators.salting import (
+            CELL_COL,
+            SALT_COL,
+            canonical_cell_pred,
+            with_salt_cells,
         )
+
+        cells = with_salt_cells(base, "vid", salt_groups)
         a = cells.select(
             F.col("vid").alias("id_a"),
             F.col("vec").alias("va"),
-            F.col("salt").alias("salt_a"),
+            F.col(SALT_COL).alias("__salt_a"),
             "bucket",
-            "cell",
+            CELL_COL,
         )
         b = cells.select(
             F.col("vid").alias("id_b"),
             F.col("vec").alias("vb"),
-            F.col("salt").alias("salt_b"),
+            F.col(SALT_COL).alias("__salt_b"),
             "bucket",
-            "cell",
+            CELL_COL,
         )
         # Canonical-cell filter: each unordered pair matches in exactly
         # one of its shared cells, so no post-join distinct is needed.
-        joined = a.join(b, ["bucket", "cell"]).where(
-            (F.col("cell.ci") == F.least("salt_a", "salt_b"))
-            & (F.col("cell.cj") == F.greatest("salt_a", "salt_b"))
-        )
+        joined = a.join(b, ["bucket", CELL_COL]).where(canonical_cell_pred())
 
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
@@ -338,6 +325,7 @@ def srp_lsh_pairs(
     band_bits: int,
     threshold: float,
     scale: int = 1_000_000,
+    salt_groups: int = 1,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via signed-random-projection LSH —
     the embedding-side sibling of SimHash (which bands token hashes).
@@ -358,8 +346,19 @@ def srp_lsh_pairs(
     (both signatures are present post-join), so candidates are unique
     by construction and the dedup shuffle disappears at any scale.
 
+    ``salt_groups`` > 1 applies the exact salt-cell decomposition
+    (``operators/salting.py``) under the band join: a DEGENERATE band
+    (thousands of identical vectors sharing one (band, bval) key —
+    uniform hyperplanes spread random vectors, but true duplicate
+    swarms all land together) would otherwise emit m² candidate rows
+    in one task.  Result-identical at any G.
+
     Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``, each pair once.
     """
+    from myfitnesspaw_spark.operators.salting import (
+        canonical_cell_pred,
+        with_salt_cells,
+    )
     nb = len(signs)
     n_bands = nb // band_bits
     base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
@@ -404,17 +403,33 @@ def srp_lsh_pairs(
             lambda b: _band_of(F.col("a.sig"), b) != _band_of(F.col("b.sig"), b),
         )
     )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
+    if salt_groups > 1:
+        cells = with_salt_cells(bands, "vid", salt_groups)
+        join_cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vid") < F.col("b.vid")),
+            & (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.vid") < F.col("b.vid"))
+            & canonical_cell_pred("a.__salt", "b.__salt", cell="a.__cell")
         )
-        .where(first_collision)
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-    )
+        cand = (
+            cells.alias("a")
+            .join(cells.alias("b"), join_cond)
+            .where(first_collision)
+            .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        )
+    else:
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .where(first_collision)
+            .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        )
     va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     return (

@@ -410,6 +410,11 @@ def srp_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
     )
     corpus = vecs.select("vec_id", "embedding").unionByName(copies)
+    from myfitnesspaw_spark.sources import sf_is_small
+
+    # Scale-aware hot-band salting (result-identical at any G): a
+    # duplicate swarm shares every (band, bval) key, so beyond bench
+    # scale the band join runs under the salt-cell decomposition.
     return srp_lsh_pairs(
         corpus,
         "vec_id",
@@ -418,6 +423,7 @@ def srp_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SRP_BAND_BITS,
         SRP_THRESHOLD,
         scale=SRP_SCALE,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
     )
 
 

@@ -365,7 +365,14 @@ MH_BAND_ROWS = 2
 
 
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.sources import sf_is_small
+
     docs = scatter(load_table(spark, sf_dir, "documents"))
+    # Scale-aware hot-band salting, same policy as embedding_near_dup:
+    # result-identical at any G, so bench scale skips the G× row
+    # replication while a crawl-scale corpus (where one degenerate
+    # band of near-identical docs is routine) spreads each band key's
+    # quadratic candidate space over G(G+1)/2 tasks.
     return minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -373,6 +380,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MH_HASHES,
         band_rows=MH_BAND_ROWS,
         threshold=JACCARD_THRESHOLD,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
     )
 
 
@@ -643,15 +651,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data is pure overhead (r4 measured 0.84→1.37 s at sf0.1), so G
     # follows the data scale: plain join up to sf0.1, G=4 (10 cells
     # per bucket) beyond — and when the scale is unknown, assume big.
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    small = m is not None and float(m.group(1)) <= 0.1
+    from myfitnesspaw_spark.sources import sf_is_small
+
     return bucket_near_dup(
         corpus,
         "vec_id",
         "embedding",
         "label",
         NEAR_DUP_THRESHOLD,
-        salt_groups=1 if small else 4,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
     )
 
 

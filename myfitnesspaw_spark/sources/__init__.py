@@ -1,3 +1,9 @@
-from myfitnesspaw_spark.sources.tables import TABLES, load_table, register_views, scatter
+from myfitnesspaw_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+    scatter,
+    sf_is_small,
+)
 
-__all__ = ["TABLES", "load_table", "register_views", "scatter"]
+__all__ = ["TABLES", "load_table", "register_views", "scatter", "sf_is_small"]

@@ -97,6 +97,23 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def sf_is_small(sf_dir: str, cutoff: float = 0.1) -> bool:
+    """Scale-factor probe for scale-aware plan knobs (salting degree,
+    shard fan-out): True when ``sf_dir`` encodes a scale factor ≤
+    ``cutoff``.  When the directory name carries no ``sf<k>`` marker
+    the scale is UNKNOWN and the answer is False — assume big, the
+    conservative direction for skew controls (salting costs G× row
+    replication; running it on tiny data wastes a constant, skipping
+    it on huge data makes a straggler)."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return m is not None and float(m.group(1)) <= cutoff
+    except ValueError:
+        return False
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register testdata tables as temp views for the SQL API."""
     for name in tables or TABLES:
