@@ -29,6 +29,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql.datasource import (
@@ -37,6 +38,54 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     WriterCommitMessage,
 )
+
+
+def _stamp_success(path: str) -> None:
+    """Derive ``_SUCCESS`` (total rows/files) from the per-job
+    manifests and stamp it atomically.
+
+    Each job's own counts live in its ``_job-<token>.manifest`` —
+    written exactly once, never modified — so the per-job numbers are
+    exact under any concurrency; this function only SUMMARIZES them.
+    A best-effort ``O_EXCL`` lock file serializes concurrent stamps on
+    filesystems that support it (every local/NFS-style FS; on object
+    stores without atomic create the lock degrades to advisory, the
+    job manifests remain the source of truth, and a reader wanting
+    exact totals under concurrent writers sums them directly)."""
+    lock = os.path.join(path, "._success.lock")
+    acquired = False
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            time.sleep(0.05)
+        except OSError:
+            break  # FS without O_EXCL semantics: advisory only
+    try:
+        n_rows = 0
+        n_files = 0
+        for mp in glob.glob(os.path.join(path, "_job-*.manifest")):
+            try:
+                with open(mp) as fh:
+                    m = json.load(fh)
+                n_rows += int(m.get("n_rows", 0))
+                n_files += int(m.get("n_files", 0))
+            except (ValueError, OSError):
+                pass
+        tmp = os.path.join(path, f"._success-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"n_rows": n_rows, "n_files": n_files}, fh)
+        os.replace(tmp, os.path.join(path, "_SUCCESS"))
+    finally:
+        if acquired:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
 
 class JsonLogCommit(WriterCommitMessage):
@@ -78,13 +127,21 @@ class JsonLogWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # Driver-side, once, after every partition succeeded: publish
-        # atomically (rename) and stamp the manifest LAST so readers
+        # atomically (rename) and stamp the manifests LAST so readers
         # gating on _SUCCESS never observe a partial write.
         #
         # Overwrite mode cleared the directory before tasks launched, so
         # plain indexed names are unambiguous.  Append mode embeds the
         # job token: earlier jobs' part files keep their own tokens and
-        # are never touched, and the manifest accumulates across jobs.
+        # are never touched.
+        #
+        # Counts are PER-JOB manifests (``_job-<token>.manifest``),
+        # each written exactly once by its own job — no shared mutable
+        # state, so two concurrent appends cannot lose each other's
+        # totals (the old read-modify-write of one shared _SUCCESS
+        # could, ADVICE r5).  _SUCCESS is DERIVED: the sum over all
+        # job manifests, restamped after each commit under a
+        # best-effort lock (see _stamp_success).
         total = 0
         for i, m in enumerate(messages):
             if self.overwrite:
@@ -97,18 +154,17 @@ class JsonLogWriter(DataSourceWriter):
                 os.remove(final)
             os.replace(m.tmp_path, final)
             total += m.n_rows
-        n_files = len(messages)
-        success = os.path.join(self.path, "_SUCCESS")
-        if not self.overwrite and os.path.exists(success):
-            try:
-                with open(success) as fh:
-                    prior = json.load(fh)
-                total += int(prior.get("n_rows", 0))
-                n_files += int(prior.get("n_files", 0))
-            except (ValueError, OSError):
-                pass
-        with open(success, "w") as fh:
-            json.dump({"n_rows": total, "n_files": n_files}, fh)
+        job_manifest = os.path.join(
+            self.path, f"_job-{self.job_token}.manifest"
+        )
+        tmp = job_manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"job": self.job_token, "n_rows": total, "n_files": len(messages)},
+                fh,
+            )
+        os.replace(tmp, job_manifest)
+        _stamp_success(self.path)
 
     def abort(self, messages) -> None:
         for m in messages:
