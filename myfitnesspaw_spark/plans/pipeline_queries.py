@@ -748,10 +748,43 @@ HN_K = 5
 HN_QUERY_MOD = 50
 
 
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _anchor_batched(anchors, id_col: str, n_batches: int, one_batch):
+    """Run a broadcast-anchors × sharded-corpus stage in ``n_batches``
+    disjoint anchor slices and union the results.
+
+    The "broadcast the query/anchor side" topology holds only while
+    ALL anchors fit in one broadcast; past ~10⁶ anchors the single
+    broadcast is an executor OOM.  Batching by ``pmod(hash(id), n)``
+    keeps each broadcast bounded at |anchors|/n while staying
+    result-identical: the slices partition the anchor set, and every
+    downstream per-anchor computation (top-K, ranking) only ever
+    groups by anchor, so no cross-slice state exists.  The corpus is
+    re-scanned once per batch — the deliberate trade of the
+    brute-force/exhaustive path (the IVF/PQ/LSH operators are the
+    sublinear alternatives).  ``n_batches=1`` is the plain join."""
+    if n_batches <= 1:
+        return one_batch(anchors)
+    out = None
+    for b in range(n_batches):
+        part = anchors.where(F.pmod(F.hash(F.col(id_col)), F.lit(n_batches)) == b)
+        res = one_batch(part)
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, anchor_batches: int | None = None
+) -> DataFrame:
+    """``anchor_batches`` is the broadcast-size knob (see
+    ``_anchor_batched``): None picks scale-aware — one batch at bench
+    scale, 4 beyond, since the anchor sample (corpus/``HN_QUERY_MOD``)
+    grows linearly with the corpus."""
     from myfitnesspaw_spark.operators.dedup import topk_per_key
     from myfitnesspaw_spark.operators.similarity import cosine
+    from myfitnesspaw_spark.sources import sf_is_small
 
+    if anchor_batches is None:
+        anchor_batches = 1 if sf_is_small(sf_dir) else 4
     vecs = scatter(load_table(spark, sf_dir, "embeddings"))
     anchors = vecs.where(F.col("vec_id") % HN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("anchor_id"),
@@ -763,21 +796,27 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("nv"),
         F.col("label").alias("neg_label"),
     )
-    scored = corpus.join(
-        F.broadcast(anchors), F.col("anchor_label") != F.col("neg_label")
-    ).select(
-        "anchor_id",
-        "negative_id",
-        F.col("anchor_label").cast("int").alias("anchor_label"),
-        F.col("neg_label").cast("int").alias("neg_label"),
-        cosine(F.col("av"), F.col("nv")).alias("cos"),
-    )
-    return topk_per_key(
-        scored,
-        ["anchor_id"],
-        [F.col("cos").desc(), F.col("negative_id").asc()],
-        HN_K,
-    ).select("anchor_id", "negative_id", "anchor_label", "neg_label", "rank", "cos")
+
+    def one_batch(part):
+        scored = corpus.join(
+            F.broadcast(part), F.col("anchor_label") != F.col("neg_label")
+        ).select(
+            "anchor_id",
+            "negative_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("neg_label").cast("int").alias("neg_label"),
+            cosine(F.col("av"), F.col("nv")).alias("cos"),
+        )
+        return topk_per_key(
+            scored,
+            ["anchor_id"],
+            [F.col("cos").desc(), F.col("negative_id").asc()],
+            HN_K,
+        ).select(
+            "anchor_id", "negative_id", "anchor_label", "neg_label", "rank", "cos"
+        )
+
+    return _anchor_batched(anchors, "anchor_id", anchor_batches, one_batch)
 
 
 def _hard_negative_oracle() -> str:
@@ -824,9 +863,16 @@ RN_K = 4
 RN_QUERY_MOD = 50
 
 
-def random_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def random_negative_sampling(
+    spark: SparkSession, sf_dir: str, anchor_batches: int | None = None
+) -> DataFrame:
+    """``anchor_batches``: broadcast-size knob, same contract as
+    ``hard_negative_mining`` (None → scale-aware 1/4)."""
     from myfitnesspaw_spark.operators.dedup import topk_per_key
+    from myfitnesspaw_spark.sources import sf_is_small
 
+    if anchor_batches is None:
+        anchor_batches = 1 if sf_is_small(sf_dir) else 4
     docs = scatter(load_table(spark, sf_dir, "documents"))
     anchors = docs.where(F.col("doc_id") % RN_QUERY_MOD == 0).select(
         F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
@@ -834,23 +880,27 @@ def random_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = docs.select(
         F.col("doc_id").alias("negative_id"), F.col("source").alias("neg_source")
     )
-    ring = cands.join(
-        F.broadcast(anchors), F.col("anchor_source") != F.col("neg_source")
-    ).select(
-        "anchor_id",
-        "negative_id",
-        "neg_source",
-        F.md5(
-            F.concat_ws(":", F.col("anchor_id").cast("string"),
-                        F.col("negative_id").cast("string"))
-        ).alias("ring_key"),
-    )
-    return topk_per_key(
-        ring,
-        ["anchor_id"],
-        [F.col("ring_key").asc(), F.col("negative_id").asc()],
-        RN_K,
-    ).select("anchor_id", "negative_id", "neg_source", "rank", "ring_key")
+
+    def one_batch(part):
+        ring = cands.join(
+            F.broadcast(part), F.col("anchor_source") != F.col("neg_source")
+        ).select(
+            "anchor_id",
+            "negative_id",
+            "neg_source",
+            F.md5(
+                F.concat_ws(":", F.col("anchor_id").cast("string"),
+                            F.col("negative_id").cast("string"))
+            ).alias("ring_key"),
+        )
+        return topk_per_key(
+            ring,
+            ["anchor_id"],
+            [F.col("ring_key").asc(), F.col("negative_id").asc()],
+            RN_K,
+        ).select("anchor_id", "negative_id", "neg_source", "rank", "ring_key")
+
+    return _anchor_batched(anchors, "anchor_id", anchor_batches, one_batch)
 
 
 RANDOM_NEGATIVE_ORACLE = f"""
