@@ -9,33 +9,21 @@ REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
 correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
 
-Round-5 window (freshness rotation, VERDICT r4 #1):
-1. Three PERMANENT canaries that stay in-window every round from now
-   on — the flagship, one streaming path, one dedup path — so a loader
-   or session regression can never hide behind the rotation.
-2. Every query whose plan changed this round (real PNG multimodal
-   codec, scale-aware near-dup salting, multi-batch-exact drain
-   watermark, recursion-limit conf restore) plus the queries NEW this
-   round (sequence packing, inverted index, streaming CMS, dedup
-   survivors, delta pairs, RAG chunking, mixture sampling, bigram-LM
-   scoring, semantic dedup, SRP LSH, stream-static enrichment,
-   quality-classifier inference, watermark-bounded streaming dedup,
-   stream-stream LEFT OUTER join, integer PageRank, PQ ANN,
-   hard/random negative mining, the corpus-build capstone, BPE merge
-   counting, multimodal resize, sorted-neighborhood record linkage,
-   and the five TPC-H optimizer patterns Q7/Q8/Q17/Q19/Q22).
-3. The 12 remaining round-1/2-certified queries — the oldest driver
-   evidence in the registry.
-4. Round-3-certified backfill up to the 50-entry boundary (streaming +
-   OLAP + curation blocks); entries pushed past the boundary by the
-   new registrations stay r3-certified (age 2) and lead the r6
-   rotation.
-Everything left OUTSIDE the window was driver-certified in r3 or r4,
-so after this round no query's latest green row is more than two
-rounds old.  Out-of-window queries stay guarded by
-tests/test_registry_oracle.py at every sf.
+Round-6 window (freshness rotation, VERDICT r5 #2):
+1. The three PERMANENT canaries (flagship, one streaming path, one
+   dedup path) - pinned so a loader or session regression can never
+   hide behind the rotation.
+2. All 44 queries whose last driver-green row is CORRECTNESS_r03
+   (age 3 entering this round - the full backlog the policy owes).
+3. The three queries whose round-6 changes altered output or plan
+   structure: q8_market_share and bigram_lm_score (rounded double
+   ratios replaced by exact-integer ppm/micro columns) and lang_id
+   (corpus-sized map de-hinted).
+Everything outside the window was driver-certified in r4 or r5
+(age <= 2) and stays guarded by tests/test_registry_oracle.py at
+every sf; after this round no query's latest green row is more than
+two rounds old.  scripts/certification_age.py reports the ages.
 """
-
 from __future__ import annotations
 
 from myfitnesspaw_spark.plans import (
@@ -58,102 +46,18 @@ from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_repor
 from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
 from myfitnesspaw_spark.plans.registry import register
 
-# --- Window part 1: permanent canaries (pinned in-window every round).
+
+# --- Window part 1: permanent canaries (pinned in-window every round
+# --- from round 5 on) - flagship, one streaming path, one dedup path.
 register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: plans changed in round 5 — must re-certify.
-# Real stdlib PNG codec replaced the fake decode kernel.
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
-# Scale-aware salt_groups (1 at sf<=0.1, 4 beyond; result-identical).
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-# Backlog-spanning drain watermark (multi-batch drains now oracle-exact).
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-# cteRecursionLevelLimit now saved/restored around the recursive CTE.
-register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
-    bq.recursive_user_spine
-)
-# New in round 5 (never certified): context-window packing,
-# posting-list construction, and the streaming mergeable-sketch build
-# (additive base⊕delta state — shares the batch CMS oracle verbatim
-# because integer-sum sketches merge exactly under any batching).
-register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
-register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
-register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
-    sq.streaming_cms_heavy_hitters
-)
-# Pipeline closure for dedup: materialize the deduplicated corpus, and
-# the incremental (delta-only) detection a daily-updated corpus runs.
-register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
-# RAG chunking + mixture balancing (new this round, never certified).
-register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
-register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
-register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
-register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
-register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
-register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
-    sq.stream_static_enrich_q
-)
-register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
-    pq.quality_classifier_score
-)
-# Shares the dropDuplicates oracle: with a backlog-spanning drain
-# watermark both forms equal batch DISTINCT.
-register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
-    sq.streaming_dedup_within_watermark
-)
-register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
-    sq.stream_stream_click_error_outer_q
-)
-register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
-register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
-register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
-register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
-register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
-register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
-# TPC-H optimizer-pattern completions (adapted to the slimmed schema).
-register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
-register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
-register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
-    oq.q17_small_quantity_revenue
-)
-register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
-    oq.q19_disjunctive_brackets
-)
-register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
-register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
-    pq.sorted_neighborhood_pairs
-)
-
-# --- Part 3: the 12 remaining round-1/2-certified queries (oldest
-# driver evidence left in the registry).
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
-    sq.streaming_upsert_latest_event
-)
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
-register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
-register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
-register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
-register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
-register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
-register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-
-# --- Part 4: round-3-certified backfill — streaming, OLAP, curation.
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
-)
-register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
-    sq.sessionize_stateful_stream
-)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+# --- Part 2: the 44 queries whose last driver-green row is
+# --- CORRECTNESS_r03 (age 3 entering r6) - the entire backlog the
+# --- rotation policy owes a fresh certification (VERDICT r5 #2):
+# --- the OLAP block, curation block, behavioral/sketch block,
+# --- integrity checks, and the ETL silvers.
 register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
 register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
     oq.approx_quantiles_contract
@@ -190,9 +94,6 @@ register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
     cq.error_click_window_join
 )
 register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-# --- the 50-query driver window ends inside the block above; the
-# --- r3-certified tail pushed past it (age 2) leads the r6 rotation.
-
 register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
 register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
 register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
@@ -200,9 +101,112 @@ register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )
 register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
 
-# Round-4-certified block (driver-green in CORRECTNESS_r04; pytest-
-# guarded until their next rotation).
+# --- Part 3: plans whose OUTPUT or STRUCTURE changed in round 6 -
+# --- q8/bigram_lm now emit exact-integer ratio columns
+# --- (mkt_share_ppm / avg_p_micro, ADVICE r5 rounding-boundary fix)
+# --- and lang_id's corpus-sized doc->lang map lost its broadcast
+# --- hint (stats/AQE decide now).  The 50-query window ends here.
+register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
+register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+
+# --- Out-of-window remainder: every query below was driver-certified
+# --- in r4 or r5 (age <= 2 entering r6) and stays continuously
+# --- guarded by tests/test_registry_oracle.py at every sf.  Queries
+# --- touched by the r6 broadcast-hint sweep are result-identical
+# --- (AQE still picks broadcast at certified scales - asserted in
+# --- tests/test_plans.py) and re-verified by the in-repo oracle run.
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
+register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
+register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
 register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
 register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
     ioq.jsonl_roundtrip_purchases
@@ -237,7 +241,6 @@ register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retenti
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
 register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
 register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
 register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
 register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
 register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
@@ -259,27 +262,3 @@ register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-
-# Round-3-certified remainder (behavioral, sketches, integrity, ETL —
-# age 2 at r5, due for the r6 rotation window).
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
-register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
-    iq.cascade_delete_consistency
-)
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
-register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
-register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
