@@ -117,3 +117,49 @@ def lloyd_iterations(
             for r in sums
         ]
     return centroids
+
+
+def farthest_first_seeds(
+    sample: list[tuple[int, list[int]]], k: int
+) -> list[tuple[int, list[int]]]:
+    """Deterministic k-means++-style seeding: Gonzalez's farthest-first
+    traversal over a bounded sample.
+
+    Lowest-id-vector seeding (the prior SemDeDup/IVF quantizer) takes
+    whatever the first K rows happen to be — at scale that means
+    centroids drawn from one corner of the embedding space and wildly
+    unbalanced clusters (one giant cluster = quadratic near-dup work,
+    see plans/pipeline_queries.py NC discussion).  k-means++ fixes the
+    spread but needs RNG state; the farthest-first traversal is its
+    standard derandomization (2-approximation for the k-center
+    objective, Gonzalez 1985): seed 1 = the lowest-id sample row, each
+    next seed = the unchosen row maximizing its MIN exact-integer L2²
+    distance to the chosen set, ties toward the lower id.  Exact
+    integer arithmetic end to end, so the seed set is replicable
+    verbatim in SQL (the oracle unrolls the same k−1 argmax stages).
+
+    ``sample`` is (id, micro-unit int vector) rows — bounded
+    (constant-size, md5-rank-selected by the caller), so this runs
+    driver-side like every quantizer build in the suite; the CORPUS
+    never touches the driver.
+    """
+    if not sample:
+        return []
+    rows = sorted(sample, key=lambda r: r[0])
+    chosen = [rows[0]]
+    chosen_ids = {rows[0][0]}
+    while len(chosen) < k and len(chosen) < len(rows):
+        best = None  # (mind, -id) maximized with lower-id tie-break
+        for vid, vec in rows:
+            if vid in chosen_ids:
+                continue
+            mind = min(
+                sum((a - b) * (a - b) for a, b in zip(vec, cvec))
+                for _, cvec in chosen
+            )
+            key = (mind, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, vec)
+        chosen.append((best[1], best[2]))
+        chosen_ids.add(best[1])
+    return chosen

@@ -364,6 +364,152 @@ FROM pairs GROUP BY id_b
 
 SEMDEDUP_ORACLE = _semdedup_oracle()
 
+# --- semantic_dedup_kpp ---------------------------------------------------
+# SemDeDup with a REALISTIC coarse quantizer (VERDICT r5 #8): instead
+# of the lowest-id vectors (whatever the first NC rows happen to be —
+# at scale that clumps centroids in one corner of the space and makes
+# one giant cluster own the quadratic near-dup work), the seeds come
+# from a deterministic k-means++-style farthest-first traversal
+# (operators/clustering.py::farthest_first_seeds) over a bounded
+# md5-rank sample.  Same downstream pipeline as semantic_dedup
+# (within-cluster near-dup pairs → drop non-canonical members);
+# assignment switches to the exact-integer L2 quantizer the k-means
+# operator already certifies, so EVERY stage — sample, seeding,
+# assignment, pairs — is replicated verbatim in the oracle (the
+# seeding unrolls as NC−1 argmax CTE stages, the same generated-SQL
+# discipline as the PQ codebook and Lloyd oracles; the chained
+# ch{i} CTEs are AS MATERIALIZED because DuckDB inlines plain CTEs
+# per reference — a doubly-referenced chain would expand 2^NC scans
+# and exhaust file handles on the parquet view).
+
+KPP_SAMPLE = 64
+
+
+def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.clustering import (
+        assign_clusters,
+        farthest_first_seeds,
+        scale_to_micro,
+    )
+    from myfitnesspaw_spark.operators.similarity import bucket_near_dup
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    copies = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        vecs.select("vec_id", "embedding")
+        .unionByName(copies)
+        .withColumn("v", scale_to_micro(F.col("embedding")))
+    )
+    # Bounded seeding sample: the KPP_SAMPLE base vectors of lowest
+    # md5(vec_id) rank — a pseudo-random spread that is deterministic
+    # and engine-independent; orderBy+limit compiles to a distributed
+    # partial top-K, and only these constant-many rows reach the
+    # driver (the corpus never does).
+    sample_rows = (
+        vecs.select("vec_id", scale_to_micro(F.col("embedding")).alias("v"))
+        .orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(KPP_SAMPLE)
+        .collect()
+    )
+    seeds = farthest_first_seeds(
+        [(int(r["vec_id"]), [int(x) for x in r["v"]]) for r in sample_rows],
+        SEMDEDUP_NC,
+    )
+    assigned = assign_clusters(corpus, "v", seeds).select(
+        "vec_id", "embedding", F.col("cluster").alias("cluster_id")
+    )
+    pairs = bucket_near_dup(
+        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD
+    )
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.max("bucket").alias("cluster_id"),
+        F.min("id_a").alias("witness_id"),
+        F.min_by("cos", "id_a").alias("witness_cos"),
+        F.count(F.lit(1)).alias("n_witnesses"),
+    )
+
+
+def _semdedup_kpp_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import _duck_cosine
+
+    steps = []
+    for i in range(1, SEMDEDUP_NC):
+        steps.append(f"""
+dist{i} AS (
+  SELECT dd.vec_id, MIN(dd.d) AS mind FROM (
+    SELECT a.vec_id, c.cid, SUM((a.val - b.val) * (a.val - b.val)) AS d
+    FROM spts a
+    CROSS JOIN ch{i - 1} c
+    JOIN spts b ON b.vec_id = c.cid AND b.dim = a.dim
+    GROUP BY 1, 2
+  ) dd
+  WHERE dd.vec_id NOT IN (SELECT cid FROM ch{i - 1})
+  GROUP BY 1
+),
+sel{i} AS (SELECT vec_id AS cid FROM dist{i} ORDER BY mind DESC, vec_id ASC LIMIT 1),
+ch{i} AS MATERIALIZED (SELECT cid FROM ch{i - 1} UNION ALL SELECT cid FROM sel{i})""")
+    seed_stages = ",".join(steps)
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+samp AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {KPP_SAMPLE}
+),
+spts AS MATERIALIZED (SELECT p.* FROM pts p JOIN samp s USING (vec_id)),
+ch0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM samp),{seed_stages},
+cpts AS (SELECT c.cid, p.dim, p.val FROM ch{SEMDEDUP_NC - 1} c JOIN pts p ON p.vec_id = c.cid),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+corpts AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+adist AS (
+  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM corpts e JOIN cpts c USING (dim) GROUP BY 1, 2
+),
+asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM adist
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT a.vec_id, co.embedding, a.cluster_id
+  FROM asg a JOIN corpus co USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+         {_duck_cosine("a.embedding", "b.embedding")} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT id_b AS dropped_id,
+       CAST(MAX(cluster_id) AS BIGINT) AS cluster_id,
+       MIN(id_a) AS witness_id,
+       arg_min(cos, id_a) AS witness_cos,
+       COUNT(*) AS n_witnesses
+FROM pairs GROUP BY id_b
+"""
+
+
+SEMDEDUP_KPP_ORACLE = _semdedup_kpp_oracle()
+
 # --- srp_lsh_pairs --------------------------------------------------------
 # Embedding-cosine near-dup via signed-random-projection LSH — the
 # third LSH family in the suite next to MinHash (set Jaccard) and

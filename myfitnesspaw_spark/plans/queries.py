@@ -15,10 +15,10 @@ Round-6 window (freshness rotation, VERDICT r5 #2):
    hide behind the rotation.
 2. All 44 queries whose last driver-green row is CORRECTNESS_r03
    (age 3 entering this round - the full backlog the policy owes).
-3. The three queries whose round-6 changes altered output or plan
-   structure: q8_market_share and bigram_lm_score (rounded double
-   ratios replaced by exact-integer ppm/micro columns) and lang_id
-   (corpus-sized map de-hinted).
+3. The three queries whose round-6 output changed: q8_market_share
+   and bigram_lm_score (rounded double ratios replaced by
+   exact-integer ppm/micro columns) and semantic_dedup_kpp (NEW -
+   farthest-first k-means++-style coarse quantizer).
 Everything outside the window was driver-certified in r4 or r5
 (age <= 2) and stays guarded by tests/test_registry_oracle.py at
 every sf; after this round no query's latest green row is more than
@@ -123,14 +123,14 @@ register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
 
-# --- Part 3: plans whose OUTPUT or STRUCTURE changed in round 6 -
+# --- Part 3: queries whose OUTPUT changed (or is new) in round 6 -
 # --- q8/bigram_lm now emit exact-integer ratio columns
-# --- (mkt_share_ppm / avg_p_micro, ADVICE r5 rounding-boundary fix)
-# --- and lang_id's corpus-sized doc->lang map lost its broadcast
-# --- hint (stats/AQE decide now).  The 50-query window ends here.
+# --- (mkt_share_ppm / avg_p_micro, ADVICE r5 rounding-boundary fix);
+# --- semantic_dedup_kpp is the new farthest-first-seeded SemDeDup
+# --- variant.  The 50-query window ends here.
 register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
 
 # --- Out-of-window remainder: every query below was driver-certified
 # --- in r4 or r5 (age <= 2 entering r6) and stays continuously
@@ -241,6 +241,7 @@ register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retenti
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
 register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
 register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
 register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
 register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
 register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)

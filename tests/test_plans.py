@@ -457,3 +457,10 @@ _DEHINTED_BROADCAST_QUERIES = [
 def test_dehinted_dims_still_broadcast_by_stats(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_dedup_kpp_bounded_driver_and_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "semantic_dedup_kpp", sf_dir)
+    # The only nested-loop join is the 1-row broadcast centroid table
+    # (assign_clusters); the pair stage must stay bucket-keyed.
+    assert "CartesianProduct" not in plan, plan
