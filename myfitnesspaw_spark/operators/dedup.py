@@ -528,10 +528,16 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the
     cluster-assignment step after near-dup pair detection (each
     cluster keeps one canonical doc).
+
+    ``stats`` (optional out-param, same contract as
+    ``connected_components_star``): receives ``{"rounds": n}`` — the
+    input for rounds-vs-size scaling probes (hash-min converges in
+    O(diameter) rounds).
 
     Hash-min label propagation: every node starts labeled with itself;
     each iteration joins labels across edges and keeps the minimum;
@@ -556,7 +562,9 @@ def connected_components(
             "lbl", F.col("node")
         )
         prev_sum: int | None = None
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             nbr = (
                 sym.join(labels, sym.src == labels.node)
                 .groupBy("dst")
@@ -576,6 +584,8 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("lbl").alias("cluster"))
 
 

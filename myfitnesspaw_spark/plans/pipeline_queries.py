@@ -309,9 +309,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in vecs.where(F.col("vec_id") < SEMDEDUP_NC).collect()
     ]
+    from myfitnesspaw_spark.sources import sf_is_small
+
     assigned = ivf_coarse_assign(corpus, "embedding", cents, out_col="cluster_id")
+    # Scale-aware hot-bucket salting (result-identical at any G): with
+    # NC pinned, the within-cluster self-join has only NC distinct
+    # keys — at bench scale one side auto-broadcasts and the work is
+    # data-parallel anyway, but past the broadcast threshold a shuffle
+    # join would collapse onto NC tasks; the salt-cell decomposition
+    # spreads each cluster's quadratic pair space over G(G+1)/2 cells.
     pairs = bucket_near_dup(
-        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD
+        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
     )
     # Drop rule: any id that appears as the LARGER side of a
     # qualifying pair; witness = its smallest lower-id near-dup.
@@ -420,11 +429,23 @@ def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["vec_id"]), [int(x) for x in r["v"]]) for r in sample_rows],
         SEMDEDUP_NC,
     )
-    assigned = assign_clusters(corpus, "v", seeds).select(
-        "vec_id", "embedding", F.col("cluster").alias("cluster_id")
+    from myfitnesspaw_spark.sources import sf_is_small
+
+    # Materialized ONCE: the pair self-join reads the assignment from
+    # both sides; without the checkpoint each side re-runs the scan +
+    # quantizer, and the centroid cross join in the lineage destroys
+    # the size estimate (cross-join stats multiply), so the planner
+    # would sort-merge the NC-key self-join onto NC tasks instead of
+    # broadcasting — measured 127 s vs ~10 s at the K=8 scale probe.
+    assigned = (
+        assign_clusters(corpus, "v", seeds)
+        .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
+        .localCheckpoint()
     )
+    # Same scale-aware salting rationale as semantic_dedup.
     pairs = bucket_near_dup(
-        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD
+        assigned, "vec_id", "embedding", "cluster_id", SEMDEDUP_THRESHOLD,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
     )
     return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
         F.max("bucket").alias("cluster_id"),

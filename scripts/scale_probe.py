@@ -47,11 +47,36 @@ Round-5 additions (K=4 and K=8 runs, same base)::
     semantic_dedup            6.54x  7.80x  (vs K² within-cluster pairs)
     bigram_lm_score           1.94x  2.19x
     quality_classifier_score  2.00x  1.58x
-    pagerank_dedup_graph      2.41x    —
-    sorted_neighborhood_pairs 1.07x    —
-    corpus_build_pipeline     0.86x    —
-    hard_negative_mining      3.46x    —   (vs 16x anchorsxcorpus pairs)
-    bpe_merge_candidates      1.29x    —
+    pagerank_dedup_graph      2.41x  3.12x
+    sorted_neighborhood_pairs 1.07x  0.84x
+    corpus_build_pipeline     0.86x  1.20x
+    hard_negative_mining      3.46x  8.08x  (vs 16x/64x anchorsxcorpus
+                                            pairs; K=8 runs the 4-way
+                                            anchor-batched scale path)
+    bpe_merge_candidates      1.29x  0.93x
+
+Round-6 additions::
+
+    semantic_dedup_kpp        ~10x  ~8x  (vs K² within-cluster pairs;
+                                          measured 38.8 s at K=8 after
+                                          checkpointing the assignment
+                                          - its pre-fix lineage carried
+                                          a cross join whose multiplied
+                                          size estimate forced the
+                                          NC-key self-join onto an
+                                          NC-task sort-merge: 127 s)
+
+Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
+— hash-min CC and CC-star rounds stay FLAT while edges scale exactly
+linearly, confirming the contraction is diameter-bounded, not
+size-bounded (the scaled replicas are graph-isomorphic per replica,
+so diameter is constant by construction)::
+
+    K   edges  cc_rounds  star_rounds
+    1     256      2           2
+    2     512      2           2
+    4    1024      2           2
+    8    2048      2           2
 """
 
 from __future__ import annotations
@@ -95,6 +120,8 @@ PROBES = [
     "corpus_build_pipeline",
     "hard_negative_mining",
     "bpe_merge_candidates",
+    # round-6 addition: the farthest-first-seeded SemDeDup variant.
+    "semantic_dedup_kpp",
 ]
 
 TABLES = [
@@ -197,7 +224,65 @@ def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
     return best
 
 
+def rounds_probe(ks: list[int]) -> None:
+    """Rounds-vs-size curve for the iterative graph operators.
+
+    Hash-min CC converges in O(graph diameter) rounds and CC-star in
+    O(log² n); PageRank runs a FIXED round count, so its scaling axis
+    is time-per-round.  A rounds curve that grows linearly with K
+    would mean the contraction is broken (diameter tracking corpus
+    size); the healthy signature is flat-to-logarithmic rounds with
+    roughly data-proportional per-round time.
+
+    Usage: ``python scripts/scale_probe.py rounds [K ...]``
+    (default K = 1 2 4 8).
+    """
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+    from myfitnesspaw_spark.sources import load_table, scatter
+
+    spark = get_spark(
+        "scale_probe_rounds", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    )
+    print(f"{'K':>3s} {'edges':>9s} {'cc_rounds':>9s} {'star_rounds':>11s}"
+          f" {'cc_sec':>7s} {'star_sec':>8s}")
+    for k in ks:
+        sf_dir = BASE if k == 1 else build_scaled(spark, k)
+        docs = scatter(load_table(spark, sf_dir, "documents"))
+        sh = shingle_sets(docs, "doc_id", "text", n=3)
+        pairs = (
+            jaccard_pairs_prefix(sh, "doc_id", 0.8)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        n_edges = pairs.count()
+        st_cc: dict = {}
+        t0 = time.perf_counter()
+        connected_components(pairs, stats=st_cc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_cc = time.perf_counter() - t0
+        st_star: dict = {}
+        t0 = time.perf_counter()
+        connected_components_star(pairs, stats=st_star).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_star = time.perf_counter() - t0
+        print(
+            f"{k:3d} {n_edges:9d} {st_cc.get('rounds', -1):9d}"
+            f" {st_star.get('rounds', -1):11d} {t_cc:7.2f} {t_star:8.2f}",
+            flush=True,
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "rounds":
+        rounds_probe([int(x) for x in sys.argv[2:]] or [1, 2, 4, 8])
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2:])
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)

@@ -452,3 +452,31 @@ def test_anchor_batching_result_identical(spark, sf_dir):
         one = {tuple(r) for r in fn(spark, sf_dir, anchor_batches=1).collect()}
         batched = {tuple(r) for r in fn(spark, sf_dir, anchor_batches=3).collect()}
         assert batched == one, fn.__name__
+
+
+def test_cc_stats_rounds_reported(spark):
+    """Both CC variants report their round count through the optional
+    stats out-param (the rounds-vs-size probe input) without changing
+    the labels."""
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    st: dict = {}
+    labels = {
+        (r["node"], r["cluster"])
+        for r in connected_components(edges, stats=st).collect()
+    }
+    assert st["rounds"] >= 1
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    assert labels == expected
+    st2: dict = {}
+    labels2 = {
+        (r["node"], r["cluster"])
+        for r in connected_components_star(edges, stats=st2).collect()
+    }
+    assert st2["rounds"] >= 1 and labels2 == expected
