@@ -46,35 +46,42 @@ def pagerank_integer(
 
     Returns ``(node, deg, rank_units)``.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
-        )
-        .localCheckpoint(eager=False)  # reused every round — cut the
-        # (possibly expensive) pair-derivation lineage exactly once
+    from myfitnesspaw_spark.operators.dedup import _loop_shuffle_partitions
+
+    # Materialize the pair-derivation lineage ONCE (eager: the edge
+    # count below both pins it and sizes the loop's shuffle width).
+    edges = edges.localCheckpoint()
+    sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionByName(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
     )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("s").alias("node"), "deg").localCheckpoint(eager=False)
-    base = (15 * scale) // 100
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
-        contrib = ranks.join(
-            sym, ranks["node"] == sym["s"]
-        ).select(F.col("d"), F.expr("rank DIV deg").alias("c"))
-        sums = contrib.groupBy("d").agg(F.sum("c").alias("csum"))
-        ranks = (
-            nodes.join(sums, nodes["node"] == sums["d"], "left")
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(csum, 0L)) DIV {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+    # Same loop discipline as the CC operators: the rank/edge tables
+    # are orders of magnitude smaller than the corpus the pairs came
+    # from, so the per-round join + sum must not pay a corpus-sized
+    # shuffle-partition count in empty-task scheduling overhead.
+    with _loop_shuffle_partitions(edges.sparkSession, edges.count()):
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        nodes = deg.select(F.col("s").alias("node"), "deg").localCheckpoint(
+            eager=False
         )
+        base = (15 * scale) // 100
+        ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+        for _ in range(iterations):
+            contrib = ranks.join(
+                sym, ranks["node"] == sym["s"]
+            ).select(F.col("d"), F.expr("rank DIV deg").alias("c"))
+            sums = contrib.groupBy("d").agg(F.sum("c").alias("csum"))
+            ranks = (
+                nodes.join(sums, nodes["node"] == sums["d"], "left")
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({PR_DAMP_NUM} * coalesce(csum, 0L)) DIV {PR_DAMP_DEN}"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return ranks.select("node", "deg", F.col("rank").alias("rank_units"))
