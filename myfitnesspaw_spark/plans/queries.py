@@ -263,3 +263,7 @@ register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+# New in round 6 (state API v2); enters the r7 window.
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
+)

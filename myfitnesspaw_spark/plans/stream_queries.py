@@ -449,3 +449,23 @@ FROM dims d,
      LATERAL (SELECT unnest(generate_series(0, (d.w + 1) // 2 - 1)) AS c) c
 GROUP BY d.doc_id, d.w, d.h
 """
+
+
+def tws_user_type_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` (state API v2) MapState rollup:
+    per-(user, event_type) count / exact-cents sum / first / last
+    event time, drained to the batch-equivalent totals.  See
+    streaming/tws.py for the state shape."""
+    from myfitnesspaw_spark.streaming.tws import tws_user_type_rollup
+
+    stream = read_events_stream(spark, sf_dir)
+    return tws_user_type_rollup(stream)
+
+
+TWS_USER_TYPE_ROLLUP_ORACLE = f"""
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS BIGINT) AS value_cents,
+       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+FROM events GROUP BY 1, 2
+"""

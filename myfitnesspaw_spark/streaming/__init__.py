@@ -10,6 +10,7 @@ from myfitnesspaw_spark.streaming.sessions import (
     sessionize,
     sessionize_stream,
 )
+from myfitnesspaw_spark.streaming.tws import tws_user_type_rollup
 
 __all__ = [
     "read_events_stream",
@@ -20,4 +21,5 @@ __all__ = [
     "streaming_dedup_counts",
     "streaming_hourly_rollup",
     "streaming_sliding_rollup",
+    "tws_user_type_rollup",
 ]

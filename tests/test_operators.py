@@ -387,3 +387,26 @@ def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
     assert got["n_null_value"] == direct["nv"] == 0
     assert got["value_min"] == direct["mn"]
     assert got["value_max"] == direct["mx"]
+
+
+def test_tws_runtime_gate_and_merge_fold():
+    """The state-API-v2 operator gates on its protobuf runtime dep and
+    the shared batch fold is exact-integer in both paths."""
+    import pandas as pd
+
+    from myfitnesspaw_spark.streaming import tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert tws.HAS_TWS_RUNTIME
+    except ImportError:
+        assert not tws.HAS_TWS_RUNTIME
+
+    chunks = [
+        pd.DataFrame({"event_type": ["a", "b", "a"], "cents": [100, 5, 3], "us": [10, 20, 5]}),
+        pd.DataFrame({"event_type": ["b"], "cents": [7], "us": [1]}),
+    ]
+    prior = {"a": (1, 1, 1, 100)}
+    got = tws._merge_rows(iter(chunks), prior.get)
+    assert got == {"a": (3, 104, 1, 100), "b": (2, 12, 1, 20)}
