@@ -410,3 +410,32 @@ def test_tws_runtime_gate_and_merge_fold():
     prior = {"a": (1, 1, 1, 100)}
     got = tws._merge_rows(iter(chunks), prior.get)
     assert got == {"a": (3, 104, 1, 100), "b": (2, 12, 1, 20)}
+
+
+def test_sf_is_small_parses_and_assumes_big():
+    from myfitnesspaw_spark.sources import sf_is_small
+
+    assert sf_is_small("/root/testdata/sf0.001")
+    assert sf_is_small("/root/testdata/sf0.1")
+    assert not sf_is_small("/tmp/scale_probe_sf8")
+    assert not sf_is_small("/data/prod_corpus")  # unknown -> assume big
+    assert not sf_is_small("/data/sf2.5")
+
+
+def test_anchor_batched_empty_and_single(spark):
+    """Degenerate inputs: zero anchors still yields an empty frame of
+    the right schema through every batch; n_batches=1 is the plain
+    path."""
+    import pyspark.sql.functions as F
+
+    from myfitnesspaw_spark.plans.pipeline_queries import _anchor_batched
+
+    anchors = spark.createDataFrame([], "anchor_id bigint, v bigint")
+
+    def one_batch(part):
+        return part.select("anchor_id", (F.col("v") * 2).alias("v2"))
+
+    for n in (1, 3):
+        out = _anchor_batched(anchors, "anchor_id", n, one_batch)
+        assert out.columns == ["anchor_id", "v2"]
+        assert out.count() == 0
