@@ -394,10 +394,74 @@ SEMDEDUP_ORACLE = _semdedup_oracle()
 KPP_SAMPLE = 64
 
 
+def _kpp_sample_seeds(vecs: DataFrame, nc: int) -> list[tuple[int, list[int]]]:
+    """Bounded seeding sample + farthest-first traversal (shared by
+    the kpp-seeded SemDeDup and IVF variants).
+
+    The sample is the ``KPP_SAMPLE`` base vectors of lowest
+    md5(vec_id) rank — a pseudo-random spread that is deterministic
+    and engine-independent; orderBy+limit compiles to a distributed
+    partial top-K, and only these constant-many rows reach the driver
+    (the corpus never does).  Returns ``nc`` (id, micro-int vector)
+    seeds."""
+    from myfitnesspaw_spark.operators.clustering import (
+        farthest_first_seeds,
+        scale_to_micro,
+    )
+
+    sample_rows = (
+        vecs.select("vec_id", scale_to_micro(F.col("embedding")).alias("v"))
+        .orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(KPP_SAMPLE)
+        .collect()
+    )
+    return farthest_first_seeds(
+        [(int(r["vec_id"]), [int(x) for x in r["v"]]) for r in sample_rows], nc
+    )
+
+
+def _kpp_seed_ctes(nc: int) -> str:
+    """The seeding replicated in SQL: the WITH-fragment from the
+    long-format points table through ``ch{nc-1}`` (the final seed id
+    set), as ``nc - 1`` unrolled argmax stages.  Chained CTEs are AS
+    MATERIALIZED — DuckDB inlines plain CTEs per reference, and a
+    doubly-referenced chain would expand 2^nc scans."""
+    steps = []
+    for i in range(1, nc):
+        steps.append(f"""
+dist{i} AS (
+  SELECT dd.vec_id, MIN(dd.d) AS mind FROM (
+    SELECT a.vec_id, c.cid, SUM((a.val - b.val) * (a.val - b.val)) AS d
+    FROM spts a
+    CROSS JOIN ch{i - 1} c
+    JOIN spts b ON b.vec_id = c.cid AND b.dim = a.dim
+    GROUP BY 1, 2
+  ) dd
+  WHERE dd.vec_id NOT IN (SELECT cid FROM ch{i - 1})
+  GROUP BY 1
+),
+sel{i} AS (SELECT vec_id AS cid FROM dist{i} ORDER BY mind DESC, vec_id ASC LIMIT 1),
+ch{i} AS MATERIALIZED (SELECT cid FROM ch{i - 1} UNION ALL SELECT cid FROM sel{i})""")
+    seed_stages = ",".join(steps)
+    return f"""pts AS MATERIALIZED (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+samp AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {KPP_SAMPLE}
+),
+spts AS MATERIALIZED (SELECT p.* FROM pts p JOIN samp s USING (vec_id)),
+ch0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM samp),{seed_stages}"""
+
+
 def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.clustering import (
         assign_clusters,
-        farthest_first_seeds,
         scale_to_micro,
     )
     from myfitnesspaw_spark.operators.similarity import bucket_near_dup
@@ -411,24 +475,7 @@ def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(copies)
         .withColumn("v", scale_to_micro(F.col("embedding")))
     )
-    # Bounded seeding sample: the KPP_SAMPLE base vectors of lowest
-    # md5(vec_id) rank — a pseudo-random spread that is deterministic
-    # and engine-independent; orderBy+limit compiles to a distributed
-    # partial top-K, and only these constant-many rows reach the
-    # driver (the corpus never does).
-    sample_rows = (
-        vecs.select("vec_id", scale_to_micro(F.col("embedding")).alias("v"))
-        .orderBy(
-            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
-            F.col("vec_id").asc(),
-        )
-        .limit(KPP_SAMPLE)
-        .collect()
-    )
-    seeds = farthest_first_seeds(
-        [(int(r["vec_id"]), [int(x) for x in r["v"]]) for r in sample_rows],
-        SEMDEDUP_NC,
-    )
+    seeds = _kpp_sample_seeds(vecs, SEMDEDUP_NC)
     from myfitnesspaw_spark.sources import sf_is_small
 
     # Materialized ONCE: the pair self-join reads the assignment from
@@ -458,35 +505,8 @@ def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_kpp_oracle() -> str:
     from myfitnesspaw_spark.plans.text_queries import _duck_cosine
 
-    steps = []
-    for i in range(1, SEMDEDUP_NC):
-        steps.append(f"""
-dist{i} AS (
-  SELECT dd.vec_id, MIN(dd.d) AS mind FROM (
-    SELECT a.vec_id, c.cid, SUM((a.val - b.val) * (a.val - b.val)) AS d
-    FROM spts a
-    CROSS JOIN ch{i - 1} c
-    JOIN spts b ON b.vec_id = c.cid AND b.dim = a.dim
-    GROUP BY 1, 2
-  ) dd
-  WHERE dd.vec_id NOT IN (SELECT cid FROM ch{i - 1})
-  GROUP BY 1
-),
-sel{i} AS (SELECT vec_id AS cid FROM dist{i} ORDER BY mind DESC, vec_id ASC LIMIT 1),
-ch{i} AS MATERIALIZED (SELECT cid FROM ch{i - 1} UNION ALL SELECT cid FROM sel{i})""")
-    seed_stages = ",".join(steps)
     return f"""
-WITH pts AS MATERIALIZED (
-  SELECT vec_id, i AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
-  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
-),
-samp AS MATERIALIZED (
-  SELECT vec_id FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {KPP_SAMPLE}
-),
-spts AS MATERIALIZED (SELECT p.* FROM pts p JOIN samp s USING (vec_id)),
-ch0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM samp),{seed_stages},
+WITH {_kpp_seed_ctes(SEMDEDUP_NC)},
 cpts AS (SELECT c.cid, p.dim, p.val FROM ch{SEMDEDUP_NC - 1} c JOIN pts p ON p.vec_id = c.cid),
 corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -530,6 +550,99 @@ FROM pairs GROUP BY id_b
 
 
 SEMDEDUP_KPP_ORACLE = _semdedup_kpp_oracle()
+
+# --- ivf_ann_topk_kpp -----------------------------------------------------
+# The IVF half of the seeding upgrade (VERDICT r5 #8 names both): the
+# coarse quantizer's centroids are the farthest-first seed VECTORS
+# instead of the lowest-id rows; assignment, probing, and scoring are
+# the standard cosine IVF machinery (operators/similarity.py), so the
+# only delta vs `ivf_ann_topk` is WHICH vectors anchor the clusters —
+# spread over the embedding space rather than whatever the first NC
+# rows happen to be.
+
+
+def ivf_ann_topk_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import ivf_ann_topk as _ivf
+    from myfitnesspaw_spark.plans.text_queries import (
+        ANN_K,
+        ANN_QUERY_MOD,
+        IVF_NC,
+        IVF_NPROBE,
+    )
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    seed_ids = [vid for vid, _ in _kpp_sample_seeds(vecs, IVF_NC)]
+    # The quantizer uses the seeds' ORIGINAL float vectors (cosine
+    # assignment, like ivf_ann_topk); NC rows collected once.
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in vecs.where(F.col("vec_id").isin(seed_ids)).collect()
+    ]
+    queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return _ivf(queries, vecs, "vec_id", "embedding", cents, IVF_NPROBE, ANN_K)
+
+
+def _ivf_kpp_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import (
+        ANN_K,
+        ANN_QUERY_MOD,
+        IVF_NC,
+        IVF_NPROBE,
+        _duck_cosine,
+    )
+
+    return f"""
+WITH {_kpp_seed_ctes(IVF_NC)},
+cent AS (
+  SELECT e.vec_id AS cid, e.embedding AS cv
+  FROM embeddings e JOIN ch{IVF_NC - 1} c ON e.vec_id = c.cid
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {{cos_qc}} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {{cos_pa}} AS cos
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {ANN_K}
+""".format(
+        cos_ec=_duck_cosine("e.embedding", "c.cv"),
+        cos_qc=_duck_cosine("q.qv", "c.cv"),
+        cos_pa=_duck_cosine("p.qv", "a.embedding"),
+    )
+
+
+IVF_KPP_ORACLE = _ivf_kpp_oracle()
 
 # --- srp_lsh_pairs --------------------------------------------------------
 # Embedding-cosine near-dup via signed-random-projection LSH — the

@@ -267,3 +267,5 @@ register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
     sq.tws_user_type_rollup_q
 )
+# New in round 6 (farthest-first IVF quantizer); enters the r7 window.
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
