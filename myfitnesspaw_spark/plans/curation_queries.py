@@ -258,6 +258,70 @@ GROUP BY 1, 2
 """
 
 
+# --- decontaminated_corpus ------------------------------------------------
+# The REMOVAL step that closes the contamination loop (detect →
+# remove), mirroring dedup's detect → cluster → survivors symmetry:
+# drop from the TRAIN split every document sharing at least
+# DECONTAM_MIN_SHARED n-grams with the eval split (the GPT-3 appendix
+# C recipe: exact n-gram overlap against benchmarks, offending
+# documents removed before training).
+#
+# Scale shape: the contaminated-id set comes from the SAME inverted-
+# index shingle join as ngram_contamination (candidate-bounded, eval
+# side restricted pre-shuffle), distinct-ed down to train doc ids —
+# result-bounded but corpus-proportional worst case, so the final
+# LEFT ANTI carries NO broadcast hint (SURVEY §4.1 policy: stats/AQE
+# decide; a forced broadcast of a could-be-huge hit set is an OOM).
+
+DECONTAM_MIN_SHARED = 1
+
+
+def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    contaminated = (
+        train.join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DECONTAMINATED_CORPUS_ORACLE = f"""
+WITH d AS (SELECT doc_id, {{words}} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(w[i:i+{CONTAM_N - 1}], 'string_agg', ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i)
+  WHERE len(w) >= {CONTAM_N}
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM g t JOIN g e ON t.gram = e.gram
+  WHERE t.doc_id % {_EVAL_MOD} != 0 AND e.doc_id % {_EVAL_MOD} = 0
+  GROUP BY t.doc_id, e.doc_id
+  HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {_EVAL_MOD} != 0 AND c.doc_id IS NULL
+""".format(words=_WORDS)
+
+
 # --- repetition_quality ---------------------------------------------------
 # Gopher-style repetition filters (Rae et al. 2021, §A.1.1): fraction
 # of tokens in the most frequent word, and fraction of duplicate word

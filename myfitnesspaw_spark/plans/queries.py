@@ -269,3 +269,7 @@ register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
 )
 # New in round 6 (farthest-first IVF quantizer); enters the r7 window.
 register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+# New in round 6 (contamination removal step); enters the r7 window.
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
+)
