@@ -85,3 +85,78 @@ def pagerank_integer(
                 .localCheckpoint(eager=False)
             )
     return ranks.select("node", "deg", F.col("rank").alias("rank_units"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected pair graph —
+    the local-clustering signal a curation pass reads next to degree
+    and PageRank (a node whose neighbors all know each other sits in a
+    dense duplicate clique; a high-degree node with NO triangles is a
+    hub/template, a different cleanup decision).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW'11 — the same paper whose salt-cell partitioning the near-dup
+    joins use).  Orient every edge from its (deg, id)-smaller endpoint
+    to the larger; every triangle then has exactly ONE source node
+    with two outgoing edges, so counting = one self-join of the
+    oriented edge list on the source (wedge build) + one semi-check
+    that the closing edge exists.  Orientation bounds each node's
+    out-degree by O(√m) on any graph, so the wedge join is
+    O(m^{3/2}) total work with no all-pairs blow-up — the reason this
+    beats joining the raw symmetric edge list (whose hub nodes would
+    contribute deg² wedges).
+
+    Returns ``(node, deg, n_triangles)`` — every node of the graph,
+    zero-triangle nodes included.
+    """
+    edges = edges.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (deg, id)-order each edge: the join ranks both endpoints.
+    du = deg.select(F.col("u").alias("__n"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("__n"), F.col("deg").alias("dv"))
+    ranked = (
+        edges.join(du, edges.u == du.__n).drop("__n")
+        .join(dv, edges.v == dv.__n).drop("__n")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint()
+    # Wedges from a common source, ordered to count each once …
+    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
+    # … closed by an oriented edge between the two tips (either
+    # direction — orientation of the closing edge depends on degrees).
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    ).unionByName(
+        oriented.select(F.col("t").alias("t1"), F.col("s").alias("t2"))
+    )
+    tris = wedges.join(closing, ["t1", "t2"]).select(
+        F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c")
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("u").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node", "deg", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+        )
+    )

@@ -273,3 +273,7 @@ register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
 register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
     cq.decontaminated_corpus
 )
+# New in round 6 (graph local clustering); enters the r7 window.
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
+)

@@ -358,6 +358,67 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup_graph_triangles ------------------------------------------------
+# Local clustering over the near-dup graph: per-doc triangle counts
+# (degree-ordered orientation, operators/graph.py::triangle_counts).
+# Next to degree and PageRank this separates dense duplicate CLIQUES
+# (neighbors all near-dup each other — collapse aggressively) from
+# template/boilerplate HUBS (high degree, no closure — a different
+# cleanup decision).  The oracle counts each {a<b<c} triangle once via
+# the ordered three-way join — semantics, not strategy; the engine's
+# oriented form does O(m^1.5) work instead of deg² wedges.
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.graph import triangle_counts
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    return triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "deg", "n_triangles"
+    )
+
+
+DEDUP_TRIANGLES_ORACLE = f"""
+WITH {{shingles}},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+deg AS (SELECT u AS doc_id, COUNT(*) AS deg FROM sym GROUP BY 1),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.id_a = e1.id_b
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+per AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_triangles FROM per GROUP BY 1)
+SELECT d.doc_id, d.deg,
+       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN cnt c USING (doc_id)
+""".format(shingles=_SHINGLES_CTE)
+
+
 # --- minhash_lsh_pairs ----------------------------------------------------
 
 MH_HASHES = 16
