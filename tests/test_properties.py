@@ -480,3 +480,43 @@ def test_cc_stats_rounds_reported(spark):
         for r in connected_components_star(edges, stats=st2).collect()
     }
     assert st2["rounds"] >= 1 and labels2 == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None)
+def test_triangle_counts_match_brute_force(spark, seed):
+    """Degree-ordered triangle counting equals the brute-force
+    enumeration on random graphs (including multi-clique, hub, and
+    isolated-edge shapes)."""
+    import itertools
+    import random
+
+    from myfitnesspaw_spark.operators.graph import triangle_counts
+
+    rng = random.Random(seed)
+    n = rng.randint(4, 24)
+    edges = set()
+    for _ in range(rng.randint(3, 60)):
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v, nbrs in adj.items():
+        if not nbrs:
+            continue  # isolated nodes are not graph nodes (no edges)
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(nbrs), 2) if y in adj[x]
+        )
+        expected[v] = (len(nbrs), t)
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == expected
