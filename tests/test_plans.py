@@ -464,3 +464,20 @@ def test_semantic_dedup_kpp_bounded_driver_and_no_cartesian(spark, sf_dir):
     # The only nested-loop join is the 1-row broadcast centroid table
     # (assign_clusters); the pair stage must stay bucket-keyed.
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminated_corpus_anti_join_unhinted(spark, sf_dir):
+    plan = _plan(spark, "decontaminated_corpus", sf_dir)
+    # Removal is a LEFT ANTI against the contaminated-id set; the hit
+    # set is corpus-proportional worst case, so no forced broadcast
+    # (stats may still choose one at test scale) and no cartesian.
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_graph_triangles_keyed_joins_only(spark, sf_dir):
+    plan = _plan(spark, "dedup_graph_triangles", sf_dir)
+    # Wedge build + closing check are keyed joins; a cartesian or a
+    # global-order window would be the deg^2 anti-pattern.
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
