@@ -113,14 +113,29 @@ def verify_pairs(
 
 
 def prefix_filter_candidates(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """PPJoin-style prefix-filtered candidate pairs.
+    """PPJoin-style candidate pairs: prefix + length + positional
+    filters (Xiao et al., WWW'08), zero recall loss.
 
-    Under any global total order of shingles (here: md5, uniform and
-    skew-free), two sets with Jaccard ≥ t must share an element within
-    each one's first ``n − ⌈t·n⌉ + 1`` shingles (prefix filtering
-    principle, Xiao et al., WWW'08).  Indexing only prefixes cuts the
-    quadratic candidate-generation work by ~(1−t)² — 25× at t=0.8 —
-    with zero recall loss.
+    * **Prefix**: under any global total order of shingles (here: md5,
+      uniform and skew-free), two sets with Jaccard ≥ t must share an
+      element within each one's first ``n − ⌈t·n⌉ + 1`` shingles —
+      indexing only prefixes cuts quadratic candidate generation by
+      ~(1−t)².
+    * **Length**: Jaccard ≥ t forces ``t·|A| ≤ |B| ≤ |A|/t`` — a
+      row-local predicate on the joined sizes.
+    * **Positional**: Jaccard ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|); a
+      prefix element matched at rank r leaves at most
+      ``min(|A|−r_A, |B|−r_B) + 1`` further possible matches, so pairs
+      whose upper bound can't reach the required overlap drop before
+      the distinct.  Both bounds use FLOOR (an under-approximation of
+      the exact requirement), so pruning can only be too weak, never
+      drop a true pair.
+
+    Measured at sf0.1/t=0.8 on this corpus (tiny shingle vocabulary →
+    hot prefix shingles): 227.9k joined rows → 37.9k after
+    length+positional → 36.2k distinct candidates, vs 221.5k with the
+    prefix filter alone — 6× less candidate-dedup shuffle and exact
+    verification work for three cheap comparisons per joined row.
     """
     w = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
     ranked = shingles.select(
@@ -131,12 +146,32 @@ def prefix_filter_candidates(shingles: DataFrame, id_col: str, threshold: float)
     )
     prefix = ranked.where(
         F.col("__r") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    ).select(id_col, "shingle")
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("__r").alias("__ra"),
+        F.col("__n").alias("__na"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("__r").alias("__rb"),
+        F.col("__n").alias("__nb"),
+    )
+    len_ok = (
+        F.col("__nb") >= F.floor(F.lit(threshold) * F.col("__na"))
+    ) & (F.col("__na") >= F.floor(F.lit(threshold) * F.col("__nb")))
+    required_overlap = F.floor(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+    )
+    possible_overlap = (
+        F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")) + 1
+    )
     return (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(len_ok & (possible_overlap >= required_overlap))
         .select("id_a", "id_b")
         .distinct()
     )
