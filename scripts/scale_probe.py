@@ -55,7 +55,15 @@ Round-5 additions (K=4 and K=8 runs, same base)::
                                             anchor-batched scale path)
     bpe_merge_candidates      1.29x  0.93x
 
-Round-6 additions::
+Round-6 additions (post PPJoin length+positional filters — the
+r6 re-measurement of the shingle family; ratios IMPROVED vs the r4
+table above because the filters prune candidates row-locally before
+any shuffle)::
+
+    query                      K=4   (data ratio 4.0)
+    ngram_jaccard_pairs       1.65x  (was 3.18x)
+    dedup_clusters_star       1.14x  (was 2.81x)
+    pagerank_dedup_graph      1.70x  (was 2.41x)
 
     semantic_dedup_kpp        ~10x  ~8x  (vs K² within-cluster pairs;
                                           measured 38.8 s at K=8 after
