@@ -1339,6 +1339,105 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 # --- q22_dormant_customers (TPC-H Q22 shape) ------------------------------
 
 
+# --- q21_waiting_suppliers (TPC-H Q21 shape) ------------------------------
+# The semi+anti EXISTS chain — the classic hard optimizer pattern the
+# suite did not yet cover: for each candidate row, one correlated
+# EXISTS over the same fact (another supplier participated in the
+# order) and one correlated NOT EXISTS (no OTHER supplier was also
+# late).  Planned as a hash LEFT SEMI then a hash LEFT ANTI, both
+# keyed on the orderkey with the supplier-mismatch predicate riding
+# in the join condition — never a per-row subquery re-scan.
+# (Adapted: "late" = shipped > Q21_LATE_DAYS after the order date,
+# since the slimmed schema carries no receipt/commit dates; orders
+# filter o_orderstatus = 'F' as in the original.)
+
+Q21_LATE_DAYS = 60
+Q21_TOP = 20
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("l_shipdate")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # Distinct (order, supplier) participation — and its late subset.
+    part_pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)).alias(
+                "is_late"
+            ),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
+    )
+    late = part_pairs.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    others = part_pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    # EXISTS: some other supplier in the same order.
+    waited = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was also late in that order.
+    late_others = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    sole_late = waited.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(Q21_TOP)
+    )
+
+
+Q21_WAITING_ORACLE = f"""
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN CAST(l.l_shipdate AS DATE)
+                       > CAST(o.o_orderdate AS DATE) + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+late AS (SELECT l_orderkey, l_suppkey FROM pairs WHERE is_late = 1),
+sole AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+  WHERE EXISTS (
+    SELECT 1 FROM pairs p2
+    WHERE p2.l_orderkey = l1.l_orderkey AND p2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: customers with above-average positive account
     balance and NO orders, counted per nation — a scalar subquery (the

@@ -277,3 +277,7 @@ register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
 register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
     tq.dedup_graph_triangles
 )
+# New in round 6 (Q21 semi+anti chain); enters the r7 window.
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
+)

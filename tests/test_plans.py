@@ -481,3 +481,15 @@ def test_dedup_graph_triangles_keyed_joins_only(spark, sf_dir):
     # global-order window would be the deg^2 anti-pattern.
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_q21_semi_anti_chain(spark, sf_dir):
+    plan = _plan(spark, "q21_waiting_suppliers", sf_dir)
+    # EXISTS -> hash LEFT SEMI, NOT EXISTS -> hash LEFT ANTI, both
+    # keyed joins with the supplier-mismatch predicate in the join
+    # condition; a surviving per-row subquery would re-scan the fact.
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Subquery" not in plan, plan
+    # Top-N compiles to the distributed partial top-K.
+    assert "TakeOrderedAndProject" in plan, plan
