@@ -112,10 +112,22 @@ def triangle_counts(
 
     Returns ``(node, deg, n_triangles)`` — every node of the graph,
     zero-triangle nodes included.
+
+    The input is treated as an undirected SET of edges: duplicate
+    rows, both orientations of the same pair, and self-loops are
+    canonicalized away here (least/greatest + distinct) rather than
+    assumed absent — a duplicated or doubly-oriented edge would
+    otherwise silently inflate both deg and the triangle counts.
     """
-    edges = edges.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).localCheckpoint()
+    edges = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # (deg, id)-order each edge: the join ranks both endpoints.

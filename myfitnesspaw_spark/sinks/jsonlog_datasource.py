@@ -54,7 +54,8 @@ def _stamp_success(path: str) -> None:
     exact totals under concurrent writers sums them directly)."""
     lock = os.path.join(path, "._success.lock")
     acquired = False
-    deadline = time.time() + 10.0
+    wait = 10.0
+    deadline = time.time() + wait
     while time.time() < deadline:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -62,6 +63,16 @@ def _stamp_success(path: str) -> None:
             acquired = True
             break
         except FileExistsError:
+            # A writer killed between os.open and the finally-cleanup
+            # leaves the lock behind forever; a lock older than the
+            # full wait window cannot belong to a live stamp (stamping
+            # is sub-second), so break it and retry the O_EXCL create.
+            try:
+                if time.time() - os.path.getmtime(lock) > wait:
+                    os.remove(lock)
+                    continue
+            except OSError:
+                pass  # raced with the owner's own cleanup
             time.sleep(0.05)
         except OSError:
             break  # FS without O_EXCL semantics: advisory only

@@ -104,10 +104,17 @@ def sf_is_small(sf_dir: str, cutoff: float = 0.1) -> bool:
     the scale is UNKNOWN and the answer is False — assume big, the
     conservative direction for skew controls (salting costs G× row
     replication; running it on tiny data wastes a constant, skipping
-    it on huge data makes a straggler)."""
+    it on huge data makes a straggler).
+
+    The marker is matched against the path's BASENAME only, anchored
+    at its end (``sf0.01`` or ``corpus_sf0.01``): a large corpus that
+    merely lives under a directory whose ancestry mentions ``sf0.1``
+    (a copied/derived tree) must not silently disable the hot-key
+    guards."""
     import re as _re
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = _re.search(r"(?:^|[/_-])sf([0-9.]+?)\.?$", base)
     try:
         return m is not None and float(m.group(1)) <= cutoff
     except ValueError:

@@ -56,11 +56,19 @@ from myfitnesspaw_spark.streaming.rollup import (
 # slot) and the identical update-mode emission contract — the
 # registered query certifies the operator's semantics either way, and
 # a cluster with protobuf present takes the v2 path untouched.
+# Gate on the ACTUAL capability, not a proxy: the v2 path needs (a)
+# pyspark's generated protobuf state channel to import — which itself
+# requires `protobuf` installed AND version-compatible with the
+# generated ``StateMessage_pb2`` — and (b) this pyspark to expose the
+# ``transformWithStateInPandas`` grouped-data API.  protobuf present
+# but either half missing/broken must degrade to the v1 fallback here,
+# not fail at runtime inside a stream.
 try:  # pragma: no cover - environment-dependent
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.group import GroupedData as _GroupedData
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as _state_pb2  # noqa: F401
 
-    HAS_TWS_RUNTIME = True
-except ImportError:
+    HAS_TWS_RUNTIME = hasattr(_GroupedData, "transformWithStateInPandas")
+except Exception:  # ImportError or a broken generated _pb2
     HAS_TWS_RUNTIME = False
 
 _OUT_SCHEMA = (

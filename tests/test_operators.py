@@ -396,11 +396,17 @@ def test_tws_runtime_gate_and_merge_fold():
 
     from myfitnesspaw_spark.streaming import tws
 
+    # Gate mirrors the ACTUAL capability (ADVICE r6): pyspark's
+    # generated protobuf state channel importable AND the grouped-data
+    # API present — not merely `google.protobuf` installed.
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.group import GroupedData
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
-        assert tws.HAS_TWS_RUNTIME
-    except ImportError:
+        assert tws.HAS_TWS_RUNTIME == hasattr(
+            GroupedData, "transformWithStateInPandas"
+        )
+    except Exception:
         assert not tws.HAS_TWS_RUNTIME
 
     chunks = [
@@ -420,6 +426,12 @@ def test_sf_is_small_parses_and_assumes_big():
     assert not sf_is_small("/tmp/scale_probe_sf8")
     assert not sf_is_small("/data/prod_corpus")  # unknown -> assume big
     assert not sf_is_small("/data/sf2.5")
+    # The marker must sit on the BASENAME (ADVICE r6): a big corpus
+    # under a dir whose ancestry mentions sf0.1 keeps its skew guards.
+    assert not sf_is_small("/data/sf0.1/bigcorpus")
+    assert not sf_is_small("/data/sf0.1_copy/prod")
+    assert sf_is_small("/root/testdata/sf0.01/")  # trailing slash ok
+    assert not sf_is_small("/x/mysf0.1")  # no separator before marker
 
 
 def test_anchor_batched_empty_and_single(spark):

@@ -520,3 +520,43 @@ def test_triangle_counts_match_brute_force(spark, seed):
         for r in triangle_counts(df).collect()
     }
     assert got == expected
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=4, deadline=None)
+def test_triangle_counts_canonicalize_noisy_input(spark, seed):
+    """Duplicate rows, reversed orientations, and self-loops in the
+    input edge list must not inflate deg or triangle counts — the
+    operator canonicalizes defensively (ADVICE r6) instead of relying
+    on a documented precondition."""
+    import random
+
+    from myfitnesspaw_spark.operators.graph import triangle_counts
+
+    rng = random.Random(seed)
+    n = rng.randint(4, 16)
+    clean = set()
+    for _ in range(rng.randint(3, 40)):
+        a, b = rng.sample(range(n), 2)
+        clean.add((min(a, b), max(a, b)))
+    clean = sorted(clean)
+
+    noisy = list(clean)
+    noisy += [(b, a) for a, b in rng.sample(clean, len(clean) // 2)]  # reversed dups
+    noisy += rng.sample(clean, min(3, len(clean)))  # exact dups
+    noisy += [(v, v) for v in rng.sample(range(n), 2)]  # self-loops
+    rng.shuffle(noisy)
+
+    want = {
+        (r["node"], r["deg"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(clean, ["id_a", "id_b"])
+        ).collect()
+    }
+    got = {
+        (r["node"], r["deg"], r["n_triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(noisy, ["id_a", "id_b"])
+        ).collect()
+    }
+    assert got == want

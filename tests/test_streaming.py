@@ -348,3 +348,112 @@ def test_stream_static_join_multibatch_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+class _FakeMapState:
+    """Dict-backed stand-in for the v2 MapState column family."""
+
+    def __init__(self):
+        self._d = {}
+
+    def containsKey(self, key):
+        return key in self._d
+
+    def getValue(self, key):
+        return self._d[key]
+
+    def updateValue(self, key, vals):
+        self._d[key] = tuple(vals)
+
+
+class _FakeHandle:
+    def getMapState(self, name, key_schema, value_schema):
+        self.state = _FakeMapState()
+        return self.state
+
+
+class _FakeV1State:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_tws_v2_processor_contract_identical_to_v1():
+    """Drive the NEVER-in-container v2 processor (_UserTypeRollup)
+    directly against the v1 fallback fn over two consecutive batches:
+    identical emitted rows, including the prior-state merge path — so
+    a protobuf-present cluster runs code whose semantics this suite
+    has actually exercised (VERDICT r6 #6)."""
+    import pandas as pd
+
+    from myfitnesspaw_spark.streaming import tws
+
+    batches = [
+        [pd.DataFrame({"event_type": ["a", "b", "a"], "cents": [100, 5, 3], "us": [10, 20, 5]})],
+        [pd.DataFrame({"event_type": ["b", "c"], "cents": [7, 1], "us": [1, 99]})],
+    ]
+
+    proc = tws._UserTypeRollup()
+    proc.init(_FakeHandle())
+    v1_state = _FakeV1State()
+    for batch in batches:
+        v2_out = pd.concat(
+            list(proc.handleInputRows((7,), iter(batch), None)), ignore_index=True
+        )
+        v1_out = pd.concat(
+            list(tws._v1_rollup_fn((7,), iter(batch), v1_state)), ignore_index=True
+        )
+        key = lambda df: sorted(map(tuple, df[tws._OUT_COLS].itertuples(index=False)))
+        assert key(v2_out) == key(v1_out)
+
+
+def test_tws_v2_plan_construction_with_mocked_gate(spark, sf_dir, monkeypatch):
+    """Force HAS_TWS_RUNTIME on with transformWithStateInPandas mocked
+    to record its contract and delegate to the v1 operator: the v2
+    branch must construct the exact (processor, schema, Update, None)
+    call and the drained totals must match the certified v1 output."""
+    from pyspark.sql.group import GroupedData
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from myfitnesspaw_spark.plans.stream_queries import tws_user_type_rollup_q
+    from myfitnesspaw_spark.streaming import tws
+
+    recorded = {}
+
+    def fake_tws(self, statefulProcessor, outputStructType, outputMode, timeMode):
+        recorded.update(
+            processor=statefulProcessor,
+            schema=outputStructType,
+            mode=outputMode,
+            time=timeMode,
+        )
+        return self.applyInPandasWithState(
+            tws._v1_rollup_fn,
+            outputStructType=tws._OUT_SCHEMA,
+            stateStructType="types array<string>, aggs array<array<bigint>>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    baseline = sorted(
+        map(tuple, tws_user_type_rollup_q(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(tws, "HAS_TWS_RUNTIME", True)
+    monkeypatch.setattr(GroupedData, "transformWithStateInPandas", fake_tws)
+    got = sorted(map(tuple, tws_user_type_rollup_q(spark, sf_dir).collect()))
+
+    assert isinstance(recorded["processor"], tws._UserTypeRollup)
+    assert recorded["schema"] == tws._OUT_SCHEMA
+    assert recorded["mode"] == "Update"
+    assert recorded["time"] == "None"
+    assert got == baseline

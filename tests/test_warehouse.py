@@ -369,3 +369,32 @@ def test_jsonlog_concurrent_append_counts_both_jobs(tmp_path):
     jobs = [f for f in os.listdir(out) if f.startswith("_job-")]
     assert len(jobs) == 2
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_jsonlog_stale_success_lock_is_broken(tmp_path):
+    """A writer killed mid-stamp leaves ._success.lock behind; a later
+    commit must break a lock older than the wait deadline instead of
+    spinning the full 10 s and stamping unserialized (ADVICE r6)."""
+    import json
+    import os
+    import time
+
+    from myfitnesspaw_spark.sinks.jsonlog_datasource import _stamp_success
+
+    d = str(tmp_path / "stale_lock_dir")
+    os.makedirs(d)
+    with open(os.path.join(d, "_job-dead.manifest"), "w") as fh:
+        json.dump({"n_rows": 5, "n_files": 1}, fh)
+    lock = os.path.join(d, "._success.lock")
+    open(lock, "w").close()
+    old = time.time() - 60
+    os.utime(lock, (old, old))
+
+    t0 = time.time()
+    _stamp_success(d)
+    elapsed = time.time() - t0
+
+    assert elapsed < 5.0  # broke the stale lock, did not spin the deadline
+    assert not os.path.exists(lock)
+    with open(os.path.join(d, "_SUCCESS")) as fh:
+        assert json.load(fh) == {"n_rows": 5, "n_files": 1}
