@@ -9,20 +9,31 @@ REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
 correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
 
-Round-6 window (freshness rotation, VERDICT r5 #2):
+ROTATION INVARIANT (explicit since r7, VERDICT r6 #4): no query's
+latest driver-green row may be more than 3 rounds old unless it sits
+in the CURRENT window awaiting refresh.  scripts/certification_age.py
+reports the ages and exits non-zero when the invariant is violated.
+
+Round-7 window (freshness rotation, VERDICT r6 #1):
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) - pinned so a loader or session regression can never
    hide behind the rotation.
-2. All 44 queries whose last driver-green row is CORRECTNESS_r03
-   (age 3 entering this round - the full backlog the policy owes).
-3. The three queries whose round-6 output changed: q8_market_share
-   and bigram_lm_score (rounded double ratios replaced by
-   exact-integer ppm/micro columns) and semantic_dedup_kpp (NEW -
-   farthest-first k-means++-style coarse quantizer).
-Everything outside the window was driver-certified in r4 or r5
-(age <= 2) and stays guarded by tests/test_registry_oracle.py at
-every sf; after this round no query's latest green row is more than
-two rounds old.  scripts/certification_age.py reports the ages.
+2. The FIVE round-6 additions that have never had a driver-side row
+   (each is green against its in-repo DuckDB oracle at sf0.001 and
+   sf0.01): tws_user_type_rollup, ivf_ann_topk_kpp,
+   decontaminated_corpus, dedup_graph_triangles,
+   q21_waiting_suppliers.
+3. 42 of the 46 queries whose last driver-green row is
+   CORRECTNESS_r04 - the oldest backlog.  The window holds only 42,
+   so FOUR r4-certified queries overflow to the front of the r8
+   window (chosen as the least drift-prone): dedup_clusters_star
+   (shares its oracle with the dedup_clusters canary, certified
+   every round), sentence_split_udtf (same oracle + semantics as
+   in-window sentence_split), and notes_filter /
+   goals_map_projection (row-local single-table null-handling
+   projections, no join or shuffle to drift).
+Everything outside the window was driver-certified in r5 or r6 and
+stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
 
@@ -53,11 +64,92 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: the 44 queries whose last driver-green row is
-# --- CORRECTNESS_r03 (age 3 entering r6) - the entire backlog the
-# --- rotation policy owes a fresh certification (VERDICT r5 #2):
-# --- the OLAP block, curation block, behavioral/sketch block,
-# --- integrity checks, and the ETL silvers.
+# --- Part 2: the five round-6 additions that have never been in a
+# --- driver window (VERDICT r6 #1) - first driver certification.
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
+)
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
+)
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
+)
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
+)
+
+# --- Part 3: 42 of the 46 queries whose last driver-green row is
+# --- CORRECTNESS_r04 (the oldest backlog; the 4 overflow queries are
+# --- named in the module docstring and lead the r8 window).
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
+)
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- The r4-certified overflow (leads the r8 window; see docstring).
+register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+
+# --- Out-of-window remainder: every query below was driver-certified
+# --- in r5 or r6 (age <= 2 entering r7) and stays continuously
+# --- guarded by tests/test_registry_oracle.py at every sf.
+
+# -- certified r6 (the r6 window, minus the canaries above):
 register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
 register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
     oq.approx_quantiles_contract
@@ -122,22 +214,11 @@ register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
 register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-
-# --- Part 3: queries whose OUTPUT changed (or is new) in round 6 -
-# --- q8/bigram_lm now emit exact-integer ratio columns
-# --- (mkt_share_ppm / avg_p_micro, ADVICE r5 rounding-boundary fix);
-# --- semantic_dedup_kpp is the new farthest-first-seeded SemDeDup
-# --- variant.  The 50-query window ends here.
 register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
 register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
 
-# --- Out-of-window remainder: every query below was driver-certified
-# --- in r4 or r5 (age <= 2 entering r6) and stays continuously
-# --- guarded by tests/test_registry_oracle.py at every sf.  Queries
-# --- touched by the r6 broadcast-hint sweep are result-identical
-# --- (AQE still picks broadcast at certified scales - asserted in
-# --- tests/test_plans.py) and re-verified by the in-repo oracle run.
+# -- certified r5:
 register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
 register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
@@ -207,77 +288,3 @@ register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
     sq.sessionize_stateful_stream
 )
 register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
-register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
-register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
-register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
-register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
-register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
-register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
-register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
-register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
-register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
-register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
-register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
-register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
-register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
-register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
-register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
-register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
-register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
-register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
-register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
-register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
-register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
-register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
-register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
-register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-# New in round 6 (state API v2); enters the r7 window.
-register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
-    sq.tws_user_type_rollup_q
-)
-# New in round 6 (farthest-first IVF quantizer); enters the r7 window.
-register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
-# New in round 6 (contamination removal step); enters the r7 window.
-register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.decontaminated_corpus
-)
-# New in round 6 (graph local clustering); enters the r7 window.
-register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
-    tq.dedup_graph_triangles
-)
-# New in round 6 (Q21 semi+anti chain); enters the r7 window.
-register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
-    oq.q21_waiting_suppliers
-)

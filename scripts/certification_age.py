@@ -1,12 +1,18 @@
 """Report every registered query's driver-certification age.
 
 The driver certifies the FIRST 50 registrations each round
-(CORRECTNESS_r{N}.json); the rotation policy (plans/queries.py
-docstring) wants no query's latest green row older than ~2 rounds.
-This script joins the registry against every CORRECTNESS artifact and
-prints, per query: the latest round with a green row, its age, and
-whether it sits in the current 50-entry window — the input the next
-round's rotation should be built from.
+(CORRECTNESS_r{N}.json).  ROTATION INVARIANT (plans/queries.py
+docstring): no query's latest green row may be more than 3 rounds old
+— and no query may sit never-certified — unless it is IN the current
+window awaiting refresh this round.  This script joins the registry
+against every CORRECTNESS artifact and prints, per query: the latest
+round with a green row, its age, and whether it sits in the current
+50-entry window; it EXITS NON-ZERO when the invariant is violated
+(VERDICT r6 #4), so the rotation is a decision, not an accident.
+
+It also prints the OVERFLOW — queries that already need refresh but
+did not fit in the window — which is exactly the list the next
+round's rotation must front.
 
 Usage::
 
@@ -24,6 +30,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# A query older than this many rounds, sitting OUTSIDE the current
+# window, violates the rotation invariant and fails the report.
+MAX_AGE = 3
 
 
 def main() -> int:
@@ -76,6 +86,22 @@ def main() -> int:
         print(f"  age {age}  (r{green})  {name}")
     in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
     print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
+
+    # The overflow the NEXT round's window must front: already due for
+    # refresh (age >= MAX_AGE) but not in this round's window.
+    overflow = [r for r in stale if r[2] >= MAX_AGE]
+    print(f"overflow to front in r{current + 1}: {len(overflow)}")
+    for name, green, age, _ in overflow:
+        print(f"  OVERFLOW  age {age}  (r{green})  {name}")
+
+    violations = [r for r in never] + [r for r in stale if r[2] > MAX_AGE]
+    if violations:
+        print(
+            f"INVARIANT VIOLATED: {len(violations)} queries are "
+            f"never-certified or older than {MAX_AGE} rounds while out of "
+            "the window"
+        )
+        return 1
     return 0
 
 
