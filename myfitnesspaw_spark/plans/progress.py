@@ -188,3 +188,157 @@ SELECT custkey, date, day_number, date_fmt, deficit_target, deficit_actual, tota
 FROM windowed
 WHERE deficit_actual IS NOT NULL
 """
+
+
+# --- R2 driver-certified: render -> decode -> count ----------------------
+
+CHART_END_GOAL = 1_000_000  # cents; constant so the oracle can inline it
+CHART_W, CHART_H = 550, 70  # the reference's 5.5x0.7 in at 100 dpi
+
+
+def _chart_pixel_batches(batches):
+    """Arrow-batched kernel: per user, run the REAL report path —
+    chart_segments -> render_progress_bar_png (stdlib PNG encoder) ->
+    png_decode_rgb (chunk walk + CRC + inflate) — and emit the decoded
+    dimensions plus per-palette-color pixel counts.  Row-local, no
+    state: parallelism is the number of users."""
+    import numpy as np
+    import pandas as pd
+
+    from myfitnesspaw_spark.report.chart import (
+        _hex_rgb,
+        png_decode_rgb,
+        render_progress_bar_png,
+    )
+    from myfitnesspaw_spark.report.progress import chart_segments
+
+    for pdf in batches:
+        out = []
+        for uid, total, delta in zip(
+            pdf["user_id"], pdf["total_cents"], pdf["delta_cents"]
+        ):
+            segments, palette = chart_segments(
+                int(total), int(delta), CHART_END_GOAL
+            )
+            png = render_progress_bar_png(segments, palette)
+            w, h, img = png_decode_rgb(png)
+            counts = {
+                name: int(
+                    (img == np.array(_hex_rgb(palette[name]), dtype=np.uint8))
+                    .all(axis=2)
+                    .sum()
+                )
+                for name in ("done", "today", "remaining")
+            }
+            out.append(
+                (int(uid), w, h, counts["done"], counts["today"], counts["remaining"])
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "width": pd.Series([r[1] for r in out], dtype="int32"),
+                "height": pd.Series([r[2] for r in out], dtype="int32"),
+                "done_px": pd.Series([r[3] for r in out], dtype="int64"),
+                "today_px": pd.Series([r[4] for r in out], dtype="int64"),
+                "remaining_px": pd.Series([r[5] for r in out], dtype="int64"),
+            }
+        )
+
+
+def chart_render_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 end-to-end, oracle-checkable: per user, derive the progress
+    numbers from events (exact cents), render the stacked-bar chart
+    through the real stdlib PNG encoder, DECODE the PNG back, and
+    count painted pixels per segment color.  The renderer's pixel
+    x-bounds are exact-integer half-even rounding, so the oracle
+    recomputes the counts in plain SQL — certifying the report
+    layer's codec + geometry in the driver's hash-compare, not just
+    in pytest (VERDICT r6 #8).
+
+    total = lifetime cents; today_delta = cents(last active day) −
+    cents(first active day) — sign exercises both palette branches.
+
+    Scale shape: one groupBy(user, day) + one groupBy(user) (both
+    map-side-combined), then a row-local Arrow kernel over the
+    user-sized aggregate; no window, no collect, no driver loop.
+    """
+    from myfitnesspaw_spark.sources import scatter
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            money_cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    agg = daily.groupBy("user_id").agg(
+        F.sum("c").alias("total_cents"),
+        (F.max_by("c", "d") - F.min_by("c", "d")).alias("delta_cents"),
+    )
+    schema = (
+        "user_id bigint, width int, height int, "
+        "done_px bigint, today_px bigint, remaining_px bigint"
+    )
+    return scatter(agg).mapInPandas(_chart_pixel_batches, schema)
+
+
+# Exact-integer replication of the render geometry: segment widths
+# from chart_segments, x-bounds = round-half-even(cum*550/total), bar
+# band height = 70 - 2*(70//4) = 36 rows.  The CASE chain implements
+# ties-to-even on integers — identical to the renderer's
+# _round_half_even by construction.
+CHART_RENDER_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS total_c,
+         CAST(arg_max(c, d) - arg_min(c, d) AS BIGINT) AS delta_c
+  FROM daily GROUP BY user_id
+),
+seg AS (
+  SELECT user_id,
+         CASE WHEN delta_c >= 0 THEN GREATEST(total_c - delta_c, 0)
+              ELSE GREATEST(total_c, 0) END AS done_w,
+         ABS(delta_c) AS today_w
+  FROM agg
+),
+seg2 AS (
+  SELECT user_id, done_w, today_w,
+         GREATEST({CHART_END_GOAL} - done_w - today_w, 0) AS rem_w
+  FROM seg
+),
+tot AS (
+  SELECT user_id, done_w, today_w, rem_w,
+         done_w + today_w + rem_w AS t
+  FROM seg2
+),
+x AS (
+  SELECT user_id, t,
+         CASE WHEN 2 * ((done_w * {CHART_W}) % t) < t
+                THEN (done_w * {CHART_W}) // t
+              WHEN 2 * ((done_w * {CHART_W}) % t) > t
+                THEN (done_w * {CHART_W}) // t + 1
+              ELSE (done_w * {CHART_W}) // t
+                   + (((done_w * {CHART_W}) // t) % 2) END AS x1,
+         CASE WHEN 2 * (((done_w + today_w) * {CHART_W}) % t) < t
+                THEN ((done_w + today_w) * {CHART_W}) // t
+              WHEN 2 * (((done_w + today_w) * {CHART_W}) % t) > t
+                THEN ((done_w + today_w) * {CHART_W}) // t + 1
+              ELSE ((done_w + today_w) * {CHART_W}) // t
+                   + ((((done_w + today_w) * {CHART_W}) // t) % 2) END AS x2
+  FROM tot
+)
+SELECT user_id,
+       CAST({CHART_W} AS INT) AS width,
+       CAST({CHART_H} AS INT) AS height,
+       CAST(36 * x1 AS BIGINT) AS done_px,
+       CAST(36 * (x2 - x1) AS BIGINT) AS today_px,
+       CAST(36 * ({CHART_W} - x2) AS BIGINT) AS remaining_px
+FROM x
+"""

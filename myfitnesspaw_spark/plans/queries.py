@@ -18,20 +18,23 @@ Round-7 window (freshness rotation, VERDICT r6 #1):
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) - pinned so a loader or session regression can never
    hide behind the rotation.
-2. The FIVE round-6 additions that have never had a driver-side row
-   (each is green against its in-repo DuckDB oracle at sf0.001 and
-   sf0.01): tws_user_type_rollup, ivf_ann_topk_kpp,
+2. The SIX queries awaiting a first driver-side row: the five
+   round-6 additions (tws_user_type_rollup, ivf_ann_topk_kpp,
    decontaminated_corpus, dedup_graph_triangles,
-   q21_waiting_suppliers.
-3. 42 of the 46 queries whose last driver-green row is
-   CORRECTNESS_r04 - the oldest backlog.  The window holds only 42,
-   so FOUR r4-certified queries overflow to the front of the r8
+   q21_waiting_suppliers — each green against its in-repo DuckDB
+   oracle at sf0.001 and sf0.01) plus the round-7 addition
+   chart_render_pixels (new queries register in-window on arrival
+   so no never-certified backlog accumulates).
+3. 41 of the 46 queries whose last driver-green row is
+   CORRECTNESS_r04 - the oldest backlog.  The window holds only 41,
+   so FIVE r4-certified queries overflow to the front of the r8
    window (chosen as the least drift-prone): dedup_clusters_star
    (shares its oracle with the dedup_clusters canary, certified
    every round), sentence_split_udtf (same oracle + semantics as
-   in-window sentence_split), and notes_filter /
-   goals_map_projection (row-local single-table null-handling
-   projections, no join or shuffle to drift).
+   in-window sentence_split), notes_filter / goals_map_projection
+   (row-local single-table null-handling projections, no join or
+   shuffle to drift), and measures_unpivot (native zero-shuffle
+   unpivot, plan pinned by tests/test_plans.py).
 Everything outside the window was driver-certified in r5 or r6 and
 stays guarded by tests/test_registry_oracle.py at every sf.
 """
@@ -79,6 +82,16 @@ register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
 register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
     oq.q21_waiting_suppliers
 )
+# New in round 7 (VERDICT r6 #8): the report layer's chart codec
+# certified end-to-end (render -> PNG decode -> pixel counts vs an
+# exact-integer SQL geometry oracle).  Registered in-window on
+# arrival so no never-certified backlog accumulates.
+from myfitnesspaw_spark.plans.progress import (  # noqa: E402
+    CHART_RENDER_ORACLE,
+    chart_render_pixels,
+)
+
+register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
 
 # --- Part 3: 42 of the 46 queries whose last driver-green row is
 # --- CORRECTNESS_r04 (the oldest backlog; the 4 overflow queries are
@@ -129,7 +142,6 @@ register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
 register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
 register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
 register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
 register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
@@ -144,6 +156,7 @@ register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star
 register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
 register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
 register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
 
 # --- Out-of-window remainder: every query below was driver-certified
 # --- in r5 or r6 (age <= 2 entering r7) and stays continuously

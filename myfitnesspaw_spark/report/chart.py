@@ -53,6 +53,19 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
+def _round_half_even(num: int, den: int) -> int:
+    """Exact-integer round-half-even of ``num/den`` (both >= 0) —
+    ties-to-even like Python's float ``round``, but computed on the
+    integers so the geometry is replicable in plain SQL (no float in
+    the pixel-coordinate path)."""
+    q, r = divmod(num, den)
+    if 2 * r < den:
+        return q
+    if 2 * r > den:
+        return q + 1
+    return q + (q % 2)
+
+
 def render_progress_bar_png(
     segments: list[tuple[str, int]],
     palette: dict[str, str],
@@ -66,7 +79,9 @@ def render_progress_bar_png(
     segment ``left = cumsum - width`` in goal units, x-axis spanning the
     segment total; 550×70 px matches its 5.5×0.7-inch figure at 100 dpi.
     Zero-width segments draw nothing, exactly as a zero-width barh
-    patch would.
+    patch would.  Pixel x-bounds use exact-integer half-even rounding
+    (segment widths and the total are ints), so the painted-pixel
+    counts are integer-arithmetic-checkable downstream.
     """
     widths = np.array([max(int(w), 0) for _, w in segments], dtype=np.int64)
     total = int(widths.sum())
@@ -79,8 +94,48 @@ def render_progress_bar_png(
     # Bar occupies the middle half vertically (ymargin 0.5 equivalent).
     y0, y1 = height // 4, height - height // 4
     for (name, _), seg_w, seg_left in zip(segments, widths, lefts):
-        x0 = round(seg_left / total * width)
-        x1 = round((seg_left + seg_w) / total * width)
+        x0 = _round_half_even(int(seg_left) * width, total)
+        x1 = _round_half_even(int(seg_left + seg_w) * width, total)
         if x1 > x0:
             img[y0:y1, x0:x1] = _hex_rgb(palette[name])
     return encode_png(img)
+
+
+def png_decode_rgb(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Inverse of :func:`encode_png`: chunk walk + CRC verify, IHDR
+    parse, IDAT inflate, filter-0 un-filter.  Returns (width, height,
+    (H, W, 3) uint8 array).  Only the truecolor/filter-0 form this
+    module's encoder emits is supported — the grayscale multi-filter
+    codec lives in operators/multimodal.py."""
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (bit_depth, color_type, interlace) != (8, 2, 0):
+                raise ValueError("decoder supports 8-bit non-interlaced truecolor")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * 3):
+        raise ValueError("IDAT length does not match dimensions")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * 3)
+    if (lines[:, 0] != 0).any():
+        raise ValueError("decoder supports filter type 0 only")
+    return w, h, lines[:, 1:].reshape(h, w, 3).copy()

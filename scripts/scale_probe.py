@@ -74,6 +74,20 @@ any shuffle)::
                                           NC-key self-join onto an
                                           NC-task sort-merge: 127 s)
 
+Round-7 additions (VERDICT r6 #5) — the wedge join and the
+contamination ANTI on the scaled corpus, plus the new ``facts`` mode
+(K×-replicated orders+lineitem with shifted orderkeys, per-order
+isomorphic) for the Q21 semi+anti chain::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    dedup_graph_triangles     1.77x  2.19x  (O(m^1.5) bound would
+                                             allow 8x/22.6x)
+    decontaminated_corpus     2.13x  2.27x
+    -- facts mode --
+    q21_waiting_suppliers     1.08x  2.54x
+    top_unshipped_orders      1.15x  1.27x
+    unreturned_orders         1.55x  2.00x
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -130,6 +144,21 @@ PROBES = [
     "bpe_merge_candidates",
     # round-6 addition: the farthest-first-seeded SemDeDup variant.
     "semantic_dedup_kpp",
+    # round-7 additions (VERDICT r6 #5): the degree-ordered wedge join
+    # and the contamination-removal ANTI.
+    "dedup_graph_triangles",
+    "decontaminated_corpus",
+]
+
+# Fact-table probes (``python scripts/scale_probe.py facts [K]``):
+# queries whose scale axis is orders/lineitem, not the corpus.  The
+# facts builder replicates orders+lineitem with shifted orderkeys
+# (suppkey/custkey unchanged), so per-order structure is preserved
+# exactly and the work should grow linearly in K.
+FACT_PROBES = [
+    "q21_waiting_suppliers",
+    "top_unshipped_orders",
+    "unreturned_orders",
 ]
 
 TABLES = [
@@ -218,6 +247,45 @@ def build_scaled(spark, k: int) -> str:
     return out
 
 
+def build_scaled_facts(spark, k: int) -> str:
+    """K×-scaled orders+lineitem with shifted orderkeys: every other
+    table (and the corpus) is linked unchanged.  Replicas are
+    per-order isomorphic — the same lineitems, suppliers, dates under
+    a shifted key — so a key-bounded plan (semi/anti per orderkey,
+    per-supplier counts) must grow linearly; a per-row re-scan or an
+    unkeyed join would show its quadratic here."""
+    out = f"/tmp/scale_probe_facts_sf{k}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES + ["documents", "embeddings"]:
+        if t in ("orders", "lineitem"):
+            continue
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    shift = 1_000_000_000
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    reps = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * shift))
+        for r in range(k)
+    ]
+    sdf = reps[0]
+    for rdf in reps[1:]:
+        sdf = sdf.unionByName(rdf)
+    sdf.repartition(32).write.parquet(f"{out}/orders.parquet")
+
+    lineitem = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    reps = [
+        lineitem.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * shift))
+        for r in range(k)
+    ]
+    sdf = reps[0]
+    for rdf in reps[1:]:
+        sdf = sdf.unionByName(rdf)
+    sdf.repartition(32).write.parquet(f"{out}/lineitem.parquet")
+    return out
+
+
 def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
     import gc
 
@@ -291,14 +359,23 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "rounds":
         rounds_probe([int(x) for x in sys.argv[2:]] or [1, 2, 4, 8])
         return
+    facts_mode = len(sys.argv) > 1 and sys.argv[1] == "facts"
+    if facts_mode:
+        sys.argv.pop(1)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2:])
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
     qs = registry.queries()
-    scaled = build_scaled(spark, k)
-    print(f"scaled corpus at {scaled} ({k}x documents/embeddings)\n")
+    if facts_mode:
+        scaled = build_scaled_facts(spark, k)
+        probes = FACT_PROBES
+        print(f"scaled facts at {scaled} ({k}x orders/lineitem)\n")
+    else:
+        scaled = build_scaled(spark, k)
+        probes = PROBES
+        print(f"scaled corpus at {scaled} ({k}x documents/embeddings)\n")
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s}  t-ratio (data-ratio {k}.0)")
-    for name in PROBES:
+    for name in probes:
         if only and name not in only:
             continue
         t1 = time_query(spark, qs[name], BASE)

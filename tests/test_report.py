@@ -398,3 +398,41 @@ def test_streaming_listener_posts_on_failed_query(spark, tmp_path):
     text = str(t.payloads[0])
     assert "deliberate micro-batch failure" in text
     assert str(q.id) in text  # flow slot = query id (name not on event)
+
+
+def test_png_decode_rgb_roundtrip_and_half_even_geometry():
+    """png_decode_rgb inverts encode_png exactly, and the renderer's
+    integer half-even x-bounds land ties on the even pixel (the
+    property the chart_render_pixels oracle replicates in SQL)."""
+    import numpy as np
+
+    from myfitnesspaw_spark.report.chart import (
+        _round_half_even,
+        encode_png,
+        png_decode_rgb,
+        render_progress_bar_png,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+    w, h, back = png_decode_rgb(encode_png(rgb))
+    assert (w, h) == (29, 13) and (back == rgb).all()
+
+    # Integer ties-to-even: 1/2 -> 0, 3/2 -> 2, plain cases exact.
+    assert _round_half_even(1, 2) == 0
+    assert _round_half_even(3, 2) == 2
+    assert _round_half_even(5, 2) == 2
+    assert _round_half_even(7, 2) == 4
+    assert _round_half_even(7, 3) == 2
+
+    # End-to-end: a tie at the done/today boundary (done=1, today=1,
+    # total=4 at width 550 -> 137.5 -> 138 even) must paint exactly
+    # 36 * 138 done pixels.
+    png = render_progress_bar_png(
+        [("done", 1), ("today", 1), ("remaining", 2)],
+        {"done": "#4caf50", "today": "#2196f3", "remaining": "#e0e0e0"},
+    )
+    w, h, img = png_decode_rgb(png)
+    done = (img == np.array([0x4C, 0xAF, 0x50], dtype=np.uint8)).all(axis=2).sum()
+    assert int(done) == 36 * _round_half_even(1 * 550, 4)
+    assert _round_half_even(550, 4) == 138  # the tie went to even
