@@ -801,3 +801,86 @@ postings AS (
 SELECT s.token, s.doc_freq, s.n_occurrences, p.postings
 FROM stats s JOIN postings p USING (token)
 """
+
+
+# --- repeated_ngram_spans -------------------------------------------------
+# Exact-substring duplication profile (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# signal): for every document, how many of its word-5-gram window
+# INSTANCES also occur elsewhere in the corpus (any other doc, or a
+# second time in the same doc)?  Near-dup families score whole-doc
+# similarity; this is the span-level evidence — boilerplate headers,
+# license blocks, templated sentences — that survives whole-doc dedup
+# and that ExactSubstr-style pipelines cut at the span level.
+#
+# Instances, not distinct shingles: a doc repeating its own banner
+# twice has BOTH instances counted as duplicated, exactly like the
+# suffix-array criterion (a substring occurring >= 2 times corpus-
+# wide).  Output: per doc with >= 1 window, total window instances,
+# duplicated instances, and the dup share in exact-integer ppm.
+#
+# Scale shape (the suffix-array equivalent for a shuffle engine):
+# one map-side-combined groupBy(doc, gram) collapses within-doc
+# repeats first, one gram-keyed rollup computes corpus counts, and
+# the join back is on the SAME gram key — Catalyst reuses the
+# exchange, so the whole thing is two shuffles of the gram table and
+# a per-doc sum.  No all-pairs, no suffix-array build: the gram
+# multiset IS the index.
+
+SPAN_N = 5
+
+
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.functions.text import word_shingles
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    inst = toks.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("__toks"), SPAN_N)).alias("gram"),
+    )
+    per_doc_gram = inst.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c_dg")
+    )
+    gram_totals = per_doc_gram.groupBy("gram").agg(F.sum("c_dg").alias("c_g"))
+    return (
+        per_doc_gram.join(gram_totals, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dg").alias("n_windows"),
+            F.sum(F.when(F.col("c_g") >= 2, F.col("c_dg")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000000 DIV n_windows").alias("dup_ppm"),
+        )
+    )
+
+
+REPEATED_SPANS_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+inst AS (
+  SELECT doc_id,
+         list_aggregate(w[i:i+{SPAN_N - 1}], 'string_agg', ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_N - 1})) AS i)
+  WHERE len(w) >= {SPAN_N}
+),
+per_doc_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c_dg FROM inst GROUP BY 1, 2
+),
+gram_totals AS (
+  SELECT gram, CAST(SUM(c_dg) AS BIGINT) AS c_g FROM per_doc_gram GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(SUM(p.c_dg) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN g.c_g >= 2 THEN p.c_dg ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN g.c_g >= 2 THEN p.c_dg ELSE 0 END) * 1000000
+            // SUM(p.c_dg) AS BIGINT) AS dup_ppm
+FROM per_doc_gram p JOIN gram_totals g USING (gram)
+GROUP BY p.doc_id
+"""

@@ -1486,3 +1486,111 @@ cands AS (
 )
 SELECT id_a, id_b, lev FROM cands WHERE lev <= {SNM_MAX_LEV}
 """
+
+
+# --- dsir_selection -------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# rank raw documents by how target-like their HASHED n-gram feature
+# profile is, where "target" is a reference slice of the corpus (here
+# lang='en').  Features are bigrams hashed to B=256 buckets — the
+# paper's memory bound: the feature space stays B counters per
+# distribution at ANY corpus size, never vocabulary-sized.
+#
+# Exact-integer surrogate (same discipline as bigram_lm_score /
+# bm25_rank): per bucket, ratio_units = (c_target+1) * SCALE DIV
+# (c_raw+1) — the add-one-smoothed target/raw count ratio in ppm.
+# The true DSIR weight is Σ n_i·(log p_i − log q_i); the global
+# normalizers (T+B, R+B) are doc-independent shifts and the log is
+# monotone per feature, so Σ n_i·ratio_units ranks target-like docs
+# the same way while staying hash-comparable across engines (raw ⊇
+# target ⇒ c_t ≤ c_r ⇒ units ≤ SCALE; per-doc sums stay far below
+# 2^63).  Selection is the deterministic top-K by (score, doc_id) —
+# the resampling variant would draw Gumbel keys from these weights.
+#
+# Scale shape: two map-side-combined count aggregates over the SAME
+# exploded feature table (bucket key, 256 groups), one 256-row model
+# table joined back by bucket (stats-broadcast, no hint needed — the
+# model is construction-bounded at B rows), one per-doc sum, and a
+# TakeOrderedAndProject top-K.  No collect, no window, no Python.
+
+DSIR_BUCKETS = 256
+DSIR_TOP_K = 200
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.plans.sampling_queries import _hex_byte
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(_bigram_list(tokens(F.col("text")))).alias("bigram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (_hex_byte(F.md5(F.col("bigram")), 0) % DSIR_BUCKETS).alias("bucket"),
+    )
+    model = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    ).select(
+        "bucket",
+        F.expr(f"(c_t + 1) * {LM_SCALE} DIV (c_r + 1)").alias("ratio_units"),
+    )
+    scored = (
+        feats.join(model, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("ratio_units").alias("dsir_units"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_features",
+            "dsir_units",
+            F.expr("dsir_units DIV n_features").alias("avg_ratio_units"),
+        )
+        .orderBy(F.desc("avg_ratio_units"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    "CAST((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1 AS BIGINT)"
+    f" % {DSIR_BUCKETS}"
+)
+
+DSIR_SELECTION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang = 'en' AS is_target, {_WORDS} AS w
+              FROM documents),
+inst AS (
+  SELECT doc_id, is_target,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+),
+feats AS (
+  SELECT doc_id, is_target, {_DSIR_BUCKET_SQL} AS bucket FROM inst
+),
+model AS (
+  SELECT bucket,
+         (CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) + 1)
+           * {LM_SCALE}
+           // (COUNT(*) + 1) AS ratio_units
+  FROM feats GROUP BY bucket
+),
+scored AS (
+  SELECT f.doc_id, COUNT(*) AS n_features,
+         CAST(SUM(m.ratio_units) AS BIGINT) AS dsir_units
+  FROM feats f JOIN model m USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_features, dsir_units,
+       CAST(dsir_units // n_features AS BIGINT) AS avg_ratio_units
+FROM scored
+ORDER BY avg_ratio_units DESC, doc_id
+LIMIT {DSIR_TOP_K}
+"""

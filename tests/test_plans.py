@@ -493,3 +493,28 @@ def test_q21_semi_anti_chain(spark, sf_dir):
     assert "Subquery" not in plan, plan
     # Top-N compiles to the distributed partial top-K.
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_selection_plan_shape(spark, sf_dir):
+    plan = _plan(spark, "dsir_selection", sf_dir)
+    # Model table is 256 rows by construction -> the score join must
+    # not be a cartesian; top-K compiles to the distributed partial
+    # top-K, never a single-partition global sort.
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_repeated_ngram_spans_two_gram_shuffles(spark, sf_dir):
+    plan = _plan(spark, "repeated_ngram_spans", sf_dir)
+    # (doc, gram) collapse + gram rollup + join back on gram + per-doc
+    # sum: the gram-keyed exchanges must be reused, not repeated - a
+    # plan re-exploding the corpus per stage would show extra
+    # hashpartitioning exchanges on the gram key.
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    import re
+
+    gram_exchanges = len(
+        set(re.findall(r"\(\d+\) Exchange hashpartitioning\(gram", plan))
+    )
+    assert gram_exchanges <= 2, plan
