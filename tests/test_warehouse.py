@@ -398,3 +398,41 @@ def test_jsonlog_stale_success_lock_is_broken(tmp_path):
     assert not os.path.exists(lock)
     with open(os.path.join(d, "_SUCCESS")) as fh:
         assert json.load(fh) == {"n_rows": 5, "n_files": 1}
+
+
+def test_backup_flow_fifo_rotation(tmp_path):
+    """S5/K6/R6: upload datestamped copies through the BackupStore
+    protocol, list, FIFO-rotate to the newest 5 — the reference's
+    backup flow (flows.py:167-189) against the filesystem store."""
+    import datetime
+
+    from myfitnesspaw_spark.sinks.backup import (
+        LocalDirBackupStore,
+        run_backup_flow,
+        select_fifo_backups_to_delete,
+    )
+
+    src = tmp_path / "warehouse.db"
+    store = LocalDirBackupStore(str(tmp_path / "backups"))
+
+    # Seven daily runs: after each, at most 5 backups remain.
+    for day in range(1, 8):
+        src.write_bytes(f"day-{day}".encode())
+        res = run_backup_flow(
+            store, str(src), keep=5, now=datetime.date(2026, 8, day)
+        )
+        assert res["uploaded"] == f"mfp_db_backup_2026-08-{day:02d}"
+    names = store.list_files()
+    assert names == [f"mfp_db_backup_2026-08-{d:02d}" for d in range(3, 8)]
+    # Newest backup carries the newest content; oldest kept is day 3.
+    assert (tmp_path / "backups" / "mfp_db_backup_2026-08-07").read_bytes() == b"day-7"
+
+    # Same-day re-run overwrites (WriteMode.overwrite semantics).
+    src.write_bytes(b"day-7-amended")
+    run_backup_flow(store, str(src), keep=5, now=datetime.date(2026, 8, 7))
+    assert len(store.list_files()) == 5
+    assert (tmp_path / "backups" / "mfp_db_backup_2026-08-07").read_bytes() == b"day-7-amended"
+
+    # Reference-exact selection arithmetic: under-cap lists delete none.
+    assert select_fifo_backups_to_delete(5, names[:4]) == []
+    assert select_fifo_backups_to_delete(2, names) == names[:3]
