@@ -1512,6 +1512,12 @@ SELECT id_a, id_b, lev FROM cands WHERE lev <= {SNM_MAX_LEV}
 # table joined back by bucket (stats-broadcast, no hint needed — the
 # model is construction-bounded at B rows), one per-doc sum, and a
 # TakeOrderedAndProject top-K.  No collect, no window, no Python.
+# The feature subtree IS evaluated twice (model pass + scoring pass —
+# two pruned scans of documents); the alternative — checkpoint a
+# (doc, is_target, bucket, n) pre-aggregate and derive both passes
+# from it — measured SLOWER end-to-end at sf0.1 (1.16 s vs 0.85 s:
+# the materialization write costs more than the column-pruned
+# rescan), so the rescan stands.  Re-measure before "fixing" it.
 
 DSIR_BUCKETS = 256
 DSIR_TOP_K = 200
