@@ -88,6 +88,13 @@ isomorphic) for the Q21 semi+anti chain::
     top_unshipped_orders      1.15x  1.27x
     unreturned_orders         1.55x  2.00x
 
+Round-7 new ops (same base)::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    dsir_selection            0.92x  1.24x  (B=256 hashed feature
+                                             space is size-invariant)
+    repeated_ngram_spans      1.54x  2.57x  (64-bit md5-prefix keys)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -148,6 +155,9 @@ PROBES = [
     # and the contamination-removal ANTI.
     "dedup_graph_triangles",
     "decontaminated_corpus",
+    # round-7 new ops: DSIR selection and the hashed-key span profile.
+    "dsir_selection",
+    "repeated_ngram_spans",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
