@@ -198,3 +198,79 @@ SELECT p_brand, COUNT(*) AS n_parts,
 FROM part WHERE p_size >= 25
 GROUP BY 1
 """
+
+
+def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record tolerance, the PERMISSIVE contract end-to-end: write
+    orders as JSON lines with every 13th record deterministically
+    truncated mid-object, read back with an explicit schema plus a
+    ``_corrupt_record`` column, and audit — good/corrupt counts, exact
+    cents over the good rows only, and the orderkeys RECOVERED from
+    the corrupt rows' preserved raw text (regexp over
+    ``_corrupt_record``), proving the reader quarantines the byte-
+    exact line instead of dropping it.
+
+    At 100 TB this is the ingestion posture: a malformed record must
+    cost one quarantined row, never a failed task (FAILFAST) or a
+    silent null swallow (DROPMALFORMED with no audit trail).  The
+    audit aggregate is one map-side-combined pass; the corrupt-row
+    columns stay null whether or not partial-results parsing
+    (``spark.sql.json.enablePartialResults``) recovers a field
+    prefix, so the output is insensitive to that conf.
+    """
+    path = _rt_path("corrupt_orders", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(
+                F.lit('{"o_orderkey":'),
+                F.col("o_orderkey").cast("string"),
+                F.lit(',"o_custkey":<truncated'),
+            ),
+        )
+        .otherwise(
+            F.to_json(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                money_cents(F.col("o_totalprice")),
+            )
+        ).alias("good_cents"),
+        F.sum(
+            F.expr(
+                "try_cast(regexp_extract(_corrupt_record,"
+                " '\"o_orderkey\":([0-9]+)', 1) AS long)"
+            )
+        ).alias("corrupt_key_sum"),
+    )
+
+
+CORRUPT_RECORD_ORACLE = """
+SELECT CAST(COUNT(CASE WHEN o_orderkey % 13 != 0 THEN 1 END) AS BIGINT) AS n_good,
+       CAST(COUNT(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 13 != 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+         AS good_cents,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey END) AS BIGINT)
+         AS corrupt_key_sum
+FROM orders
+"""
