@@ -451,3 +451,26 @@ def test_anchor_batched_empty_and_single(spark):
         out = _anchor_batched(anchors, "anchor_id", n, one_batch)
         assert out.columns == ["anchor_id", "v2"]
         assert out.count() == 0
+
+
+def test_dsir_and_spans_partitioning_invariance(spark, sf_dir):
+    """dsir_selection's top-K (tie-broken by doc_id) and the span
+    profile must be byte-identical under a different input
+    partitioning - no shuffle-arrival-order dependence."""
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.curation_queries import repeated_ngram_spans
+    from myfitnesspaw_spark.plans.pipeline_queries import dsir_selection
+    from myfitnesspaw_spark.sources import load_table
+
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        a1 = [tuple(r) for r in dsir_selection(spark, sf_dir).collect()]
+        s1 = sorted(tuple(r) for r in repeated_ngram_spans(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a2 = [tuple(r) for r in dsir_selection(spark, sf_dir).collect()]
+        s2 = sorted(tuple(r) for r in repeated_ngram_spans(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+    assert a1 == a2  # ordered top-K, deterministic tie-break
+    assert s1 == s2

@@ -518,3 +518,13 @@ def test_repeated_ngram_spans_two_gram_shuffles(spark, sf_dir):
         set(re.findall(r"\(\d+\) Exchange hashpartitioning\(gram", plan))
     )
     assert gram_exchanges <= 2, plan
+
+
+def test_corrupt_record_audit_single_pass_no_join(spark, sf_dir):
+    plan = _plan(spark, "corrupt_record_audit", sf_dir)
+    # One global audit aggregate over the read-back scan: no join, no
+    # window, no per-row Python - a malformed record costs a
+    # quarantined row, never extra plan structure.
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
