@@ -892,3 +892,109 @@ SELECT p.doc_id,
 FROM per_doc_gram p JOIN gram_totals g USING (gram)
 GROUP BY p.doc_id
 """
+
+
+# --- corpus_refresh_pipeline ----------------------------------------------
+# The INCREMENTAL capstone — the nightly corpus-maintenance loop that
+# corpus_build_pipeline's one-shot build turns into in production:
+# an incoming batch (doc_id % 9 == 0, eval rows excluded — benchmark
+# docs never enter training) is (1) exact-deduped against the EXISTING
+# corpus by normalized-content hash, (2) its survivors decontaminated
+# against the eval split by exact 8-gram overlap, (3) admitted, with
+# per-source accounting of every drop.  Precedence is dedup-first: a
+# doc that is both a duplicate and contaminated counts once, as a
+# duplicate.
+#
+# Scale shape: O(batch) everywhere a delta pass must be — the batch
+# side of both joins is restricted BEFORE any shuffle; the existing-
+# corpus side contributes one hash projection (map-side) and the
+# candidate-bounded shingle index already priced by ngram_contamination;
+# drops are LEFT ANTIs with no broadcast hint (hit sets are batch-
+# proportional worst case); the final rollup is one map-side-combined
+# groupBy(source).
+
+REFRESH_BATCH_MOD = 9
+
+
+def corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    is_batch = (F.col("doc_id") % REFRESH_BATCH_MOD == 0) & (
+        F.col("doc_id") % _EVAL_MOD != 0
+    )
+    batch = docs.where(is_batch)
+    existing = docs.where(~is_batch)
+
+    # (1) exact content dedup vs the existing corpus.
+    content = F.md5(normalize_text(F.col("text")))
+    batch_h = batch.select("doc_id", "source", content.alias("h"))
+    existing_h = existing.select(content.alias("h")).distinct()
+    dup_ids = batch_h.join(existing_h, "h", "left_semi").select("doc_id")
+
+    survivors = batch.join(dup_ids, "doc_id", "left_anti")
+
+    # (2) decontaminate survivors vs the eval split (8-gram overlap).
+    ev = shingle_sets(
+        docs.where(F.col("doc_id") % _EVAL_MOD == 0), "doc_id", "text", n=CONTAM_N
+    ).select("shingle").distinct()
+    surv_grams = shingle_sets(survivors, "doc_id", "text", n=CONTAM_N)
+    contam_ids = (
+        surv_grams.join(ev, "shingle", "left_semi").select("doc_id").distinct()
+    )
+    admitted = survivors.join(contam_ids, "doc_id", "left_anti")
+
+    # (3) per-source accounting.
+    def cnt(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        cnt(batch, "n_batch")
+        .join(cnt(batch.join(dup_ids, "doc_id", "left_semi"), "n_dup"), "source", "left")
+        .join(cnt(survivors.join(contam_ids, "doc_id", "left_semi"), "n_contam"), "source", "left")
+        .join(cnt(admitted, "n_admitted"), "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+        )
+    )
+
+
+CORPUS_REFRESH_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % {REFRESH_BATCH_MOD} = 0 AND doc_id % {_EVAL_MOD} != 0
+),
+ex AS (
+  SELECT text FROM documents
+  WHERE NOT (doc_id % {REFRESH_BATCH_MOD} = 0 AND doc_id % {_EVAL_MOD} != 0)
+),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM b
+  JOIN (SELECT DISTINCT md5({_NORM}) AS h FROM ex) e
+    ON md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) = e.h
+),
+surv AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+evg AS (
+  SELECT DISTINCT list_aggregate(w[i:i+{CONTAM_N - 1}], 'string_agg', ' ') AS gram
+  FROM (SELECT {_WORDS} AS w FROM documents WHERE doc_id % {_EVAL_MOD} = 0) d,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i)
+  WHERE len(w) >= {CONTAM_N}
+),
+sg AS (
+  SELECT DISTINCT s.doc_id,
+         list_aggregate(w[i:i+{CONTAM_N - 1}], 'string_agg', ' ') AS gram
+  FROM (SELECT doc_id, {_WORDS} AS w FROM surv) s,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i)
+  WHERE len(w) >= {CONTAM_N}
+),
+contam AS (SELECT DISTINCT sg.doc_id FROM sg JOIN evg USING (gram)),
+admitted AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT b.source,
+       COUNT(*) AS n_batch,
+       CAST(COUNT(CASE WHEN b.doc_id IN (SELECT doc_id FROM dup) THEN 1 END) AS BIGINT) AS n_dup,
+       CAST(COUNT(CASE WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 1 END) AS BIGINT) AS n_contam,
+       CAST(COUNT(CASE WHEN b.doc_id IN (SELECT doc_id FROM admitted) THEN 1 END) AS BIGINT) AS n_admitted
+FROM b GROUP BY b.source
+"""

@@ -18,26 +18,28 @@ Round-7 window (freshness rotation, VERDICT r6 #1):
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) - pinned so a loader or session regression can never
    hide behind the rotation.
-2. The NINE queries awaiting a first driver-side row: the five
+2. The TEN queries awaiting a first driver-side row: the five
    round-6 additions (tws_user_type_rollup, ivf_ann_topk_kpp,
    decontaminated_corpus, dedup_graph_triangles,
    q21_waiting_suppliers — each green against its in-repo DuckDB
    oracle at sf0.001 and sf0.01) plus the round-7 additions
-   chart_render_pixels, dsir_selection, repeated_ngram_spans, and
-   corrupt_record_audit (new queries register in-window on arrival
-   so no never-certified backlog accumulates).
-3. 38 of the 46 queries whose last driver-green row is
-   CORRECTNESS_r04 - the oldest backlog.  The window holds only 38,
-   so EIGHT r4-certified queries overflow to the front of the r8
+   chart_render_pixels, dsir_selection, repeated_ngram_spans,
+   corrupt_record_audit, and corpus_refresh_pipeline (new queries
+   register in-window on arrival so no never-certified backlog
+   accumulates).
+3. 37 of the 46 queries whose last driver-green row is
+   CORRECTNESS_r04 - the oldest backlog.  The window holds only 37,
+   so NINE r4-certified queries overflow to the front of the r8
    window (chosen as the least drift-prone): dedup_clusters_star
    (shares its oracle with the dedup_clusters canary, certified
    every round), sentence_split_udtf (same oracle + semantics as
    in-window sentence_split), notes_filter / goals_map_projection /
-   json_roundtrip (row-local single-table projections, no join or
-   shuffle to drift), measures_unpivot (native zero-shuffle
-   unpivot, plan pinned by tests/test_plans.py),
-   header_union_report (4-row presentation union), and
-   two_level_explode (row-local nested explode, no shuffle).
+   json_roundtrip / json_extract_props (row-local single-table
+   projections, no join or shuffle to drift), measures_unpivot
+   (native zero-shuffle unpivot, plan pinned by
+   tests/test_plans.py), header_union_report (4-row presentation
+   union), and two_level_explode (row-local nested explode, no
+   shuffle).
 Everything outside the window was driver-certified in r5 or r6 and
 stays guarded by tests/test_registry_oracle.py at every sf.
 """
@@ -101,6 +103,9 @@ register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
 register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
 register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
 register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
+register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
+    cq.corpus_refresh_pipeline
+)
 
 # --- Part 3: 42 of the 46 queries whose last driver-green row is
 # --- CORRECTNESS_r04 (the oldest backlog; the 4 overflow queries are
@@ -150,7 +155,6 @@ register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
 register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
 register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 # ---------------------------------------------------------------
@@ -166,6 +170,7 @@ register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
 register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
 register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 
 # --- Out-of-window remainder: every query below was driver-certified
 # --- in r5 or r6 (age <= 2 entering r7) and stays continuously
