@@ -94,6 +94,9 @@ Round-7 new ops (same base)::
     dsir_selection            0.92x  1.24x  (B=256 hashed feature
                                              space is size-invariant)
     repeated_ngram_spans      1.54x  2.57x  (64-bit md5-prefix keys)
+    corpus_refresh_pipeline   1.27x  1.60x  (batch side restricted
+                                             pre-shuffle; O(batch)
+                                             delta shape holds)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -158,6 +161,7 @@ PROBES = [
     # round-7 new ops: DSIR selection and the hashed-key span profile.
     "dsir_selection",
     "repeated_ngram_spans",
+    "corpus_refresh_pipeline",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):

@@ -528,3 +528,14 @@ def test_corrupt_record_audit_single_pass_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_refresh_pipeline_delta_shape(spark, sf_dir):
+    plan = _plan(spark, "corpus_refresh_pipeline", sf_dir)
+    # Batch-restricted delta joins: semi/anti only, no cartesian, no
+    # window; the drop ANTIs carry no broadcast hint (hit sets are
+    # batch-proportional worst case).
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "Window" not in plan, plan
