@@ -80,10 +80,23 @@ def select_fifo_backups_to_delete(
 ) -> list[str]:
     """R6 selection, reference-exact (`_utils.py:43-62`): sort by the
     datestamp after the third underscore, return the oldest names
-    beyond ``max_num_backups`` (empty when at or under the cap)."""
+    beyond ``max_num_backups`` (empty when at or under the cap).
+
+    Non-backup names (a stray file in the backup dir, a name without a
+    parseable datestamp) are IGNORED rather than crashing the rotation
+    — and, never being selected, can never be deleted by it."""
+
+    def _stamp(name: str):
+        parts = name.split("_")
+        if len(parts) < 4 or "_".join(parts[:3]) != BACKUP_PREFIX:
+            return None
+        try:
+            return datetime.datetime.strptime(parts[3], "%Y-%m-%d")
+        except ValueError:
+            return None
+
     timestamps = sorted(
-        datetime.datetime.strptime(f.split("_")[3], "%Y-%m-%d")
-        for f in files_list
+        ts for ts in (_stamp(f) for f in files_list) if ts is not None
     )
     if len(timestamps) <= max_num_backups:
         return []

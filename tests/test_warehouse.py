@@ -436,3 +436,27 @@ def test_backup_flow_fifo_rotation(tmp_path):
     # Reference-exact selection arithmetic: under-cap lists delete none.
     assert select_fifo_backups_to_delete(5, names[:4]) == []
     assert select_fifo_backups_to_delete(2, names) == names[:3]
+
+
+def test_backup_rotation_ignores_stray_files(tmp_path):
+    """A stray non-backup file in the backup dir must neither crash
+    the FIFO selection nor ever be selected for deletion."""
+    import datetime
+
+    from myfitnesspaw_spark.sinks.backup import (
+        LocalDirBackupStore,
+        run_backup_flow,
+        select_fifo_backups_to_delete,
+    )
+
+    store = LocalDirBackupStore(str(tmp_path / "backups"))
+    (tmp_path / "backups" / "README.txt").write_bytes(b"not a backup")
+    (tmp_path / "backups" / "mfp_db_backup_notadate").write_bytes(b"junk")
+    src = tmp_path / "db"
+    for day in range(1, 8):
+        src.write_bytes(b"x")
+        run_backup_flow(store, str(src), keep=5, now=datetime.date(2026, 8, day))
+    names = store.list_files()
+    assert "README.txt" in names and "mfp_db_backup_notadate" in names
+    assert sum(1 for n in names if n.startswith("mfp_db_backup_2026")) == 5
+    assert select_fifo_backups_to_delete(5, ["README.txt"]) == []
