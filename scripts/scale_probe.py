@@ -87,6 +87,18 @@ isomorphic) for the Q21 semi+anti chain::
     q21_waiting_suppliers     1.08x  2.54x
     top_unshipped_orders      1.15x  1.27x
     unreturned_orders         1.55x  2.00x
+    q7_volume_shipping        0.87x   -
+    q8_market_share           1.12x   -
+    q19_disjunctive_brackets  0.65x   -
+    progress_report           0.89x   -
+    nutrition_report          1.43x   -
+
+    Facts-mode caveat: the scaled orders/lineitem are REWRITTEN as 32
+    splits while the base parquet has few splits, so the 1x side is
+    partially scan-parallelism-bound and ratios under ~1.5x overstate
+    sub-linearity.  The probe's load-bearing claim is the absence of
+    super-linear blow-up (a per-row re-scan or unkeyed join would show
+    >> K), not the absolute constant.
 
 Round-7 new ops (same base)::
 
@@ -173,6 +185,13 @@ FACT_PROBES = [
     "q21_waiting_suppliers",
     "top_unshipped_orders",
     "unreturned_orders",
+    # r7 broadening: the multi-dim join chains and the heavy
+    # lineitem aggregation families.
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q19_disjunctive_brackets",
+    "progress_report",
+    "nutrition_report",
 ]
 
 TABLES = [
