@@ -1563,11 +1563,11 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_BUCKET_SQL = (
-    "CAST((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1 AS BIGINT)"
-    f" % {DSIR_BUCKETS}"
-)
+# Portable hex-byte arithmetic shared with the CMS/sampling oracles —
+# one encoding, one place to change it (Spark-side: _hex_byte).
+from myfitnesspaw_spark.plans.sampling_queries import _hex_byte_sql  # noqa: E402
+
+_DSIR_BUCKET_SQL = f"{_hex_byte_sql('md5(bigram)', 0)} % {DSIR_BUCKETS}"
 
 DSIR_SELECTION_ORACLE = f"""
 WITH toks AS (SELECT doc_id, lang = 'en' AS is_target, {_WORDS} AS w

@@ -107,9 +107,9 @@ register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
     cq.corpus_refresh_pipeline
 )
 
-# --- Part 3: 42 of the 46 queries whose last driver-green row is
-# --- CORRECTNESS_r04 (the oldest backlog; the 4 overflow queries are
-# --- named in the module docstring and lead the r8 window).
+# --- Part 3: 37 of the 46 queries whose last driver-green row is
+# --- CORRECTNESS_r04 (the oldest backlog; the NINE overflow queries
+# --- are named in the module docstring and lead the r8 window).
 register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
 register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
     ioq.jsonl_roundtrip_purchases

@@ -82,26 +82,30 @@ def select_fifo_backups_to_delete(
     datestamp after the third underscore, return the oldest names
     beyond ``max_num_backups`` (empty when at or under the cap).
 
-    Non-backup names (a stray file in the backup dir, a name without a
-    parseable datestamp) are IGNORED rather than crashing the rotation
-    — and, never being selected, can never be deleted by it."""
+    Non-backup names (a stray file in the backup dir, a suffixed or
+    unparseable variant) are IGNORED rather than crashing the rotation
+    — and, never being selected, can never be deleted by it.  The
+    LISTED names are returned, never reconstructed ones, so a selected
+    name always exists in the store."""
 
     def _stamp(name: str):
         parts = name.split("_")
-        if len(parts) < 4 or "_".join(parts[:3]) != BACKUP_PREFIX:
+        if len(parts) != 4 or "_".join(parts[:3]) != BACKUP_PREFIX:
             return None
         try:
             return datetime.datetime.strptime(parts[3], "%Y-%m-%d")
         except ValueError:
             return None
 
-    timestamps = sorted(
-        ts for ts in (_stamp(f) for f in files_list) if ts is not None
+    dated = sorted(
+        (ts, name)
+        for name, ts in ((f, _stamp(f)) for f in files_list)
+        if ts is not None
     )
-    if len(timestamps) <= max_num_backups:
+    if len(dated) <= max_num_backups:
         return []
-    cut = len(timestamps) - max_num_backups
-    return [f"{BACKUP_PREFIX}_{ts.strftime('%Y-%m-%d')}" for ts in timestamps[:cut]]
+    cut = len(dated) - max_num_backups
+    return [name for _, name in dated[:cut]]
 
 
 def apply_backup_rotation(

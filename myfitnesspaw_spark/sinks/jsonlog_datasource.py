@@ -67,12 +67,18 @@ def _stamp_success(path: str) -> None:
             # leaves the lock behind forever; a lock older than the
             # full wait window cannot belong to a live stamp (stamping
             # is sub-second), so break it and retry the O_EXCL create.
+            # The break is an atomic RENAME-steal, not check-then-
+            # remove: only the one waiter whose rename succeeds owns
+            # the stale file, so a waiter can never delete the FRESH
+            # lock another writer just re-acquired after its own steal.
             try:
                 if time.time() - os.path.getmtime(lock) > wait:
-                    os.remove(lock)
+                    stolen = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                    os.rename(lock, stolen)
+                    os.remove(stolen)
                     continue
             except OSError:
-                pass  # raced with the owner's own cleanup
+                pass  # raced with the owner's cleanup or another steal
             time.sleep(0.05)
         except OSError:
             break  # FS without O_EXCL semantics: advisory only

@@ -73,25 +73,28 @@ def main() -> int:
         rows.append((name, green, age, name in window))
 
     never = [r for r in rows if r[1] is None and not r[3]]
+    # "Stale" is derived from MAX_AGE (age >= MAX_AGE means the query
+    # is due for refresh and must front the next window) so the
+    # report, the overflow list, and the violation exit can never
+    # desynchronize if the policy constant changes.
     stale = sorted(
-        (r for r in rows if r[2] is not None and r[2] > 2 and not r[3]),
+        (r for r in rows if r[2] is not None and r[2] >= MAX_AGE and not r[3]),
         key=lambda r: -r[2],
     )
     print(f"{len(rows)} registered; {len(window)} in the r{current} window")
     print(f"never driver-certified AND out of window: {len(never)}")
     for name, *_ in never:
         print(f"  NEVER  {name}")
-    print(f"certified >2 rounds ago AND out of window: {len(stale)}")
+    print(f"certified >={MAX_AGE} rounds ago AND out of window: {len(stale)}")
     for name, green, age, _ in stale:
         print(f"  age {age}  (r{green})  {name}")
     in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
     print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
 
     # The overflow the NEXT round's window must front: already due for
-    # refresh (age >= MAX_AGE) but not in this round's window.
-    overflow = [r for r in stale if r[2] >= MAX_AGE]
-    print(f"overflow to front in r{current + 1}: {len(overflow)}")
-    for name, green, age, _ in overflow:
+    # refresh but not in this round's window (= the stale set).
+    print(f"overflow to front in r{current + 1}: {len(stale)}")
+    for name, green, age, _ in stale:
         print(f"  OVERFLOW  age {age}  (r{green})  {name}")
 
     violations = [r for r in never] + [r for r in stale if r[2] > MAX_AGE]

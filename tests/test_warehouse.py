@@ -460,3 +460,23 @@ def test_backup_rotation_ignores_stray_files(tmp_path):
     assert "README.txt" in names and "mfp_db_backup_notadate" in names
     assert sum(1 for n in names if n.startswith("mfp_db_backup_2026")) == 5
     assert select_fifo_backups_to_delete(5, ["README.txt"]) == []
+
+
+def test_backup_rotation_returns_listed_names_only():
+    """Suffixed backup-like names must not crash or corrupt rotation:
+    selection returns LISTED names only (code-review r7 finding — the
+    reconstructed-name form returned a non-existent file, and a
+    suffixed twin could get a plain-named backup deleted twice)."""
+    from myfitnesspaw_spark.sinks.backup import select_fifo_backups_to_delete
+
+    files = [
+        "mfp_db_backup_2026-08-01_manual",  # suffixed: ignored
+        "mfp_db_backup_2026-08-02",
+        "mfp_db_backup_2026-08-03",
+        "mfp_db_backup_2026-08-04",
+    ]
+    # Only the 3 strictly-named backups count; cap 2 deletes the oldest.
+    out = select_fifo_backups_to_delete(2, files)
+    assert out == ["mfp_db_backup_2026-08-02"]
+    # Every returned name was in the input list verbatim.
+    assert all(n in files for n in out)
