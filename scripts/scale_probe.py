@@ -87,14 +87,17 @@ isomorphic) for the Q21 semi+anti chain::
        so both sides share a split layout; earlier few-split-base
        numbers: q21 1.08x/2.54x, top_unshipped 1.15x/1.27x,
        unreturned 1.55x/2.00x) --
-    top_unshipped_orders      0.74x
-    unreturned_orders         1.17x
-    q7_volume_shipping        1.03x
-    q8_market_share           1.06x
-    q19_disjunctive_brackets  0.78x
-    nutrition_report          1.02x
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    q21_waiting_suppliers       -    1.39x
+    top_unshipped_orders      0.74x  0.89x
+    unreturned_orders         1.17x  1.48x
+    q7_volume_shipping        1.03x  1.34x
+    q8_market_share           1.06x  1.25x
+    q19_disjunctive_brackets  0.78x  0.76x
+    progress_report             -    1.06x
+    nutrition_report          1.02x  0.95x
 
-    Ratios near 1x for 4x data mean these chains are task-overhead-
+    Ratios near 1x for 4-8x data mean these chains are task-overhead-
     bound at this absolute size, not data-bound; the load-bearing
     claim is the ABSENCE of super-linear blow-up (a per-row re-scan
     or unkeyed join would show >> K), not the constant.
