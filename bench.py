@@ -306,14 +306,15 @@ def main() -> None:
         # real regression (factor >= 1), and weather can't excuse more
         # than the documented 2x swing.  The raw comparison is kept in
         # each flagged entry so nothing is silently normalized away.
-        comments = _load_baseline().get("comments", {})
-        cal_ref = _load_baseline().get("host_cal_ref")
+        baseline = _load_baseline()
+        comments = baseline.get("comments", {})
+        cal_ref = baseline.get("host_cal_ref")
         cal_run = wall.get("host_cal_sec")
         factor = 1.0
         if cal_ref and cal_run:
             factor = max(1.0, min(2.0, cal_run / cal_ref))
         regressions: dict[str, dict] = {}
-        for n, b in _load_baseline_queries().items():
+        for n, b in {k: v for k, v in baseline.get("queries", {}).items() if v}.items():
             cur = timed.get(n)
             if cur is not None and cur > 2.0 * b * factor:
                 regressions[n] = {

@@ -124,8 +124,13 @@ def run_backup_flow(
     now: datetime.date | None = None,
 ) -> dict:
     """The composed S5→K6→R6 flow (`flows.py:180-188`): upload, list,
-    rotate.  Returns ``{"uploaded", "available", "deleted"}``."""
+    rotate.  Returns ``{"uploaded", "available", "deleted"}`` where
+    ``available`` is the POST-rotation listing — every listed name
+    exists when the caller receives it."""
     uploaded = make_backup(store, source_path, now)
-    available = store.list_files()
-    deleted = apply_backup_rotation(store, available, keep)
-    return {"uploaded": uploaded, "available": available, "deleted": deleted}
+    deleted = apply_backup_rotation(store, store.list_files(), keep)
+    return {
+        "uploaded": uploaded,
+        "available": store.list_files(),
+        "deleted": deleted,
+    }

@@ -54,11 +54,16 @@ def _stamp_success(path: str) -> None:
     exact totals under concurrent writers sums them directly)."""
     lock = os.path.join(path, "._success.lock")
     acquired = False
+    owner_token = uuid.uuid4().hex
     wait = 10.0
     deadline = time.time() + wait
     while time.time() < deadline:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # Ownership token: a stamper that stalls past the steal
+            # window and resumes must not remove a lock a waiter has
+            # since stolen and re-acquired — release checks the token.
+            os.write(fd, owner_token.encode())
             os.close(fd)
             acquired = True
             break
@@ -100,7 +105,16 @@ def _stamp_success(path: str) -> None:
     finally:
         if acquired:
             try:
-                os.remove(lock)
+                with open(lock) as fh:
+                    still_mine = fh.read() == owner_token
+                if still_mine:
+                    os.remove(lock)
+                # Foreign token: our lock was stale-stolen while we
+                # stalled — the current holder owns cleanup now.  (A
+                # TOCTOU sliver remains between read and remove; the
+                # stamp itself is an idempotent manifest sum with an
+                # atomic replace, so a double-entry degrades to a
+                # duplicate stamp, never a corrupt _SUCCESS.)
             except OSError:
                 pass
 

@@ -85,17 +85,16 @@ def main() -> int:
     print(f"never driver-certified AND out of window: {len(never)}")
     for name, *_ in never:
         print(f"  NEVER  {name}")
-    print(f"certified >={MAX_AGE} rounds ago AND out of window: {len(stale)}")
-    for name, green, age, _ in stale:
-        print(f"  age {age}  (r{green})  {name}")
-    in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
-    print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
-
-    # The overflow the NEXT round's window must front: already due for
-    # refresh but not in this round's window (= the stale set).
-    print(f"overflow to front in r{current + 1}: {len(stale)}")
+    # The stale set IS the overflow the next round's window must
+    # front: due for refresh (age >= MAX_AGE) but not in this window.
+    print(
+        f"certified >={MAX_AGE} rounds ago AND out of window "
+        f"(= overflow to front in r{current + 1}): {len(stale)}"
+    )
     for name, green, age, _ in stale:
         print(f"  OVERFLOW  age {age}  (r{green})  {name}")
+    in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
+    print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
 
     violations = [r for r in never] + [r for r in stale if r[2] > MAX_AGE]
     if violations:

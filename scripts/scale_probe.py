@@ -299,25 +299,15 @@ def build_scaled_facts(spark, k: int) -> str:
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
     shift = 1_000_000_000
-    orders = spark.read.parquet(f"{BASE}/orders.parquet")
-    reps = [
-        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * shift))
-        for r in range(k)
-    ]
-    sdf = reps[0]
-    for rdf in reps[1:]:
-        sdf = sdf.unionByName(rdf)
-    sdf.repartition(32).write.parquet(f"{out}/orders.parquet")
-
-    lineitem = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    reps = [
-        lineitem.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * shift))
-        for r in range(k)
-    ]
-    sdf = reps[0]
-    for rdf in reps[1:]:
-        sdf = sdf.unionByName(rdf)
-    sdf.repartition(32).write.parquet(f"{out}/lineitem.parquet")
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{BASE}/{table}.parquet")
+        reps = [
+            df.withColumn(key, F.col(key) + F.lit(r * shift)) for r in range(k)
+        ]
+        sdf = reps[0]
+        for rdf in reps[1:]:
+            sdf = sdf.unionByName(rdf)
+        sdf.repartition(32).write.parquet(f"{out}/{table}.parquet")
     return out
 
 

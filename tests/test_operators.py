@@ -398,15 +398,23 @@ def test_tws_runtime_gate_and_merge_fold():
 
     # Gate mirrors the ACTUAL capability (ADVICE r6): pyspark's
     # generated protobuf state channel importable AND the grouped-data
-    # API present — not merely `google.protobuf` installed.
+    # API present — not merely `google.protobuf` installed.  Only the
+    # import itself may fall through to the gate-off branch: a broad
+    # except would swallow the equality AssertionError and green-light
+    # the exact mismatch this test exists to catch.
     try:
-        from pyspark.sql.group import GroupedData
         from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        importable = True
+    except Exception:  # ImportError or a broken generated _pb2
+        importable = False
+    if importable:
+        from pyspark.sql.group import GroupedData
 
         assert tws.HAS_TWS_RUNTIME == hasattr(
             GroupedData, "transformWithStateInPandas"
         )
-    except Exception:
+    else:
         assert not tws.HAS_TWS_RUNTIME
 
     chunks = [
