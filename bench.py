@@ -75,14 +75,50 @@ def _load_baseline() -> dict:
     return {}
 
 
-def _load_baseline_queries() -> dict[str, float]:
+def _load_baseline_queries(baseline: dict | None = None) -> dict[str, float]:
     """Best-known per-query times (same sf), for the pass-2 recovery
-    ordering and the regression gate.  Empty when absent/mismatched."""
-    return {k: v for k, v in _load_baseline().get("queries", {}).items() if v}
+    ordering and the regression gate.  Empty when absent/mismatched.
+
+    Accepts an already-loaded baseline dict so the gate and the
+    retry ordering share ONE falsy-value filter (ADVICE r7: the gate
+    loop used to re-implement this inline, and the two views could
+    drift if the filter ever changed)."""
+    base = _load_baseline() if baseline is None else baseline
+    return {k: v for k, v in base.get("queries", {}).items() if v}
 
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _warn_untracked_artifacts() -> None:
+    """Loudly flag round artifacts not committed to git (VERDICT r7
+    #2: CORRECTNESS/BENCH artifacts sat untracked at round close
+    three rounds running, under-reporting the age and bench gates
+    from a fresh clone).  stderr only — the driver tail-captures
+    stdout and the compact JSON line must stay last and intact."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout
+    except Exception:
+        return
+    flagged = []
+    for line in out.splitlines():
+        status, _, name = line[:2], line[2], line[3:].strip()
+        if re.match(r"(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|"
+                    r"bench_full\.json|BASELINE_BENCH\.json)$", name):
+            flagged.append(f"{status.strip() or '??'} {name}")
+    if flagged:
+        print(
+            "WARNING: round artifacts uncommitted — commit these in the "
+            "round-close commit:\n  " + "\n  ".join(sorted(flagged)),
+            file=sys.stderr, flush=True,
+        )
 
 
 class BenchBook:
@@ -313,17 +349,46 @@ def main() -> None:
         factor = 1.0
         if cal_ref and cal_run:
             factor = max(1.0, min(2.0, cal_run / cal_ref))
+        # IO calibration factor, when the baseline records one: the
+        # two noise dimensions diverge (compute 1.5x faster while
+        # IO-heavy queries ran 2-3x slower in one recorded run), so a
+        # compute-only factor can excuse an IO regression.  The hard
+        # gate stays compute-calibrated (the clamp design was judged
+        # sound), but every host-excused entry is ANNOTATED with both
+        # factors in the report-only `watch` band below (ADVICE r7)
+        # rather than silently suppressed.  io_cal_ref lands in
+        # BASELINE_BENCH.json at the next recording-class re-anchor.
+        io_ref = baseline.get("io_cal_ref")
+        io_run = wall.get("io_cal_sec")
+        io_factor = None
+        if io_ref and io_run:
+            io_factor = round(max(1.0, min(2.0, io_run / io_ref)), 3)
         regressions: dict[str, dict] = {}
-        for n, b in {k: v for k, v in baseline.get("queries", {}).items() if v}.items():
+        # Report-only watch band (VERDICT r7 #3): every query over 2x
+        # RAW baseline that the host-calibrated gate excused.  A slow
+        # host widens the hard gate up to 4x, so without this list a
+        # genuine 2-2.9x regression could ride a 1.46 calibration
+        # factor invisibly; with it, the excused entries stay in
+        # bench_full.json for the judge to re-check.
+        watch: dict[str, dict] = {}
+        for n, b in _load_baseline_queries(baseline).items():
             cur = timed.get(n)
-            if cur is not None and cur > 2.0 * b * factor:
-                regressions[n] = {
-                    "baseline": b,
-                    "current": cur,
-                    "host_factor": round(factor, 3),
-                }
-                if n in comments:
-                    regressions[n]["comment"] = comments[n]
+            if cur is None or cur <= 2.0 * b:
+                continue
+            entry = {
+                "baseline": b,
+                "current": cur,
+                "raw_ratio": round(cur / b, 2),
+                "host_factor": round(factor, 3),
+            }
+            if io_factor is not None:
+                entry["io_factor"] = io_factor
+            if n in comments:
+                entry["comment"] = comments[n]
+            if cur > 2.0 * b * factor:
+                regressions[n] = entry
+            else:
+                watch[n] = entry
 
         full = {
             "metric": "total_query_sec",
@@ -333,6 +398,7 @@ def main() -> None:
             "statuses": statuses,
             "errors": errors,
             "regressions": regressions,
+            "watch": watch,
             "n_queries": len(qs),
             "n_timed": len(timed),
             "sf": sf,
@@ -345,6 +411,7 @@ def main() -> None:
                 json.dump(full, fh, indent=1, sort_keys=True)
         except OSError:
             pass
+        _warn_untracked_artifacts()
         print(json.dumps(full), flush=True)  # humans / logs
 
         # Compact summary LAST — must fit the driver's ~2000-byte tail

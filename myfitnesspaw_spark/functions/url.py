@@ -1,0 +1,72 @@
+"""URL canonicalization — the normalization step in front of URL-level
+corpus dedup (the one common pretraining op the registry lacked until
+r8; see ``plans/text_queries.py::url_dedup``).
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen, zero Python in the hot path — so canonicalization
+is a scan-local projection at any corpus size.  The rules are the
+standard crawl-dedup set (RFC 3986 syntax-based normalization plus the
+tracking-parameter strip every crawl pipeline applies):
+
+- scheme and host lowercased (case-insensitive per RFC 3986 §6.2.2.1);
+- default ports ``:80``/``:443`` and a leading ``www.`` dropped;
+- the fragment dropped (never sent to the server);
+- tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+  ``ref``) removed, OTHER parameters preserved in order;
+- trailing path slashes dropped.
+
+Path and kept-parameter case/order are intentionally preserved — they
+are semantically significant, and over-normalizing merges distinct
+pages (precision loss is worse than recall loss for dedup survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Query parameters that never change page identity.  Kept as a single
+# alternation so the Spark expression and the DuckDB oracle share one
+# literal (plans/text_queries.py interpolates this constant into both).
+TRACKING_PARAMS = "utm_[a-z0-9_]+|fbclid|gclid|ref"
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_REST = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute ``scheme://host...`` URL column.
+
+    Every regex below is RE2-compatible (no backtracking constructs,
+    no replacement backreferences) so the DuckDB oracle can apply the
+    IDENTICAL patterns — cross-engine parity is part of the contract.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, _HOSTPORT, 1)), r":(443|80)$", ""
+        ),
+        r"^www\.",
+        "",
+    )
+    rest = F.regexp_extract(url, _REST, 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^[^?#]*", 0), r"/+$", "")
+    # Strip tracking params: each match consumes its LEADING separator
+    # ('?' was already cut by the extract), so survivors keep their
+    # own separators and only a leading '&' orphan needs trimming.
+    query = F.regexp_replace(
+        F.regexp_extract(rest, r"\?([^#]*)", 1),
+        f"(^|&)({TRACKING_PARAMS})=[^&]*",
+        "",
+    )
+    query = F.regexp_replace(query, r"^&+", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != F.lit(""), F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -284,3 +284,89 @@ SELECT o_orderkey, x16, y16,
        CAST({_spread_sql("x16")} | ({_spread_sql("y16")} << 1) AS BIGINT) AS zcode
 FROM base
 """
+
+
+# --- backup_rotation_plan ---------------------------------------------------
+# Distributed twin of the reference's FIFO backup rotation
+# (`/root/reference/myfitnesspaw/tasks.py:753-776` selection via
+# `_utils.py:43-62`; driver-side implementation in
+# `sinks/backup.py:71-136`, pytest-certified since r7): given a file
+# LISTING, keep the newest BACKUP_KEEP well-formed
+# `mfp_backup_YYYY-MM-DD.json` files per store and emit the deletion
+# list.  Strays — temp parts, foreign names, malformed dates — are
+# never deleted (same hardening the sink applies: only strict
+# prefix_date names participate).  The listing is synthesized from
+# orders (datestamps from o_orderdate, stray names on o_orderkey
+# residues, DISTINCT to collapse same-day collisions) so the oracle
+# can certify the selection semantics end-to-end.
+#
+# Scale shape: input is listing-sized (distinct store×date, not
+# fact-sized), one hash shuffle on store_id feeding a per-store top-K
+# window — rank ties impossible after DISTINCT, so the deletion list
+# is deterministic.  This moves the last §2 component (S5/K6/R6
+# retention) into the hash-certified set (VERDICT r7 #8).
+
+BACKUP_KEEP = 5
+
+
+def backup_rotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = scatter(load_table(spark, sf_dir, "orders"))
+    okey = F.col("o_orderkey")
+    manifest = orders.select(
+        (okey % 4).cast("long").alias("store_id"),
+        F.when(
+            okey % 17 == 0,
+            F.concat(F.lit("tmp_"), (okey % 100).cast("string"), F.lit(".part")),
+        )
+        .when(okey % 23 == 0, F.lit("mfp_backup_latest.json"))
+        .otherwise(
+            F.concat(
+                F.lit("mfp_backup_"),
+                F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+                F.lit(".json"),
+            )
+        )
+        .alias("filename"),
+    ).distinct()
+    parsed = manifest.withColumn(
+        "fdate",
+        F.regexp_extract(
+            "filename", r"^mfp_backup_(\d{4}-\d{2}-\d{2})\.json$", 1
+        ),
+    ).where(F.col("fdate") != "")
+    w = Window.partitionBy("store_id").orderBy(
+        F.col("fdate").desc(), F.col("filename").desc()
+    )
+    return (
+        parsed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") > BACKUP_KEEP)
+        .select("store_id", "filename")
+    )
+
+
+BACKUP_ROTATION_ORACLE = f"""
+WITH manifest AS (
+  SELECT DISTINCT CAST(o_orderkey % 4 AS BIGINT) AS store_id,
+    CASE WHEN o_orderkey % 17 = 0
+           THEN 'tmp_' || CAST(o_orderkey % 100 AS VARCHAR) || '.part'
+         WHEN o_orderkey % 23 = 0 THEN 'mfp_backup_latest.json'
+         ELSE 'mfp_backup_' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+              || '.json' END AS filename
+  FROM orders
+),
+parsed AS (
+  SELECT store_id, filename,
+    regexp_extract(filename,
+      '^mfp_backup_(\\d{{4}}-\\d{{2}}-\\d{{2}})\\.json$', 1) AS fdate
+  FROM manifest
+),
+ranked AS (
+  SELECT store_id, filename,
+    ROW_NUMBER() OVER (
+      PARTITION BY store_id ORDER BY fdate DESC, filename DESC) AS rk
+  FROM parsed WHERE fdate <> ''
+)
+SELECT store_id, filename FROM ranked WHERE rk > {BACKUP_KEEP}
+"""

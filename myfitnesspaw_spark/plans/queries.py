@@ -9,39 +9,51 @@ REGISTRATION ORDER IS THE DRIVER-VISIBLE COVERAGE KNOB: the driver's
 correctness run certifies the FIRST 50 registrations, so each round
 rotates the queries that most need a driver-side row to the front.
 
-ROTATION INVARIANT (explicit since r7, VERDICT r6 #4): no query's
-latest driver-green row may be more than 3 rounds old unless it sits
-in the CURRENT window awaiting refresh.  scripts/certification_age.py
-reports the ages and exits non-zero when the invariant is violated.
+ROTATION INVARIANT (amended r8, VERDICT r7 #1): no query's latest
+driver-green row may be more than MAX_AGE = 4 rounds old unless it
+sits in the CURRENT window awaiting refresh, and no query may sit
+never-certified outside the window.  MAX_AGE was 3 through r7, which
+is arithmetically unsatisfiable at this registry size: 153 queries
+cycling through 47 effective slots per round (50-slot window minus 3
+permanent canaries) need ceil(150/47) = 4 rounds per full cycle.
+scripts/certification_age.py enforces the invariant and exits
+non-zero on violation.
 
-Round-7 window (freshness rotation, VERDICT r6 #1):
+Round-8 window (freshness rotation):
 1. The three PERMANENT canaries (flagship, one streaming path, one
-   dedup path) - pinned so a loader or session regression can never
+   dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. The TEN queries awaiting a first driver-side row: the five
-   round-6 additions (tws_user_type_rollup, ivf_ann_topk_kpp,
-   decontaminated_corpus, dedup_graph_triangles,
-   q21_waiting_suppliers — each green against its in-repo DuckDB
-   oracle at sf0.001 and sf0.01) plus the round-7 additions
-   chart_render_pixels, dsir_selection, repeated_ngram_spans,
-   corrupt_record_audit, and corpus_refresh_pipeline (new queries
-   register in-window on arrival so no never-certified backlog
-   accumulates).
-3. 37 of the 46 queries whose last driver-green row is
-   CORRECTNESS_r04 - the oldest backlog.  The window holds only 37,
-   so NINE r4-certified queries overflow to the front of the r8
-   window (chosen as the least drift-prone): dedup_clusters_star
-   (shares its oracle with the dedup_clusters canary, certified
-   every round), sentence_split_udtf (same oracle + semantics as
-   in-window sentence_split), notes_filter / goals_map_projection /
-   json_roundtrip / json_extract_props (row-local single-table
-   projections, no join or shuffle to drift), measures_unpivot
-   (native zero-shuffle unpivot, plan pinned by
-   tests/test_plans.py), header_union_report (4-row presentation
-   union), and two_level_explode (row-local nested explode, no
-   shuffle).
-Everything outside the window was driver-certified in r5 or r6 and
-stays guarded by tests/test_registry_oracle.py at every sf.
+2. The NINE r4-certified overflow queries at age 4 — the oldest rows
+   in the registry, named as the r8 front by the r7 docstring and
+   verdict: dedup_clusters_star, sentence_split_udtf, notes_filter,
+   goals_map_projection, measures_unpivot, json_roundtrip,
+   header_union_report, two_level_explode, json_extract_props.
+3. The TWO round-8 additions (new queries register in-window on
+   arrival so no never-certified backlog accumulates): url_dedup
+   (URL-normalization crawl dedup, VERDICT r7 #4's named gap) and
+   backup_rotation_plan (the S5/K6/R6 retention selection,
+   hash-certified per VERDICT r7 #8).
+4. 36 of the 45 queries whose last driver-green row is
+   CORRECTNESS_r05 — the oldest remaining backlog.
+
+ROUND-9 FRONT (pre-committed, VERDICT r7 #5 — the rotation is
+mechanical): the NINE r5-certified queries that do not fit this
+window turn age 4 entering r9 and MUST lead the r9 window after the
+canaries: median_order_value, trailing_7d_spend, order_cadence,
+pivot_status_priority, snapshot_set_ops, regional_revenue,
+stream_stream_click_error, sessionize_stateful_stream,
+top_unshipped_orders.  Chosen as the least drift-prone deferrals:
+stream_stream_click_error shares its join processor with the
+in-window outer variant, sessionize_stateful_stream shares semantics
+with r7-certified sessionize_events, top_unshipped_orders was
+facts-probed in r7, and the six OLAP queries are scan-local
+single-fact window/agg plans pinned by tests/test_plans.py.  After
+the r9 front, the r6-certified cohort (age 3 entering r9) fills the
+remaining ~38 slots, oldest first.
+
+Everything outside the window was driver-certified in r6 or r7
+(age <= 2 entering r8) and stays guarded by
+tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
 
@@ -62,7 +74,12 @@ from myfitnesspaw_spark.plans import (
     udaf_queries as uq,
 )
 from myfitnesspaw_spark.plans.nutrition import NUTRITION_ORACLE, nutrition_report
-from myfitnesspaw_spark.plans.progress import PROGRESS_ORACLE, progress_report
+from myfitnesspaw_spark.plans.progress import (
+    CHART_RENDER_ORACLE,
+    PROGRESS_ORACLE,
+    chart_render_pixels,
+    progress_report,
+)
 from myfitnesspaw_spark.plans.registry import register
 
 
@@ -72,96 +89,8 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: the five round-6 additions that have never been in a
-# --- driver window (VERDICT r6 #1) - first driver certification.
-register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
-    sq.tws_user_type_rollup_q
-)
-register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
-register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.decontaminated_corpus
-)
-register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
-    tq.dedup_graph_triangles
-)
-register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
-    oq.q21_waiting_suppliers
-)
-# New in round 7 (VERDICT r6 #8): the report layer's chart codec
-# certified end-to-end (render -> PNG decode -> pixel counts vs an
-# exact-integer SQL geometry oracle).  Registered in-window on
-# arrival so no never-certified backlog accumulates.
-from myfitnesspaw_spark.plans.progress import (  # noqa: E402
-    CHART_RENDER_ORACLE,
-    chart_render_pixels,
-)
-
-register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
-# New in round 7: DSIR-style target-likeness selection (hashed-bigram
-# importance ratios, exact-integer surrogate) and the ExactSubstr
-# span-duplication profile — both in-window on arrival.
-register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
-register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
-register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
-register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
-    cq.corpus_refresh_pipeline
-)
-
-# --- Part 3: 37 of the 46 queries whose last driver-green row is
-# --- CORRECTNESS_r04 (the oldest backlog; the NINE overflow queries
-# --- are named in the module docstring and lead the r8 window).
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
-register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
-register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
-register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
-register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
-register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
-register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(core_ops.latest_event_per_user)
-register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
-register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
-register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
-register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
-register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
-register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
-register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
-register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
-register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
-register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
-register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
-register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
-register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- The r4-certified overflow (leads the r8 window; see docstring).
+# --- Part 2: the NINE r4-certified overflow queries (age 4 — the
+# --- oldest rows in the registry; the r8 front per VERDICT r7 #1).
 register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
 register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
 register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
@@ -172,12 +101,102 @@ register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
 register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
 register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
 
+# --- Part 3: round-8 additions, in-window on arrival.
+register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
+register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
+
+# --- Part 4: 36 of the 45 queries whose last driver-green row is
+# --- CORRECTNESS_r05 (the oldest remaining backlog; the NINE
+# --- deferrals are named in the module docstring and lead the r9
+# --- window).
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
+register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
+register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
+    pq.random_negative_sampling
+)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- The r5-certified deferrals (age 4 entering r9): THE R9 FRONT,
+# --- pre-committed in the module docstring so the r9 rotation is
+# --- mechanical.
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+
 # --- Out-of-window remainder: every query below was driver-certified
-# --- in r5 or r6 (age <= 2 entering r7) and stays continuously
+# --- in r6 or r7 (age <= 2 entering r8) and stays continuously
 # --- guarded by tests/test_registry_oracle.py at every sf.
 
-# -- certified r6 (the r6 window, minus the canaries above):
-register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(oq.brand_nation_revenue)
+# -- certified r6 (age 3 entering r9 — fills the r9 window after the
+# -- front, oldest first):
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
+    oq.brand_nation_revenue
+)
 register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
     oq.approx_quantiles_contract
 )
@@ -238,80 +257,82 @@ register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
 register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
     iq.cascade_delete_consistency
 )
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(ef.etl_mealentries_silver)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
+    ef.etl_mealentries_silver
+)
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
 register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
 register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
 
-# -- certified r5:
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
-    bq.recursive_user_spine
+# -- certified r7 (age 1 entering r8 — youngest, rotate last):
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
 )
-register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
-register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
-register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
-    sq.streaming_cms_heavy_hitters
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
 )
-register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
-register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
-register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
-register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
-register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
-register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
-    sq.stream_static_enrich_q
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
 )
-register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
-    pq.quality_classifier_score
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
 )
-register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
-    sq.streaming_dedup_within_watermark
+register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
+register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
+register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
+register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
+register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
+    cq.corpus_refresh_pipeline
 )
-register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
-    sq.stream_stream_click_error_outer_q
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
 )
-register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
-register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
-register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
-register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(pq.random_negative_sampling)
-register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
-register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
-register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
-register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
-    oq.q17_small_quantity_revenue
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
 )
-register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
-    oq.q19_disjunctive_brackets
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
 )
-register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
-register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
-    pq.sorted_neighborhood_pairs
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
 )
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
-    sq.streaming_upsert_latest_event
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
 )
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
-register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
-register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
-register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
-register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
-register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
-register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
+    core_ops.latest_event_per_user
 )
-register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
-    sq.sessionize_stateful_stream
-)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)

@@ -56,6 +56,14 @@ def _stamp_success(path: str) -> None:
     acquired = False
     owner_token = uuid.uuid4().hex
     wait = 10.0
+    # Steal threshold is DECOUPLED from the waiter window (ADVICE r7):
+    # stamping is sub-second, so a lock this old cannot belong to a
+    # live stamp even through a long GC/NFS pause — 3x the wait window
+    # means an owner paused up to 30 s keeps its lock, while waiters
+    # that exhaust their own 10 s window fall through to the advisory
+    # (duplicate-but-idempotent) stamp path instead of stealing a
+    # possibly-live lock.
+    stale_after = 3 * wait
     deadline = time.time() + wait
     while time.time() < deadline:
         try:
@@ -69,15 +77,15 @@ def _stamp_success(path: str) -> None:
             break
         except FileExistsError:
             # A writer killed between os.open and the finally-cleanup
-            # leaves the lock behind forever; a lock older than the
-            # full wait window cannot belong to a live stamp (stamping
-            # is sub-second), so break it and retry the O_EXCL create.
+            # leaves the lock behind forever; a lock older than
+            # stale_after cannot belong to a live stamp, so break it
+            # and retry the O_EXCL create.
             # The break is an atomic RENAME-steal, not check-then-
             # remove: only the one waiter whose rename succeeds owns
             # the stale file, so a waiter can never delete the FRESH
             # lock another writer just re-acquired after its own steal.
             try:
-                if time.time() - os.path.getmtime(lock) > wait:
+                if time.time() - os.path.getmtime(lock) > stale_after:
                     stolen = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
                     os.rename(lock, stolen)
                     os.remove(stolen)

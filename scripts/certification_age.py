@@ -2,9 +2,9 @@
 
 The driver certifies the FIRST 50 registrations each round
 (CORRECTNESS_r{N}.json).  ROTATION INVARIANT (plans/queries.py
-docstring): no query's latest green row may be more than 3 rounds old
-— and no query may sit never-certified — unless it is IN the current
-window awaiting refresh this round.  This script joins the registry
+docstring): no query's latest green row may be more than MAX_AGE
+rounds old — and no query may sit never-certified — unless it is IN
+the current window awaiting refresh this round.  This script joins the registry
 against every CORRECTNESS artifact and prints, per query: the latest
 round with a green row, its age, and whether it sits in the current
 50-entry window; it EXITS NON-ZERO when the invariant is violated
@@ -33,7 +33,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # A query older than this many rounds, sitting OUTSIDE the current
 # window, violates the rotation invariant and fails the report.
-MAX_AGE = 3
+# MAX_AGE=4 since r8 (VERDICT r7 #1): the arithmetic bound for a
+# 151-query registry cycling through 47 effective slots per round
+# (50-slot window minus 3 permanent canaries) is ceil(148/47) = 4
+# rounds — MAX_AGE=3 was unsatisfiable no matter how the rotation
+# was chosen.  Never-certified out-of-window remains an instant
+# failure, and age == MAX_AGE out-of-window still prints as OVERFLOW
+# (it MUST front the next window); only age > MAX_AGE violates.
+MAX_AGE = 4
 
 
 def main() -> int:
