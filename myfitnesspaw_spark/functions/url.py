@@ -52,11 +52,15 @@ def canonicalize_url(url: Column) -> Column:
     )
     rest = F.regexp_extract(url, _REST, 1)
     path = F.regexp_replace(F.regexp_extract(rest, r"^[^?#]*", 0), r"/+$", "")
-    # Strip tracking params: each match consumes its LEADING separator
-    # ('?' was already cut by the extract), so survivors keep their
-    # own separators and only a leading '&' orphan needs trimming.
+    # Query extraction is ANCHORED through the path (`^[^?#]*\?`) so a
+    # '?' living inside the fragment ('#x?y') can never be mistaken
+    # for a query start — an unanchored `\?` match would resurrect
+    # fragment text as query params.  Tracking-param removal: each
+    # match consumes its LEADING separator ('?' was already cut by
+    # the extract), so survivors keep their own separators and only a
+    # leading '&' orphan needs trimming.
     query = F.regexp_replace(
-        F.regexp_extract(rest, r"\?([^#]*)", 1),
+        F.regexp_extract(rest, r"^[^?#]*\?([^#]*)", 1),
         f"(^|&)({TRACKING_PARAMS})=[^&]*",
         "",
     )

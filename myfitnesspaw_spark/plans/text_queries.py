@@ -1145,7 +1145,7 @@ c AS (
     || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
   FROM (
     SELECT doc_id, scheme, host, rest,
-      regexp_replace(regexp_replace(regexp_extract(rest, '\\?([^#]*)', 1),
+      regexp_replace(regexp_replace(regexp_extract(rest, '^[^?#]*\\?([^#]*)', 1),
         '(^|&)({_TRACKING})=[^&]*', '', 'g'), '^&+', '') AS cq
     FROM n
   )

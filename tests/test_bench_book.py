@@ -86,3 +86,58 @@ def test_retry_order_targets_largest_recovery_vs_baseline():
     baseline = {"floor": 8.0, "inflated": 1.0}
     order = [name for name, _ in b.retry_order(qs, baseline)]
     assert order == ["inflated", "new", "floor"]
+
+
+# --- classify_regressions: hard gate vs report-only watch band ----------
+
+_BASE = {
+    "queries": {"fast_q": 1.0, "slow_q": 1.0, "fine_q": 1.0, "absent_q": None},
+    "comments": {"slow_q": "known cold-start heavy"},
+    "host_cal_ref": 0.2,
+}
+
+
+def test_gate_uncalibrated_host_flags_at_raw_2x():
+    timed = {"fast_q": 2.5, "fine_q": 1.9}
+    reg, watch = bench.classify_regressions(timed, _BASE, None, None)
+    assert set(reg) == {"fast_q"}
+    assert watch == {}
+    assert reg["fast_q"]["raw_ratio"] == 2.5
+    assert reg["fast_q"]["host_factor"] == 1.0
+
+
+def test_gate_slow_host_excuses_into_watch_not_silence():
+    # Host 1.5x slower than the recording host: the hard gate widens
+    # to 3x, but a 2.5x raw entry must still surface — in watch.
+    timed = {"fast_q": 2.5, "slow_q": 3.5, "fine_q": 1.9}
+    reg, watch = bench.classify_regressions(timed, _BASE, 0.3, None)
+    assert set(reg) == {"slow_q"}  # 3.5 > 3.0 — flagged even calibrated
+    assert set(watch) == {"fast_q"}  # 2.0 < 2.5 <= 3.0 — excused, visible
+    assert watch["fast_q"]["host_factor"] == 1.5
+    assert reg["slow_q"]["comment"] == "known cold-start heavy"
+
+
+def test_gate_factor_clamped_to_2x_and_fast_host_never_tightens():
+    # A 10x-slower host clamps at factor 2 (gate 4x)...
+    reg, watch = bench.classify_regressions({"fast_q": 4.1}, _BASE, 2.0, None)
+    assert set(reg) == {"fast_q"} and not watch
+    # ...and a 2x-faster host clamps at factor 1 (gate stays 2x).
+    reg, watch = bench.classify_regressions({"fast_q": 1.99}, _BASE, 0.1, None)
+    assert not reg and not watch
+
+
+def test_gate_io_factor_annotated_only_when_baseline_has_ref():
+    timed = {"fast_q": 2.5}
+    _, watch = bench.classify_regressions(timed, _BASE, 0.3, 5.0)
+    assert "io_factor" not in watch["fast_q"]  # no io_cal_ref yet
+    base_io = {**_BASE, "io_cal_ref": 2.0}
+    _, watch = bench.classify_regressions(timed, base_io, 0.3, 5.0)
+    assert watch["fast_q"]["io_factor"] == 2.0  # clamped from 2.5
+
+
+def test_gate_ignores_absent_and_falsy_baselines():
+    # absent_q has a None baseline; unknown_q has no entry at all.
+    reg, watch = bench.classify_regressions(
+        {"absent_q": 99.0, "unknown_q": 99.0}, _BASE, None, None
+    )
+    assert not reg and not watch

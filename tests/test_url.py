@@ -1,0 +1,165 @@
+"""Unit tests for URL canonicalization (functions/url.py) plus the
+physical-plan pins for the two r8 queries (url_dedup,
+backup_rotation_plan) — oracle parity is covered by
+tests/test_registry_oracle.py; these assert the normalization RULES
+and the scale shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from myfitnesspaw_spark.functions.url import canonicalize_url
+from myfitnesspaw_spark.plans import registry
+
+CASES = [
+    # scheme+host lowercased, www./default port/fragment dropped,
+    # tracking stripped; path CASE preserved.
+    (
+        "HTTPS://WWW.Example.COM:443/Path/Sub?utm_source=a#frag",
+        "https://example.com/Path/Sub",
+    ),
+    # :80 default port dropped; kept param survives a trailing strip.
+    ("http://example.com:80/a?page=2&utm_campaign=x", "http://example.com/a?page=2"),
+    # leading AND trailing tracking params around a kept one.
+    (
+        "https://example.com/a?utm_source=x&page=2&gclid=g",
+        "https://example.com/a?page=2",
+    ),
+    # all params tracking → no '?' survives.
+    ("https://example.com/a?fbclid=z", "https://example.com/a"),
+    # NON-default port is identity-significant and kept.
+    ("https://example.com:8080/a", "https://example.com:8080/a"),
+    # kept-param ORDER is preserved (reordering merges distinct pages
+    # on servers where order matters; precision beats recall).
+    ("https://example.com/a?b=2&A=1", "https://example.com/a?b=2&A=1"),
+    # ref= is tracking; mixed-case kept params untouched.
+    ("https://example.com/a?ref=feed&x=1&Y=2", "https://example.com/a?x=1&Y=2"),
+    # trailing slashes (even repeated) dropped.
+    ("https://example.com/a///", "https://example.com/a"),
+    # fragment after a kept query.
+    ("https://example.com/a?x=1#sec", "https://example.com/a?x=1"),
+]
+
+
+@pytest.mark.parametrize("raw,canon", CASES)
+def test_canonicalize_url_rules(spark, raw, canon):
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .first()["c"]
+    )
+    assert got == canon
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(set(re.findall(r"\(\d+\) Exchange", plan)))
+
+
+def test_url_dedup_is_one_shuffle_codegen(spark, sf_dir):
+    plan = _plan(spark, "url_dedup", sf_dir)
+    # Canonicalization is a scan-local codegen projection; the dedup
+    # is ONE hash shuffle (plus the scatter rebalance of the tiny doc
+    # scan).  Python in this plan would put a per-row interpreter in
+    # the 100 TB hot path.
+    assert _n_exchanges(plan) <= 2, plan
+    assert "Python" not in plan
+    assert "Join" not in plan  # no candidate join: exact key dedup
+
+
+def test_backup_rotation_plan_shape(spark, sf_dir):
+    plan = _plan(spark, "backup_rotation_plan", sf_dir)
+    # distinct collapses same-day collisions with a map-side partial
+    # aggregate BEFORE its exchange (shuffle bytes = listing size,
+    # not fact size), then one store-keyed window.  No join, no
+    # Python, and the rank window is PARTITIONED (a global-order
+    # window would single-partition the listing).
+    assert _n_exchanges(plan) <= 3, plan
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition(store_id" in plan, plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or plan.count(
+        "HashAggregate"
+    ) >= 2, plan
+
+
+# --- third-engine property check ----------------------------------------
+# The oracle (DuckDB) applies the SAME regexes as the Spark plan, so a
+# shared regex bug would pass both engines.  This reference normalizer
+# is built on urllib.parse + list filtering — structurally different
+# machinery — and the 400 generated URLs sweep the rule-interaction
+# space (case × ports × www × slashes × param mixes × fragments).
+# One Spark job for all examples; per-example sessions would be slow.
+
+_TRACK_NAME = re.compile(r"^(utm_[a-z0-9_]+|fbclid|gclid|ref)$")
+
+
+def _py_canon(url: str) -> str:
+    from urllib.parse import urlsplit
+
+    s = urlsplit(url)
+    host = s.netloc.lower()
+    for p in (":443", ":80"):
+        if host.endswith(p):
+            host = host[: -len(p)]
+    if host.startswith("www."):
+        host = host[4:]
+    path = s.path.rstrip("/")
+    kept = [
+        kv
+        for kv in s.query.split("&")
+        if kv and not _TRACK_NAME.match(kv.split("=", 1)[0])
+    ]
+    q = "&".join(kept)
+    return f"{s.scheme.lower()}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def _gen_urls(n: int, seed: int = 8) -> list[str]:
+    import random
+
+    rng = random.Random(seed)
+    schemes = ["http", "HTTP", "https", "HTTPS", "Https"]
+    hosts = ["example.com", "Example.COM", "www.example.com", "WWW.Sub.Example.org", "a-b.co"]
+    ports = ["", "", ":80", ":443", ":8080"]
+    segs = ["a", "B", "c-d", "page1", "X2"]
+    params = [
+        "utm_source=feed", "utm_campaign=W", "fbclid=x1", "gclid=g2", "ref=rss",
+        "page=2", "id=A9", "q=spark", "a=b=c", "empty=", "UTM_SOURCE=kept",
+    ]
+    out = []
+    for _ in range(n):
+        path = "".join("/" + rng.choice(segs) for _ in range(rng.randint(0, 3)))
+        path += "/" * rng.randint(0, 2) if path else ""
+        chosen = rng.sample(params, rng.randint(0, 5))
+        query = "?" + "&".join(chosen) if chosen else ""
+        frag = rng.choice(["", "", "#sec", "#x?y"])
+        out.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + path + query + frag
+        )
+    return out
+
+
+def test_canonicalize_url_matches_urllib_reference(spark):
+    from pyspark.sql import functions as F
+
+    urls = _gen_urls(400)
+    got = {
+        r["url"]: r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    bad = [(u, got[u], _py_canon(u)) for u in urls if got[u] != _py_canon(u)]
+    assert not bad, bad[:5]
