@@ -439,6 +439,11 @@ def main() -> None:
                     "n_timed": len(timed),
                     "n_errors": len(errors),
                     "n_regressions": len(regressions),
+                    # Watch = over 2x RAW baseline but excused by the
+                    # host calibration; details in bench_full.json.
+                    # In the compact line so the driver's tail-capture
+                    # artifact (BENCH_r{N}.json) records the band.
+                    "n_watch": len(watch),
                     "sf": sf,
                     "host_cal_sec": wall.get("host_cal_sec"),
                     "io_cal_sec": wall.get("io_cal_sec"),

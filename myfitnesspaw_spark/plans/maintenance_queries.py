@@ -309,9 +309,41 @@ FROM base
 BACKUP_KEEP = 5
 
 
-def backup_rotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fifo_rotation_deletions(
+    manifest: DataFrame,
+    keep: int,
+    name_regex: str,
+    group_col: str = "store_id",
+    name_col: str = "filename",
+) -> DataFrame:
+    """Distributed twin of ``sinks/backup.py::
+    select_fifo_backups_to_delete`` — per-group FIFO: keep the newest
+    ``keep`` names whose ``name_regex`` group 1 parses as a REAL date
+    (``try_to_date`` rejects a well-shaped-but-impossible 2024-02-30
+    exactly as the sink's strptime does), emit the rest as deletions.
+    Names are unique per group (a store listing), so the rank order
+    (date desc, name desc) is total and the deletion list is
+    deterministic.  Equivalence with the sink's Python selection is
+    asserted in tests/test_warehouse.py on shared manifests; the one
+    documented divergence is non-zero-padded dates ('2024-1-5'),
+    which lenient strptime accepts and the strict pattern rejects —
+    ``backup_name()`` always zero-pads, so such names are strays."""
     from pyspark.sql import Window
 
+    parsed = manifest.withColumn(
+        "_fdate", F.try_to_date(F.regexp_extract(name_col, name_regex, 1))
+    ).where(F.col("_fdate").isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_fdate").desc(), F.col(name_col).desc()
+    )
+    return (
+        parsed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > keep)
+        .select(group_col, name_col)
+    )
+
+
+def backup_rotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = scatter(load_table(spark, sf_dir, "orders"))
     okey = F.col("o_orderkey")
     manifest = orders.select(
@@ -330,19 +362,8 @@ def backup_rotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("filename"),
     ).distinct()
-    parsed = manifest.withColumn(
-        "fdate",
-        F.regexp_extract(
-            "filename", r"^mfp_backup_(\d{4}-\d{2}-\d{2})\.json$", 1
-        ),
-    ).where(F.col("fdate") != "")
-    w = Window.partitionBy("store_id").orderBy(
-        F.col("fdate").desc(), F.col("filename").desc()
-    )
-    return (
-        parsed.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") > BACKUP_KEEP)
-        .select("store_id", "filename")
+    return fifo_rotation_deletions(
+        manifest, BACKUP_KEEP, r"^mfp_backup_(\d{4}-\d{2}-\d{2})\.json$"
     )
 
 

@@ -480,3 +480,45 @@ def test_backup_rotation_returns_listed_names_only():
     assert out == ["mfp_db_backup_2026-08-02"]
     # Every returned name was in the input list verbatim.
     assert all(n in files for n in out)
+
+
+def test_fifo_rotation_plan_matches_sink_selection(spark):
+    """The distributed R6 selection (plans/maintenance_queries.py::
+    fifo_rotation_deletions) must pick EXACTLY the names the sink's
+    Python selection (sinks/backup.py) picks on the same listing —
+    one semantics, two execution shapes.  The manifest mixes valid
+    datestamps, strays, a malformed month, and a well-shaped but
+    impossible date (2024-02-30) that both sides must ignore."""
+    import random
+
+    from myfitnesspaw_spark.plans.maintenance_queries import fifo_rotation_deletions
+    from myfitnesspaw_spark.sinks.backup import (
+        BACKUP_PREFIX,
+        select_fifo_backups_to_delete,
+    )
+
+    rng = random.Random(88)
+    names = [
+        f"{BACKUP_PREFIX}_2024-{m:02d}-{d:02d}"
+        for m, d in {(rng.randint(1, 12), rng.randint(1, 28)) for _ in range(40)}
+    ] + [
+        "notes.txt",
+        f"{BACKUP_PREFIX}_latest",
+        f"{BACKUP_PREFIX}_2024-02-30",  # impossible date: strptime AND try_to_date reject
+        f"{BACKUP_PREFIX}_2024-13-01",  # malformed month
+        f"{BACKUP_PREFIX}_2024-03-05.bak",  # suffixed variant
+    ]
+    rng.shuffle(names)
+
+    for keep in (0, 3, 5, len(names) + 5):
+        expected = sorted(select_fifo_backups_to_delete(keep, names))
+        manifest = spark.createDataFrame(
+            [(1, n) for n in names], "store_id long, filename string"
+        )
+        got = sorted(
+            r["filename"]
+            for r in fifo_rotation_deletions(
+                manifest, keep, rf"^{BACKUP_PREFIX}_(\d{{4}}-\d{{2}}-\d{{2}})$"
+            ).collect()
+        )
+        assert got == expected, (keep, got, expected)
