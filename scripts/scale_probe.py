@@ -112,6 +112,20 @@ Round-7 new ops (same base)::
                                              pre-shuffle; O(batch)
                                              delta shape holds)
 
+Round-8 new ops (same base; 2026-08-14)::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    url_dedup                 1.11x  1.24x  (scan-local codegen
+                                             canonicalization + one
+                                             hash shuffle)
+    backup_rotation_plan      0.92x  0.93x  (facts mode: the DISTINCT
+                                             collapses shifted-key
+                                             replicas to the same
+                                             dates/stores, so the
+                                             post-scan shuffle stays
+                                             listing-sized — flat by
+                                             design)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -176,6 +190,9 @@ PROBES = [
     "dsir_selection",
     "repeated_ngram_spans",
     "corpus_refresh_pipeline",
+    # round-8 addition: URL-normalization dedup (scan-local
+    # canonicalization + one hash shuffle — must track data ratio).
+    "url_dedup",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
@@ -194,6 +211,11 @@ FACT_PROBES = [
     "q19_disjunctive_brackets",
     "progress_report",
     "nutrition_report",
+    # r8: rotation deletion list — the manifest distinct collapses
+    # the shifted-key replicas (same dates/stores), so the post-scan
+    # shuffle stays LISTING-sized and time should grow only with the
+    # fact scan, well under the data ratio.
+    "backup_rotation_plan",
 ]
 
 TABLES = [
