@@ -9,7 +9,8 @@ standard crawl-dedup set (RFC 3986 syntax-based normalization plus the
 tracking-parameter strip every crawl pipeline applies):
 
 - scheme and host lowercased (case-insensitive per RFC 3986 §6.2.2.1);
-- default ports ``:80``/``:443`` and a leading ``www.`` dropped;
+- the scheme's OWN default port (``:80`` on http, ``:443`` on https)
+  and a leading ``www.`` dropped;
 - the fragment dropped (never sent to the server);
 - tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
   ``ref``) removed, OTHER parameters preserved in order;
@@ -39,17 +40,34 @@ def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute ``scheme://host...`` URL column.
 
     Every regex below is RE2-compatible (no backtracking constructs,
-    no replacement backreferences) so the DuckDB oracle can apply the
-    IDENTICAL patterns — cross-engine parity is part of the contract.
+    no replacement backreferences, no lookaround) so the DuckDB oracle
+    can apply the IDENTICAL patterns — cross-engine parity is part of
+    the contract.  Two deliberate contract bounds, both on the
+    precision-safe side:
+
+    - a string that does not parse as ``scheme://host...`` (relative
+      path, empty host, ``mailto:``) is returned UNCHANGED — a
+      pass-through keeps malformed URLs distinct, where normalizing
+      them would collapse every unparseable row onto one degenerate
+      key and dedup would merge unrelated documents;
+    - only ``k=v``-form tracking params are stripped; a bare valueless
+      ``?utm_source`` is preserved (stripping it without eating a
+      following real param's separator needs lookahead, which RE2
+      lacks — a recall miss, never a wrong merge).
     """
     scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract(url, _HOSTPORT, 1)), r":(443|80)$", ""
-        ),
-        r"^www\.",
-        "",
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    # Default-port strip is SCHEME-AWARE: :443 is only a default on
+    # https and :80 only on http — http://h:443 and http://h are
+    # different resources and must not merge.
+    no_port = (
+        F.when(
+            scheme == F.lit("https"), F.regexp_replace(hostport, r":443$", "")
+        )
+        .when(scheme == F.lit("http"), F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
     )
+    host = F.regexp_replace(no_port, r"^www\.", "")
     rest = F.regexp_extract(url, _REST, 1)
     path = F.regexp_replace(F.regexp_extract(rest, r"^[^?#]*", 0), r"/+$", "")
     # Query extraction is ANCHORED through the path (`^[^?#]*\?`) so a
@@ -65,7 +83,7 @@ def canonicalize_url(url: Column) -> Column:
         "",
     )
     query = F.regexp_replace(query, r"^&+", "")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -74,3 +92,9 @@ def canonicalize_url(url: Column) -> Column:
             F.lit("")
         ),
     )
+    # Unparseable input → pass-through (see docstring): an empty
+    # scheme or host extract means the URL never matched the
+    # scheme://host grammar.
+    return F.when(
+        (scheme == F.lit("")) | (host == F.lit("")), url
+    ).otherwise(canonical)

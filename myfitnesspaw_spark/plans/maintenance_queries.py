@@ -306,7 +306,9 @@ FROM base
 # is deterministic.  This moves the last §2 component (S5/K6/R6
 # retention) into the hash-certified set (VERDICT r7 #8).
 
-BACKUP_KEEP = 5
+# One source of truth with the sink: the distributed plan must keep
+# exactly as many backups as the real rotation does.
+from myfitnesspaw_spark.sinks.backup import DEFAULT_KEEP as BACKUP_KEEP  # noqa: E402
 
 
 def fifo_rotation_deletions(

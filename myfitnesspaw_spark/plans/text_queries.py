@@ -31,6 +31,7 @@ from myfitnesspaw_spark.functions.text import (
     split_chars,
     tokens,
 )
+from myfitnesspaw_spark.functions.url import TRACKING_PARAMS, canonicalize_url
 from myfitnesspaw_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup_keep_min,
@@ -1090,8 +1091,6 @@ def _messy_url() -> F.Column:
 
 
 def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myfitnesspaw_spark.functions.url import canonicalize_url
-
     docs = scatter(load_table(spark, sf_dir, "documents")).select("doc_id")
     urls = docs.select("doc_id", _messy_url().alias("url"))
     return (
@@ -1103,8 +1102,6 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-from myfitnesspaw_spark.functions.url import TRACKING_PARAMS as _TRACKING  # noqa: E402
 
 URL_DEDUP_ORACLE = f"""
 WITH p AS (
@@ -1130,24 +1127,34 @@ u AS (
   FROM p
 ),
 n AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    regexp_replace(regexp_replace(
-      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-      ':(443|80)$', ''), '^www\\.', '') AS host,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS hostport,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
   FROM u
 ),
+h AS (
+  SELECT doc_id, url, scheme, rest,
+    regexp_replace(
+      CASE scheme WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
+                  WHEN 'http'  THEN regexp_replace(hostport, ':80$', '')
+                  ELSE hostport END,
+      '^www\\.', '') AS host
+  FROM n
+),
 c AS (
   SELECT doc_id,
-    scheme || '://' || host
-    || regexp_replace(regexp_extract(rest, '^[^?#]*', 0), '/+$', '')
-    || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+    CASE WHEN scheme = '' OR host = '' THEN url
+         ELSE scheme || '://' || host
+           || regexp_replace(regexp_extract(rest, '^[^?#]*', 0), '/+$', '')
+           || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+    END AS canonical_url
   FROM (
-    SELECT doc_id, scheme, host, rest,
+    SELECT doc_id, url, scheme, host, rest,
       regexp_replace(regexp_replace(regexp_extract(rest, '^[^?#]*\\?([^#]*)', 1),
-        '(^|&)({_TRACKING})=[^&]*', '', 'g'), '^&+', '') AS cq
-    FROM n
+        '(^|&)({TRACKING_PARAMS})=[^&]*', '', 'g'), '^&+', '') AS cq
+    FROM h
   )
 )
 SELECT canonical_url,

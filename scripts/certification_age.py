@@ -34,10 +34,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # A query older than this many rounds, sitting OUTSIDE the current
 # window, violates the rotation invariant and fails the report.
 # MAX_AGE=4 since r8 (VERDICT r7 #1): the arithmetic bound for a
-# 151-query registry cycling through 47 effective slots per round
-# (50-slot window minus 3 permanent canaries) is ceil(148/47) = 4
+# 153-query registry cycling through 47 effective slots per round
+# (50-slot window minus 3 permanent canaries) is ceil(150/47) = 4
 # rounds — MAX_AGE=3 was unsatisfiable no matter how the rotation
-# was chosen.  Never-certified out-of-window remains an instant
+# was chosen.  (Recompute this bound whenever the registry grows:
+# it stays 4 up to 3 + 4*47 = 191 registered queries.)  Never-certified out-of-window remains an instant
 # failure, and age == MAX_AGE out-of-window still prints as OVERFLOW
 # (it MUST front the next window); only age > MAX_AGE violates.
 MAX_AGE = 4

@@ -22,6 +22,19 @@ CASES = [
     ),
     # :80 default port dropped; kept param survives a trailing strip.
     ("http://example.com:80/a?page=2&utm_campaign=x", "http://example.com/a?page=2"),
+    # default-port strip is SCHEME-AWARE: :443 on http (and :80 on
+    # https) is NOT a default and identifies a different resource.
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    # unparseable input passes through UNCHANGED — normalizing would
+    # collapse every malformed URL onto one degenerate dedup key.
+    ("/relative/page", "/relative/page"),
+    ("mailto:x@example.com", "mailto:x@example.com"),
+    ("https:///no-host/path", "https:///no-host/path"),
+    ("https://www./only-www", "https://www./only-www"),
+    # bare valueless tracking param is PRESERVED (documented recall
+    # bound: stripping it needs lookahead, which RE2 lacks).
+    ("https://example.com/a?utm_source", "https://example.com/a?utm_source"),
     # leading AND trailing tracking params around a kept one.
     (
         "https://example.com/a?utm_source=x&page=2&gclid=g",
@@ -109,20 +122,26 @@ def _py_canon(url: str) -> str:
     from urllib.parse import urlsplit
 
     s = urlsplit(url)
+    if not s.scheme or not s.netloc:
+        return url  # pass-through contract for unparseable input
+    scheme = s.scheme.lower()
     host = s.netloc.lower()
-    for p in (":443", ":80"):
-        if host.endswith(p):
-            host = host[: -len(p)]
+    if scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    elif scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
     if host.startswith("www."):
         host = host[4:]
+    if not host:
+        return url  # host was nothing but 'www.'
     path = s.path.rstrip("/")
     kept = [
         kv
         for kv in s.query.split("&")
-        if kv and not _TRACK_NAME.match(kv.split("=", 1)[0])
+        if kv and not ("=" in kv and _TRACK_NAME.match(kv.split("=", 1)[0]))
     ]
     q = "&".join(kept)
-    return f"{s.scheme.lower()}://{host}{path}" + (f"?{q}" if q else "")
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
 
 
 def _gen_urls(n: int, seed: int = 8) -> list[str]:
@@ -136,6 +155,7 @@ def _gen_urls(n: int, seed: int = 8) -> list[str]:
     params = [
         "utm_source=feed", "utm_campaign=W", "fbclid=x1", "gclid=g2", "ref=rss",
         "page=2", "id=A9", "q=spark", "a=b=c", "empty=", "UTM_SOURCE=kept",
+        "utm_bare",  # valueless tracking name: kept by contract
     ]
     out = []
     for _ in range(n):
@@ -154,7 +174,12 @@ def _gen_urls(n: int, seed: int = 8) -> list[str]:
 def test_canonicalize_url_matches_urllib_reference(spark):
     from pyspark.sql import functions as F
 
-    urls = _gen_urls(400)
+    urls = _gen_urls(400) + [
+        "/relative/only",
+        "mailto:someone@example.com",
+        "https:///empty-host",
+        "ftp://files.example.com:443/x",  # non-http scheme keeps :443
+    ]
     got = {
         r["url"]: r["c"]
         for r in spark.createDataFrame([(u,) for u in urls], "url string")
