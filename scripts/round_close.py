@@ -1,0 +1,79 @@
+"""One-command round-close gate (VERDICT r7 #2 made artifact hygiene a
+named, thrice-missed task — this makes it mechanical).
+
+Runs, in order, and exits non-zero on the FIRST failure:
+
+1. the full pytest suite (skippable with ``--skip-tests`` when it
+   already ran this session);
+2. ``scripts/certification_age.py`` — the rotation invariant;
+3. a git-hygiene check: no round artifact (``CORRECTNESS_r*.json``,
+   ``BENCH_r*.json``, ``bench_full.json``, ``BASELINE_BENCH.json``)
+   may be untracked or modified-unstaged, and the working tree should
+   be clean of source changes.
+
+It does NOT run bench.py itself (a bench run belongs to a quiet host
+and its artifact then needs committing, which is exactly what step 3
+checks) — run ``python bench.py`` first, commit, then close.
+
+Usage::
+
+    python scripts/round_close.py [--skip-tests]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = re.compile(
+    r"(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|"
+    r"bench_full\.json|BASELINE_BENCH\.json)$"
+)
+
+
+def main() -> int:
+    if "--skip-tests" not in sys.argv[1:]:
+        print("== pytest ==", flush=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=REPO
+        )
+        if r.returncode:
+            print("round_close: FAIL (pytest)")
+            return r.returncode
+
+    print("== certification age ==", flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "certification_age.py")],
+        cwd=REPO,
+    )
+    if r.returncode:
+        print("round_close: FAIL (rotation invariant)")
+        return r.returncode
+
+    print("== git hygiene ==", flush=True)
+    out = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+    artifacts, other = [], []
+    for line in out.splitlines():
+        name = line[3:].strip()
+        (artifacts if ARTIFACT.match(name) else other).append(line)
+    for line in artifacts:
+        print(f"  UNCOMMITTED ARTIFACT: {line}")
+    for line in other:
+        print(f"  dirty: {line}")
+    if artifacts:
+        print("round_close: FAIL (commit the round artifacts)")
+        return 1
+    if other:
+        print("round_close: WARN (non-artifact changes uncommitted)")
+    print("round_close: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
