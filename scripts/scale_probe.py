@@ -126,6 +126,18 @@ Round-8 new ops (same base; 2026-08-14)::
                                              listing-sized — flat by
                                              design)
 
+r8 facts-mode broadening — the four short OLAP chains that led r7's
+raw >1.5x bench band; every one tracks at or under the data ratio,
+confirming the band was host weather, not a plan problem::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    cust_order_distribution   0.97x  1.32x
+    lateral_topk_customers    0.81x  0.91x
+    late_ship_priority        1.95x  1.60x
+    salted_priority_revenue   2.69x  4.09x  (linear past the fixed
+                                             overhead: the 4x->8x
+                                             doubling costs 1.9x)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -216,6 +228,14 @@ FACT_PROBES = [
     # shuffle stays LISTING-sized and time should grow only with the
     # fact scan, well under the data ratio.
     "backup_rotation_plan",
+    # r8 broadening: the four short OLAP chains that led r7's raw
+    # >1.5x bench band (host noise per the calibration) — a linear
+    # probe ratio is the direct evidence the band is weather, not a
+    # plan problem.
+    "cust_order_distribution",
+    "lateral_topk_customers",
+    "late_ship_priority",
+    "salted_priority_revenue",
 ]
 
 TABLES = [
