@@ -118,8 +118,10 @@ def classify_regressions(
     (ADVICE r7: one recorded run had compute 1.5x FASTER while
     IO-heavy queries ran 2-3x slower), so a compute-only excuse for
     an IO-bound query is visible as host_factor≈1 vs io_factor>1.
-    io_cal_ref lands in BASELINE_BENCH.json at the next
-    recording-class re-anchor; until then io_factor is omitted.
+    io_cal_ref (1.675) carries the same provenance as host_cal_ref —
+    both from the r7 closing recording run (see the _io_cal_ref
+    comment in BASELINE_BENCH.json); io_factor is omitted only if a
+    baseline lacks the ref.
     """
     comments = baseline.get("comments", {})
     cal_ref = baseline.get("host_cal_ref")
