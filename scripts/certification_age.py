@@ -42,6 +42,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # failure, and age == MAX_AGE out-of-window still prints as OVERFLOW
 # (it MUST front the next window); only age > MAX_AGE violates.
 MAX_AGE = 4
+WINDOW = 50
+
+
+def green_row(row) -> bool:
+    """A CORRECTNESS row counts as green only when every recorded
+    dimension matched and no error is present."""
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+        and not row.get("err")
+    )
+
+
+def classify(
+    names: list[str],
+    latest_green: dict[str, int],
+    current: int,
+    max_age: int = MAX_AGE,
+    window_size: int = WINDOW,
+):
+    """Pure invariant logic (unit-tested in tests/test_bench_book.py):
+    returns ``(rows, never, stale, violations)`` where rows are
+    ``(name, green_round, age, in_window)``, ``never`` is
+    never-certified-and-out-of-window, ``stale`` (age >= max_age, out
+    of window, oldest first) is exactly the overflow the NEXT round's
+    window must front, and ``violations`` (never + age > max_age) is
+    the non-zero-exit set.  "Stale" derives from max_age so the
+    report, the overflow list, and the violation exit can never
+    desynchronize if the policy constant changes."""
+    window = set(names[:window_size])
+    rows = []
+    for name in names:
+        green = latest_green.get(name)
+        age = None if green is None else current - green
+        rows.append((name, green, age, name in window))
+    never = [r for r in rows if r[1] is None and not r[3]]
+    stale = sorted(
+        (r for r in rows if r[2] is not None and r[2] >= max_age and not r[3]),
+        key=lambda r: -r[2],
+    )
+    violations = list(never) + [r for r in stale if r[2] > max_age]
+    return rows, never, stale, violations
 
 
 def main() -> int:
@@ -62,34 +106,15 @@ def main() -> int:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            ok = (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-                and not row.get("err")
-            )
-            if ok:
+            if green_row(row):
                 latest_green[name] = max(latest_green.get(name, 0), rnd)
 
     current = int(sys.argv[1]) if len(sys.argv) > 1 else (max(rounds) + 1 if rounds else 1)
-    window = set(names[:50])
-    rows = []
-    for name in names:
-        green = latest_green.get(name)
-        age = None if green is None else current - green
-        rows.append((name, green, age, name in window))
-
-    never = [r for r in rows if r[1] is None and not r[3]]
-    # "Stale" is derived from MAX_AGE (age >= MAX_AGE means the query
-    # is due for refresh and must front the next window) so the
-    # report, the overflow list, and the violation exit can never
-    # desynchronize if the policy constant changes.
-    stale = sorted(
-        (r for r in rows if r[2] is not None and r[2] >= MAX_AGE and not r[3]),
-        key=lambda r: -r[2],
+    rows, never, stale, violations = classify(names, latest_green, current)
+    print(
+        f"{len(rows)} registered; {min(WINDOW, len(rows))} in the "
+        f"r{current} window"
     )
-    print(f"{len(rows)} registered; {len(window)} in the r{current} window")
     print(f"never driver-certified AND out of window: {len(never)}")
     for name, *_ in never:
         print(f"  NEVER  {name}")
@@ -104,7 +129,6 @@ def main() -> int:
     in_window_new = [r[0] for r in rows if r[1] is None and r[3]]
     print(f"in-window, awaiting first certification this round: {len(in_window_new)}")
 
-    violations = [r for r in never] + [r for r in stale if r[2] > MAX_AGE]
     if violations:
         print(
             f"INVARIANT VIOLATED: {len(violations)} queries are "
