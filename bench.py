@@ -118,10 +118,12 @@ def classify_regressions(
     (ADVICE r7: one recorded run had compute 1.5x FASTER while
     IO-heavy queries ran 2-3x slower), so a compute-only excuse for
     an IO-bound query is visible as host_factor≈1 vs io_factor>1.
-    io_cal_ref (1.675) carries the same provenance as host_cal_ref —
-    both from the r7 closing recording run (see the _io_cal_ref
-    comment in BASELINE_BENCH.json); io_factor is omitted only if a
-    baseline lacks the ref.
+    io_cal_ref (1.675) comes from the r7 closing run — a
+    reference-SPEED host (host_cal 0.141 vs host_cal_ref's 0.143,
+    which is the fastest r5 recording host; see the _io_cal_ref
+    comment in BASELINE_BENCH.json for the provenance split).
+    io_factor is omitted when the baseline lacks the ref OR this
+    run's own io calibration failed (io_cal None).
     """
     comments = baseline.get("comments", {})
     cal_ref = baseline.get("host_cal_ref")
@@ -171,12 +173,14 @@ def _warn_untracked_artifacts() -> None:
         ).stdout
     except Exception:
         return
+    # Shared matcher with scripts/round_close.py's hard gate so the
+    # warning and the gate can never disagree on the artifact set.
+    from scripts._artifacts import is_artifact_line
+
     flagged = []
     for line in out.splitlines():
-        status, _, name = line[:2], line[2], line[3:].strip()
-        if re.match(r"(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|"
-                    r"bench_full\.json|BASELINE_BENCH\.json)$", name):
-            flagged.append(f"{status.strip() or '??'} {name}")
+        if is_artifact_line(line):
+            flagged.append(f"{line[:2].strip() or '??'} {line[3:].strip()}")
     if flagged:
         print(
             "WARNING: round artifacts uncommitted — commit these in the "

@@ -38,9 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (50-slot window minus 3 permanent canaries) is ceil(150/47) = 4
 # rounds — MAX_AGE=3 was unsatisfiable no matter how the rotation
 # was chosen.  (Recompute this bound whenever the registry grows:
-# it stays 4 up to 3 + 4*47 = 191 registered queries.)  Never-certified out-of-window remains an instant
-# failure, and age == MAX_AGE out-of-window still prints as OVERFLOW
-# (it MUST front the next window); only age > MAX_AGE violates.
+# it stays 4 up to 3 + 4*47 = 191 registered queries.)
+# Never-certified out-of-window remains an instant failure, and
+# age == MAX_AGE out-of-window still prints as OVERFLOW (it MUST
+# front the next window); only age > MAX_AGE violates.
 MAX_AGE = 4
 WINDOW = 50
 

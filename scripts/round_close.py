@@ -23,15 +23,13 @@ Usage::
 from __future__ import annotations
 
 import os
-import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = re.compile(
-    r"(CORRECTNESS_r\d+\.json|BENCH_r\d+\.json|"
-    r"bench_full\.json|BASELINE_BENCH\.json)$"
-)
+sys.path.insert(0, REPO)
+
+from scripts._artifacts import is_artifact_line  # noqa: E402
 
 
 def main() -> int:
@@ -54,14 +52,25 @@ def main() -> int:
         return r.returncode
 
     print("== git hygiene ==", flush=True)
-    out = subprocess.run(
-        ["git", "status", "--porcelain"],
-        cwd=REPO, capture_output=True, text=True,
-    ).stdout
+    # A failed git invocation must FAIL the gate, not read as a clean
+    # tree — an index.lock or missing git with empty stdout would
+    # otherwise print OK over an untracked artifact (the exact
+    # failure mode this gate exists to catch).
+    try:
+        r = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+    except Exception as exc:
+        print(f"round_close: FAIL (git status did not run: {exc})")
+        return 1
+    if r.returncode:
+        print(r.stderr.strip())
+        print(f"round_close: FAIL (git status exited {r.returncode})")
+        return 1
     artifacts, other = [], []
-    for line in out.splitlines():
-        name = line[3:].strip()
-        (artifacts if ARTIFACT.match(name) else other).append(line)
+    for line in r.stdout.splitlines():
+        (artifacts if is_artifact_line(line) else other).append(line)
     for line in artifacts:
         print(f"  UNCOMMITTED ARTIFACT: {line}")
     for line in other:

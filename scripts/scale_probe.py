@@ -136,7 +136,8 @@ confirming the band was host weather, not a plan problem::
     late_ship_priority        1.95x  1.60x
     salted_priority_revenue   2.69x  4.09x  (linear past the fixed
                                              overhead: the 4x->8x
-                                             doubling costs 1.9x)
+                                             data doubling costs
+                                             4.09/2.69 ~= 1.5x)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly

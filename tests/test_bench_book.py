@@ -223,3 +223,30 @@ def test_rotation_cycle_sustains_max_age_four():
     assert worst <= 4 and not violated, (worst, violated)
     worst_over, _ = _simulate_rotation(192, range(8, 24))
     assert worst_over > 4, worst_over
+
+
+# --- shared round-artifact matcher ---------------------------------------
+
+_art_spec = importlib.util.spec_from_file_location(
+    "_artifacts",
+    os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts", "_artifacts.py"
+    ),
+)
+art = importlib.util.module_from_spec(_art_spec)
+_art_spec.loader.exec_module(art)
+
+
+def test_artifact_matcher_covers_renames_and_quotes():
+    assert art.is_artifact_line("?? BENCH_r08.json")
+    assert art.is_artifact_line(" M bench_full.json")
+    assert art.is_artifact_line("M  BASELINE_BENCH.json")
+    # A renamed-but-uncommitted artifact matches on EITHER side.
+    assert art.is_artifact_line("R  BENCH_r8.json -> BENCH_r8_final.json")
+    assert art.is_artifact_line("R  notes.txt -> CORRECTNESS_r09.json")
+    # Quoted path (git quotes special characters).
+    assert art.is_artifact_line('?? "bench_full.json"')
+    # Non-artifacts do not match; $-anchored so suffixed names don't.
+    assert not art.is_artifact_line("?? scripts/round_close.py")
+    assert not art.is_artifact_line(" M bench_full.json.bak")
+    assert not art.is_artifact_line("?? myBENCH_notes.md")
