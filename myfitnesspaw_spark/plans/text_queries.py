@@ -1103,36 +1103,20 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-URL_DEDUP_ORACLE = f"""
-WITH p AS (
-  SELECT doc_id,
-    CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'Https' END AS scheme,
-    CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'www.example.com' END AS hostp,
-    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END AS port,
-    '/articles/' || CAST(doc_id // 3 AS VARCHAR) AS path,
-    CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END AS slash,
-    CASE doc_id % 4 WHEN 0 THEN 'utm_source=feed&utm_campaign=w'
-                    WHEN 1 THEN 'fbclid=x1'
-                    WHEN 2 THEN 'gclid=g2&utm_medium=m' ELSE '' END AS qt,
-    CASE WHEN doc_id % 7 = 0 THEN 'page=2' ELSE '' END AS qr,
-    CASE WHEN doc_id % 2 = 0 THEN '#sec1' ELSE '' END AS frag
-  FROM documents
-),
-u AS (
-  SELECT doc_id,
-    scheme || '://' || hostp || port || path || slash ||
-    (CASE WHEN qt <> '' AND qr <> '' THEN '?' || qt || '&' || qr
-          WHEN qt <> '' THEN '?' || qt
-          WHEN qr <> '' THEN '?' || qr ELSE '' END) || frag AS url
-  FROM p
-),
+# The DuckDB twin of functions/url.py::canonicalize_url as a WITH
+# fragment parametric on the source relation ({src} must expose
+# doc_id, url).  Shared between URL_DEDUP_ORACLE and the direct
+# cross-engine parity test in tests/test_url.py so the pass-through
+# branch (never exercised by the synthetic corpus, whose URLs all
+# parse) still has DuckDB-vs-Spark coverage.
+URL_NORM_CTES = f"""
 n AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
       AS hostport,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
-  FROM u
+  FROM {{src}}
 ),
 h AS (
   SELECT doc_id, url, scheme, rest,
@@ -1156,7 +1140,32 @@ c AS (
         '(^|&)({TRACKING_PARAMS})=[^&]*', '', 'g'), '^&+', '') AS cq
     FROM h
   )
-)
+)"""
+
+URL_DEDUP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'Https' END AS scheme,
+    CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'www.example.com' END AS hostp,
+    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END AS port,
+    '/articles/' || CAST(doc_id // 3 AS VARCHAR) AS path,
+    CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END AS slash,
+    CASE doc_id % 4 WHEN 0 THEN 'utm_source=feed&utm_campaign=w'
+                    WHEN 1 THEN 'fbclid=x1'
+                    WHEN 2 THEN 'gclid=g2&utm_medium=m' ELSE '' END AS qt,
+    CASE WHEN doc_id % 7 = 0 THEN 'page=2' ELSE '' END AS qr,
+    CASE WHEN doc_id % 2 = 0 THEN '#sec1' ELSE '' END AS frag
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+    scheme || '://' || hostp || port || path || slash ||
+    (CASE WHEN qt <> '' AND qr <> '' THEN '?' || qt || '&' || qr
+          WHEN qt <> '' THEN '?' || qt
+          WHEN qr <> '' THEN '?' || qr ELSE '' END) || frag AS url
+  FROM p
+),
+{URL_NORM_CTES.format(src="u")}
 SELECT canonical_url,
        CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
        COUNT(*) AS n_dups

@@ -188,3 +188,42 @@ def test_canonicalize_url_matches_urllib_reference(spark):
     }
     bad = [(u, got[u], _py_canon(u)) for u in urls if got[u] != _py_canon(u)]
     assert not bad, bad[:5]
+
+
+def test_canonicalize_url_duckdb_parity_all_branches(spark, duck):
+    """Direct Spark-vs-DuckDB parity of the canonicalizer over the
+    CASES table plus generated URLs — including the pass-through and
+    scheme-aware-port branches the synthetic corpus never exercises
+    (every corpus URL parses, so the registered oracle run alone
+    cannot catch a bug in the oracle fragment's CASE path)."""
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.text_queries import URL_NORM_CTES
+
+    urls = [raw for raw, _ in CASES] + _gen_urls(120, seed=99) + [
+        "/relative/only", "mailto:someone@example.com", "https:///empty-host",
+        "ftp://files.example.com:443/x",
+    ]
+    rows = list(enumerate(urls))
+    spark_out = {
+        r["doc_id"]: r["c"]
+        for r in spark.createDataFrame(rows, "doc_id long, url string")
+        .select("doc_id", canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _url_cases(doc_id BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO _url_cases VALUES (?, ?)", rows)
+    duck_out = dict(
+        duck.sql(
+            "WITH "
+            + URL_NORM_CTES.format(src="_url_cases")
+            + " SELECT doc_id, canonical_url FROM c"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE _url_cases")
+    bad = [
+        (i, urls[i], spark_out[i], duck_out[i])
+        for i in spark_out
+        if spark_out[i] != duck_out[i]
+    ]
+    assert not bad, bad[:5]
