@@ -118,6 +118,10 @@ Round-8 new ops (same base; 2026-08-14)::
     url_dedup                 1.11x  1.24x  (scan-local codegen
                                              canonicalization + one
                                              hash shuffle)
+    bm25_rank                 1.20x  1.35x  (corpus-stat broadcasts +
+                                             TakeOrdered top-K: linear
+                                             in the posting count)
+    tf_idf_topk               1.41x  1.65x
     backup_rotation_plan      0.92x  0.93x  (facts mode: the DISTINCT
                                              collapses shifted-key
                                              replicas to the same
@@ -206,6 +210,11 @@ PROBES = [
     # round-8 addition: URL-normalization dedup (scan-local
     # canonicalization + one hash shuffle — must track data ratio).
     "url_dedup",
+    # r8 broadening: the retrieval-scoring pair over the inverted
+    # index (corpus-stat broadcasts + TakeOrderedAndProject top-K —
+    # both must stay linear in the posting count).
+    "bm25_rank",
+    "tf_idf_topk",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
