@@ -175,7 +175,12 @@ def _warn_untracked_artifacts() -> None:
         return
     # Shared matcher with scripts/round_close.py's hard gate so the
     # warning and the gate can never disagree on the artifact set.
-    from scripts._artifacts import is_artifact_line
+    # Best-effort like the git call above: a missing/moved helper must
+    # not crash the run after all queries have already been timed.
+    try:
+        from scripts._artifacts import is_artifact_line
+    except Exception:
+        return
 
     flagged = []
     for line in out.splitlines():

@@ -9,6 +9,8 @@ standard crawl-dedup set (RFC 3986 syntax-based normalization plus the
 tracking-parameter strip every crawl pipeline applies):
 
 - scheme and host lowercased (case-insensitive per RFC 3986 §6.2.2.1);
+  userinfo (``user:pass@``) is case-SIGNIFICANT per §3.2.1 and is
+  preserved verbatim — lowercasing it would merge distinct URLs;
 - the scheme's OWN default port (``:80`` on http, ``:443`` on https)
   and a leading ``www.`` dropped;
 - the fragment dropped (never sent to the server);
@@ -56,7 +58,13 @@ def canonicalize_url(url: Column) -> Column:
       lacks — a recall miss, never a wrong merge).
     """
     scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
-    hostport = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    authority = F.regexp_extract(url, _HOSTPORT, 1)
+    # Userinfo is CASE-SIGNIFICANT (RFC 3986 §3.2.1 — only scheme and
+    # host are case-insensitive), so split it off BEFORE lowercasing:
+    # the host starts after the LAST '@', which the greedy `^.*@`
+    # matches without lookaround (RE2-safe, mirrored in the oracle).
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
     # Default-port strip is SCHEME-AWARE: :443 is only a default on
     # https and :80 only on http — http://h:443 and http://h are
     # different resources and must not merge.
@@ -86,6 +94,7 @@ def canonicalize_url(url: Column) -> Column:
     canonical = F.concat(
         scheme,
         F.lit("://"),
+        userinfo,
         host,
         path,
         F.when(query != F.lit(""), F.concat(F.lit("?"), query)).otherwise(

@@ -389,7 +389,8 @@ ranked AS (
   SELECT store_id, filename,
     ROW_NUMBER() OVER (
       PARTITION BY store_id ORDER BY fdate DESC, filename DESC) AS rk
-  FROM parsed WHERE fdate <> ''
+  FROM parsed
+  WHERE fdate <> '' AND try_strptime(fdate, '%Y-%m-%d') IS NOT NULL
 )
 SELECT store_id, filename FROM ranked WHERE rk > {BACKUP_KEEP}
 """

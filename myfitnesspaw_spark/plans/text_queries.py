@@ -1113,29 +1113,35 @@ URL_NORM_CTES = f"""
 n AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
-      AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+      AS authority,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
   FROM {{src}}
 ),
-h AS (
+n2 AS (
   SELECT doc_id, url, scheme, rest,
+    regexp_extract(authority, '^(.*@)', 1) AS userinfo,
+    lower(regexp_replace(authority, '^.*@', '')) AS hostport
+  FROM n
+),
+h AS (
+  SELECT doc_id, url, scheme, rest, userinfo,
     regexp_replace(
       CASE scheme WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
                   WHEN 'http'  THEN regexp_replace(hostport, ':80$', '')
                   ELSE hostport END,
       '^www\\.', '') AS host
-  FROM n
+  FROM n2
 ),
 c AS (
   SELECT doc_id,
     CASE WHEN scheme = '' OR host = '' THEN url
-         ELSE scheme || '://' || host
+         ELSE scheme || '://' || userinfo || host
            || regexp_replace(regexp_extract(rest, '^[^?#]*', 0), '/+$', '')
            || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
     END AS canonical_url
   FROM (
-    SELECT doc_id, url, scheme, host, rest,
+    SELECT doc_id, url, scheme, userinfo, host, rest,
       regexp_replace(regexp_replace(regexp_extract(rest, '^[^?#]*\\?([^#]*)', 1),
         '(^|&)({TRACKING_PARAMS})=[^&]*', '', 'g'), '^&+', '') AS cq
     FROM h
