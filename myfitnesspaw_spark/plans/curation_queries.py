@@ -894,6 +894,100 @@ GROUP BY p.doc_id
 """
 
 
+# --- exact_substring_removal ----------------------------------------------
+# The MATERIALIZATION step behind repeated_ngram_spans' profile — the
+# ExactSubstr CUT (Lee et al. 2022 remove every substring occurring
+# >= 2 times corpus-wide; repeated_ngram_spans only measures it, the
+# same profile→action gap the near-dup family closed with
+# dedup_survivors).  A token is removed iff ANY word-SPAN_N-gram
+# window covering it occurs >= 2 times in the corpus (instances, not
+# distinct: a doc repeating its own banner has both instances cut);
+# the cleaned doc is the surviving tokens rejoined.  Output per doc:
+# token count, removed-token count, and the cleaned text.
+#
+# Scale shape (no suffix array — the gram multiset is the index):
+# positions ride ALONG the same gram-keyed shuffle the profile uses
+# (64-bit md5-prefix keys, gram-length-independent shuffle bytes;
+# the groupBy(gram) totals and the dup-gram semi-join share one
+# exchange), duplicated windows fan out to at most SPAN_N covered
+# indices each, and reconstruction is ONE doc-keyed join of the
+# corpus scan against a removed-index set bounded by per-doc token
+# count (row-local, like the token array itself).  The index filter
+# is an array-lambda inside codegen — zero Python anywhere.
+
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.functions.text import word_shingles
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    inst = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("__toks"), SPAN_N)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("gram"))
+    dup_grams = (
+        inst.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+        .where(F.col("c_g") >= 2)
+        .select("gram")
+    )
+    covered = (
+        inst.join(dup_grams, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + SPAN_N - 1)
+            ).alias("idx"),
+        )
+    )
+    removed = covered.groupBy("doc_id").agg(F.collect_set("idx").alias("removed"))
+    out = toks.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "__toks",
+        F.coalesce("removed", F.array().cast("array<int>")).alias("__rem"),
+    )
+    kept = F.filter(
+        F.col("__toks"), lambda t, i: ~F.array_contains(F.col("__rem"), i)
+    )
+    return out.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size("__rem").cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
+EXACT_SUBSTRING_REMOVAL_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+inst AS (
+  SELECT doc_id, i - 1 AS pos,
+         substr(md5(list_aggregate(w[i:i+{SPAN_N - 1}], 'string_agg', ' ')),
+                1, 16) AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - {SPAN_N - 1})) AS i)
+  WHERE len(w) >= {SPAN_N}
+),
+gram_totals AS (
+  SELECT gram, COUNT(*) AS c_g FROM inst GROUP BY 1
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM inst JOIN gram_totals USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, {SPAN_N - 1})) AS j)
+  WHERE c_g >= 2
+),
+rem AS (SELECT doc_id, list(idx) AS removed FROM covered GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.removed), 0) AS BIGINT) AS n_removed,
+       COALESCE(
+         list_aggregate(
+           [d.w[i] FOR i IN generate_series(1, len(d.w))
+            IF r.doc_id IS NULL OR NOT list_contains(r.removed, i - 1)],
+           'string_agg', ' '),
+         '') AS cleaned_text
+FROM d LEFT JOIN rem r ON d.doc_id = r.doc_id
+"""
+
+
 # --- corpus_refresh_pipeline ----------------------------------------------
 # The INCREMENTAL capstone — the nightly corpus-maintenance loop that
 # corpus_build_pipeline's one-shot build turns into in production:

@@ -13,46 +13,48 @@ ROTATION INVARIANT (amended r8, VERDICT r7 #1): no query's latest
 driver-green row may be more than MAX_AGE = 4 rounds old unless it
 sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  MAX_AGE was 3 through r7, which
-is arithmetically unsatisfiable at this registry size: 153 queries
+is arithmetically unsatisfiable at this registry size: 155 queries
 cycling through 47 effective slots per round (50-slot window minus 3
-permanent canaries) need ceil(150/47) = 4 rounds per full cycle.
+permanent canaries) need ceil(152/47) = 4 rounds per full cycle.
 scripts/certification_age.py enforces the invariant and exits
 non-zero on violation.
 
-Round-8 window (freshness rotation):
+Round-9 window (freshness rotation):
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. The NINE r4-certified overflow queries at age 4 — the oldest rows
-   in the registry, named as the r8 front by the r7 docstring and
-   verdict: dedup_clusters_star, sentence_split_udtf, notes_filter,
-   goals_map_projection, measures_unpivot, json_roundtrip,
-   header_union_report, two_level_explode, json_extract_props.
-3. The TWO round-8 additions (new queries register in-window on
-   arrival so no never-certified backlog accumulates): url_dedup
-   (URL-normalization crawl dedup, VERDICT r7 #4's named gap) and
-   backup_rotation_plan (the S5/K6/R6 retention selection,
-   hash-certified per VERDICT r7 #8).
-4. 36 of the 45 queries whose last driver-green row is
-   CORRECTNESS_r05 — the oldest remaining backlog.
+2. The NINE r5-certified deferrals at age 4 — the oldest rows in the
+   registry, pre-committed as the r9 front by the r8 docstring and
+   VERDICT r8 #2: median_order_value, trailing_7d_spend,
+   order_cadence, pivot_status_priority, snapshot_set_ops,
+   regional_revenue, stream_stream_click_error,
+   sessionize_stateful_stream, top_unshipped_orders.
+3. The TWO round-9 additions (new queries register in-window on
+   arrival so no never-certified backlog accumulates):
+   minhash_dedup_e2e (the doc-level MinHash→CC→survivor closure,
+   VERDICT r8 #3) and exact_substring_removal (the ExactSubstr cut
+   behind repeated_ngram_spans' profile, VERDICT r8 #4).
+4. 36 of the 47 queries whose last driver-green row is
+   CORRECTNESS_r06 — the oldest remaining backlog, oldest-first in
+   registration order.
 
-ROUND-9 FRONT (pre-committed, VERDICT r7 #5 — the rotation is
-mechanical): the NINE r5-certified queries that do not fit this
-window turn age 4 entering r9 and MUST lead the r9 window after the
-canaries: median_order_value, trailing_7d_spend, order_cadence,
-pivot_status_priority, snapshot_set_ops, regional_revenue,
-stream_stream_click_error, sessionize_stateful_stream,
-top_unshipped_orders.  Chosen as the least drift-prone deferrals:
-stream_stream_click_error shares its join processor with the
-in-window outer variant, sessionize_stateful_stream shares semantics
-with r7-certified sessionize_events, top_unshipped_orders was
-facts-probed in r7, and the six OLAP queries are scan-local
-single-fact window/agg plans pinned by tests/test_plans.py.  After
-the r9 front, the r6-certified cohort (age 3 entering r9) fills the
-remaining ~38 slots, oldest first.
+ROUND-10 FRONT (pre-committed, VERDICT r8 #8 — the rotation is
+mechanical): the ELEVEN r6-certified queries that do not fit this
+window turn age 4 entering r10 and MUST lead the r10 window after
+the canaries: stratified_sample, passage_dedup, fixed_size_sample,
+fk_orphan_audit, cascade_delete_consistency, etl_mealentries_silver,
+etl_exercises_silver, mfp_api_datasource, q8_market_share,
+bigram_lm_score, semantic_dedup_kpp.  All eleven are low-drift:
+the three samplers are row-local md5-lattice plans pinned by
+tests/test_sampling.py, the two integrity audits are anti-join
+plans probed in r6, the three ETL silvers share the certified
+meals-silver path, and the remaining three were facts-probed in
+their certifying round.  After the r10 front, the r7-certified
+cohort (age 3 entering r10) fills the remaining slots, oldest
+first.
 
-Everything outside the window was driver-certified in r6 or r7
-(age <= 2 entering r8) and stays guarded by
+Everything outside the window was driver-certified in r7 or r8
+(age <= 2 entering r9) and stays guarded by
 tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -89,91 +91,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: the NINE r4-certified overflow queries (age 4 — the
-# --- oldest rows in the registry; the r8 front per VERDICT r7 #1).
-register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
-register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
-register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
-register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
-register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
-register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
-register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
-
-# --- Part 3: round-8 additions, in-window on arrival.
-register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
-register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
-
-# --- Part 4: 36 of the 45 queries whose last driver-green row is
-# --- CORRECTNESS_r05 (the oldest remaining backlog; the NINE
-# --- deferrals are named in the module docstring and lead the r9
-# --- window).
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
-    bq.recursive_user_spine
-)
-register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
-register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
-register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
-    sq.streaming_cms_heavy_hitters
-)
-register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
-register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
-register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
-register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
-register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
-register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
-    sq.stream_static_enrich_q
-)
-register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
-    pq.quality_classifier_score
-)
-register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
-    sq.streaming_dedup_within_watermark
-)
-register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
-    sq.stream_stream_click_error_outer_q
-)
-register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
-register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
-register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
-register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
-    pq.random_negative_sampling
-)
-register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
-register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
-register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
-register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
-    oq.q17_small_quantity_revenue
-)
-register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
-    oq.q19_disjunctive_brackets
-)
-register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
-register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
-    pq.sorted_neighborhood_pairs
-)
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
-    sq.streaming_upsert_latest_event
-)
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- The r5-certified deferrals (age 4 entering r9): THE R9 FRONT,
-# --- pre-committed in the module docstring so the r9 rotation is
-# --- mechanical.
+# --- Part 2: the NINE r5-certified deferrals (age 4 — the oldest
+# --- rows in the registry; the r9 front per the r8 docstring and
+# --- VERDICT r8 #2).
 register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
 register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
@@ -188,12 +108,16 @@ register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
 )
 register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
 
-# --- Out-of-window remainder: every query below was driver-certified
-# --- in r6 or r7 (age <= 2 entering r8) and stays continuously
-# --- guarded by tests/test_registry_oracle.py at every sf.
+# --- Part 3: round-9 additions, in-window on arrival.
+register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
+register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
+    cq.exact_substring_removal
+)
 
-# -- certified r6 (age 3 entering r9 — fills the r9 window after the
-# -- front, oldest first):
+# --- Part 4: 36 of the 47 queries whose last driver-green row is
+# --- CORRECTNESS_r06 (the oldest remaining backlog; the ELEVEN
+# --- overflow queries are named in the module docstring and lead the
+# --- r10 window).
 register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
     oq.brand_nation_revenue
 )
@@ -250,6 +174,13 @@ register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
 )
 register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
 register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- The r6-certified overflow (age 4 entering r10): THE R10 FRONT,
+# --- pre-committed in the module docstring so the r10 rotation is
+# --- mechanical.
 register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
 register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
 register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
@@ -266,7 +197,12 @@ register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
 register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
 
-# -- certified r7 (age 1 entering r8 — youngest, rotate last):
+# --- Out-of-window remainder: every query below was driver-certified
+# --- in r7 or r8 (age <= 2 entering r9) and stays continuously
+# --- guarded by tests/test_registry_oracle.py at every sf.
+
+# -- certified r7 (age 2 entering r9 — fills the r10 window after the
+# -- r10 front, then rotates into r11):
 register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
     sq.tws_user_type_rollup_q
 )
@@ -336,3 +272,74 @@ register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+
+# -- certified r8 (age 1 entering r9 — youngest, rotate last):
+register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
+register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
+register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
+register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
+    pq.random_negative_sampling
+)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)

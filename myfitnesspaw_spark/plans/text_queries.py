@@ -446,7 +446,12 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """Shared oracle CTE chain — banded-MinHash candidates (``cand``)
+    plus exact-Jaccard verification (``ver``) — interpolated into both
+    MINHASH_LSH_ORACLE and MINHASH_DEDUP_E2E_ORACLE so the pair
+    semantics can never drift between the stage query and the
+    end-to-end closure."""
     # Rotation family (mirrors functions/text.py::minhash_signature):
     # seed i = min over shingles of the md5 digest cyclically rotated
     # by 2i hex chars; i=0 reduces to the plain digest.
@@ -458,8 +463,7 @@ def _minhash_oracle() -> str:
         f"({b}, h{b * MH_BAND_ROWS} || '|' || h{b * MH_BAND_ROWS + 1})"
         for b in range(MH_HASHES // MH_BAND_ROWS)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
          {sig_cols}
@@ -487,13 +491,14 @@ ver AS (
   JOIN sizes sa ON s.id_a = sa.doc_id
   JOIN sizes sb ON s.id_b = sb.doc_id
   WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
-)
+)"""
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_minhash_pair_ctes()}
 SELECT c.id_a, c.id_b, v.jaccard
 FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
 """
-
-
-MINHASH_LSH_ORACLE = _minhash_oracle()
 
 
 # --- simhash_pairs --------------------------------------------------------
@@ -995,6 +1000,92 @@ assign AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
 losers AS (SELECT node AS doc_id FROM assign WHERE node <> cluster)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+# --- minhash_dedup_e2e ----------------------------------------------------
+# The single certified CLOSURE of the MinHash path (VERDICT r8 #3):
+# detect (banded LSH candidates + exact verify) → cluster (hash-min
+# connected components) → materialize (survivors with their cluster
+# size), in ONE query — the registry certifies every stage separately
+# (minhash_lsh_pairs → dedup_clusters → dedup_survivors) but a real
+# curation pass runs them as one plan, and a wiring bug between stages
+# (wrong id column, dropped isolated docs, off-by-one on the canonical
+# pick) is invisible to stage-level certification.
+#
+# Survivors = each cluster's min doc_id plus every doc in no verified
+# pair; n_members = docs the survivor represents (1 for isolated docs)
+# — the multiplicity a downstream mixture/sampling pass needs to
+# reweight the deduplicated corpus (SlimPajama-style global dedup
+# keeps counts for exactly this reason).
+#
+# Scale shape: pair generation is the candidate-bounded LSH join
+# (never all-pairs; hot bands salt-cell-decomposed at crawl scale);
+# CC runs on the pair graph only (tiny next to the corpus, label
+# table = near-dup docs only); the final step is one LEFT ANTI plus
+# one LEFT join of two label-table-sized sides onto the corpus scan —
+# AQE broadcasts both at real scale.  Nothing in the plan is
+# corpus-quadratic.
+
+
+def minhash_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import connected_components
+    from myfitnesspaw_spark.sources import sf_is_small
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MH_HASHES,
+        band_rows=MH_BAND_ROWS,
+        threshold=JACCARD_THRESHOLD,
+        salt_groups=1 if sf_is_small(sf_dir) else 4,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    losers = cc.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
+    members = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .join(members.withColumnRenamed("cluster", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce("n_members", F.lit(1).cast("long")).alias("n_members"),
+        )
+    )
+
+
+MINHASH_DEDUP_E2E_ORACLE = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+),
+nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT y.d, r.lbl FROM reach r JOIN sym y ON y.s = r.node
+),
+assign AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM assign WHERE node <> cluster),
+members AS (SELECT cluster, COUNT(*) AS n_members FROM assign GROUP BY 1)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members
+FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.doc_id
+LEFT JOIN members m ON d.doc_id = m.cluster
 WHERE l.doc_id IS NULL
 """
 
