@@ -539,3 +539,62 @@ def test_corpus_refresh_pipeline_delta_shape(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "LeftSemi" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_exact_substring_removal_plan_shape(spark, sf_dir):
+    plan = _plan(spark, "exact_substring_removal", sf_dir)
+    # Gram totals and the dup-gram semi-join ride ONE gram-keyed
+    # exchange (64-bit md5-prefix keys); reconstruction is one
+    # doc-keyed join; the index filter is an array lambda inside
+    # codegen — no Python, no cartesian anywhere.
+    import re
+
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    gram_exchanges = len(
+        set(re.findall(r"\(\d+\) Exchange hashpartitioning\(gram", plan))
+    )
+    assert gram_exchanges <= 2, plan
+
+
+def test_exact_substring_removal_consistent_with_profile(spark, sf_dir):
+    # The cut must act exactly where the profile points: a doc has
+    # removed tokens IFF repeated_ngram_spans counts >= 1 duplicated
+    # window instance for it (same SPAN_N, same instance criterion).
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.curation_queries import (
+        exact_substring_removal,
+        repeated_ngram_spans,
+    )
+
+    cut = exact_substring_removal(spark, sf_dir).select("doc_id", "n_removed")
+    prof = repeated_ngram_spans(spark, sf_dir).select("doc_id", "n_dup_windows")
+    bad = (
+        cut.join(prof, "doc_id")
+        .where(
+            ((F.col("n_dup_windows") == 0) & (F.col("n_removed") > 0))
+            | ((F.col("n_dup_windows") > 0) & (F.col("n_removed") == 0))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_minhash_dedup_e2e_mass_conservation(spark, sf_dir):
+    # Every corpus doc is represented EXACTLY once across survivors'
+    # n_members (the reweighting contract), and no survivor is a
+    # cluster loser.
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.text_queries import minhash_dedup_e2e
+    from myfitnesspaw_spark.sources import load_table
+
+    out = minhash_dedup_e2e(spark, sf_dir)
+    total = load_table(spark, sf_dir, "documents").count()
+    got = out.agg(
+        F.sum("n_members").alias("mass"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert got["mass"] == total
+    assert got["n"] <= total
