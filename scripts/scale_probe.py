@@ -143,6 +143,17 @@ confirming the band was host weather, not a plan problem::
                                              data doubling costs
                                              4.09/2.69 ~= 1.5x)
 
+Round-9 new ops (same base; 2026-08-15)::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    minhash_dedup_e2e         2.50x  1.54x  (LSH candidates + CC on
+                                             the pair graph only; the
+                                             survivor anti/join sides
+                                             stay label-table-sized)
+    exact_substring_removal   1.41x  2.03x  (gram-keyed shuffle +
+                                             doc-keyed reconstruction;
+                                             linear in window count)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -215,6 +226,12 @@ PROBES = [
     # both must stay linear in the posting count).
     "bm25_rank",
     "tf_idf_topk",
+    # round-9 additions: the MinHash end-to-end closure (candidate-
+    # bounded LSH + CC on the pair graph only) and the ExactSubstr
+    # cut (gram-keyed profile + doc-keyed reconstruction) — both must
+    # track the data ratio, never the pair/window square.
+    "minhash_dedup_e2e",
+    "exact_substring_removal",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
