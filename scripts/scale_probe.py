@@ -153,6 +153,11 @@ Round-9 new ops (same base; 2026-08-15)::
     exact_substring_removal   1.41x  2.03x  (gram-keyed shuffle +
                                              doc-keyed reconstruction;
                                              linear in window count)
+    neardup_refresh_pipeline  1.11x  1.45x  (probe side cut to the
+                                             batch pre-shuffle; CC on
+                                             batch×batch edges only —
+                                             fixed CC-round scheduling
+                                             dominates at this size)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -232,6 +237,7 @@ PROBES = [
     # track the data ratio, never the pair/window square.
     "minhash_dedup_e2e",
     "exact_substring_removal",
+    "neardup_refresh_pipeline",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):

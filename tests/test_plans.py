@@ -598,3 +598,42 @@ def test_minhash_dedup_e2e_mass_conservation(spark, sf_dir):
     ).first()
     assert got["mass"] == total
     assert got["n"] <= total
+
+
+def test_neardup_refresh_pipeline_shape(spark, sf_dir):
+    plan = _plan(spark, "neardup_refresh_pipeline", sf_dir)
+    # Drop application is LEFT ANTI onto the batch slice of the scan;
+    # nothing cartesian, nothing Python (the CC loop sits behind its
+    # checkpoints — this pins the admission plan).
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_neardup_refresh_drops_only_paired_docs(spark, sf_dir):
+    # Every non-admitted batch doc must be TOUCHED by a delta near-dup
+    # pair (corpus-dup or batch-dup) — the pipeline may never drop a
+    # doc the detection stage didn't implicate.
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.text_queries import (
+        delta_dedup_pairs,
+        neardup_refresh_pipeline,
+    )
+    from myfitnesspaw_spark.sources import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    admitted = neardup_refresh_pipeline(spark, sf_dir).select("doc_id")
+    dropped = batch.join(admitted, "doc_id", "left_anti")
+    pairs = delta_dedup_pairs(spark, sf_dir)
+    touched = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .where(F.col("doc_id") % 10 == 0)
+        .distinct()
+    )
+    assert dropped.join(touched, "doc_id", "left_anti").count() == 0
