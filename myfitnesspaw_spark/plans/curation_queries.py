@@ -1092,3 +1092,120 @@ SELECT b.source,
        CAST(COUNT(CASE WHEN b.doc_id IN (SELECT doc_id FROM admitted) THEN 1 END) AS BIGINT) AS n_admitted
 FROM b GROUP BY b.source
 """
+
+
+# --- quality_filter_cascade -------------------------------------------------
+# The FILTER-FUNNEL report every production curation pass keeps next to
+# its Gopher/C4-style rule stack (Rae et al. 2021 §A.1.1; Raffel et al.
+# 2020 §2.2): documents flow through an ORDERED rule cascade and each
+# rejected doc is attributed to its FIRST failing rule, so the output
+# is the per-stage funnel (n_in → n_rejected → n_out) that tells a
+# pipeline owner which rule does the cutting and how the survivor
+# count decays stage by stage.  The registry certifies the FEATURES
+# elsewhere (text_stats, repetition_quality, lang_id) — this query
+# certifies the cascade semantics: first-fail attribution and the
+# telescoping funnel identity n_out(s) = n_in(s) - n_rejected(s),
+# n_in(s+1) = n_out(s).
+#
+# Scale shape: every feature is ROW-LOCAL (one tokenize per doc, no
+# per-rule re-tokenize — the CASE reads materialized counts), so the
+# whole cascade is map-only over the scan; the sole "shuffle" is a
+# single whole-corpus aggregate into ONE row of five counters
+# (map-side partial combine does all the work), then a 4-row explode
+# on the driver-sized result.  At 100 TB this is a scan + one
+# all-to-one partial-agg merge — the cheapest distributed shape there
+# is; adding rules adds counters, not passes.
+
+CASCADE_MIN_WORDS = 20
+CASCADE_MAX_WORDS = 90
+CASCADE_LANGS = ("en", "es", "de", "fr")
+# distinct-word ratio < 0.4 == 5 * n_distinct < 2 * n_words (exact ints)
+CASCADE_DISTINCT_NUM, CASCADE_DISTINCT_DEN = 2, 5
+
+
+def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    feats = docs.select(
+        F.col("lang"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    ff = (
+        F.when(F.col("n_words") < CASCADE_MIN_WORDS, 1)
+        .when(F.col("n_words") > CASCADE_MAX_WORDS, 2)
+        .when(~F.col("lang").isin(*CASCADE_LANGS), 3)
+        .when(
+            CASCADE_DISTINCT_DEN * F.col("n_distinct")
+            < CASCADE_DISTINCT_NUM * F.col("n_words"),
+            4,
+        )
+        .otherwise(0)
+    )
+    agg = feats.select(ff.alias("ff")).agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.count(F.when(F.col("ff") == s, 1)).alias(f"r{s}")
+            for s in (1, 2, 3, 4)
+        ],
+    )
+    t, r1, r2, r3, r4 = (F.col(c) for c in ("total", "r1", "r2", "r3", "r4"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(stage).cast("int").alias("stage"),
+                F.lit(rule).alias("rule"),
+                n_in.alias("n_in"),
+                rej.alias("n_rejected"),
+                (n_in - rej).alias("n_out"),
+            )
+            for stage, rule, n_in, rej in (
+                (1, "min_words", t, r1),
+                (2, "max_words", t - r1, r2),
+                (3, "lang_allowlist", t - r1 - r2, r3),
+                (4, "distinct_ratio", t - r1 - r2 - r3, r4),
+            )
+        ]
+    )
+    return agg.select(F.explode(rows).alias("f")).select("f.*")
+
+
+def _cascade_oracle() -> str:
+    langs = ", ".join(f"'{lang}'" for lang in CASCADE_LANGS)
+    stages = [
+        ("1", "min_words", "total", "r1"),
+        ("2", "max_words", "total - r1", "r2"),
+        ("3", "lang_allowlist", "total - r1 - r2", "r3"),
+        ("4", "distinct_ratio", "total - r1 - r2 - r3", "r4"),
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS INTEGER) AS stage, '{rule}' AS rule,\n"
+        f"       {n_in} AS n_in, {rej} AS n_rejected,\n"
+        f"       {n_in} - {rej} AS n_out FROM a"
+        for s, rule, n_in, rej in stages
+    )
+    return f"""
+WITH d AS (SELECT lang, {_WORDS} AS w FROM documents),
+f AS (
+  SELECT CASE
+    WHEN len(w) < {CASCADE_MIN_WORDS} THEN 1
+    WHEN len(w) > {CASCADE_MAX_WORDS} THEN 2
+    WHEN lang NOT IN ({langs}) THEN 3
+    WHEN {CASCADE_DISTINCT_DEN} * len(list_distinct(w))
+       < {CASCADE_DISTINCT_NUM} * len(w) THEN 4
+    ELSE 0 END AS ff
+  FROM d
+),
+a AS (
+  SELECT COUNT(*) AS total,
+         COUNT(*) FILTER (WHERE ff = 1) AS r1,
+         COUNT(*) FILTER (WHERE ff = 2) AS r2,
+         COUNT(*) FILTER (WHERE ff = 3) AS r3,
+         COUNT(*) FILTER (WHERE ff = 4) AS r4
+  FROM f
+)
+{selects}
+"""
+
+
+QUALITY_FILTER_CASCADE_ORACLE = _cascade_oracle()

@@ -501,6 +501,185 @@ FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
 """
 
 
+# --- minhash_jaccard_calibration -------------------------------------------
+# The ESTIMATOR-ACCURACY certificate for the MinHash family: every LSH
+# query above trusts that signature agreement tracks exact Jaccard
+# (Broder 1997's E[matches/K] = J), but nothing in the registry
+# certifies that the 16-seed rotation family actually calibrates on
+# this corpus.  This query buckets every banded-LSH candidate pair by
+# its EXACT Jaccard decile and reports, per decile, the pair count,
+# the summed signature-match components (sum_match / (n_pairs * 16) is
+# the family's estimate of the decile's mean Jaccard), and how many
+# pairs clear the production threshold — the table an operator reads
+# before trusting a banding config at crawl scale.
+#
+# All-integer output contract: deciles via integer division
+# (10*n_shared) div n_union, match counts as ints, threshold compare
+# cross-multiplied (5*n_shared >= 4*n_union for 0.8) — no float ever
+# crosses a group boundary, so the driver hash cannot drift.
+#
+# Scale shape: identical to minhash_lsh_pairs up through candidates
+# (hash-once signatures behind a Generate barrier, one shuffle on the
+# band key); the exact side then semi-joins the shingle table down to
+# CANDIDATE docs before the inverted-index join, so verification work
+# is candidate-activity-bounded, never corpus-quadratic.  The final
+# aggregate is ≤10 rows.  At crawl scale the candidate join inherits
+# the hot-band story of the stage query (operators/salting.py) — a
+# calibration pass typically runs on a corpus sample anyway.
+
+MH_CAL_DECILE_CAP = 9
+
+
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
+    from myfitnesspaw_spark.functions.text import (
+        minhash_hashes,
+        minhash_signature,
+        word_shingles,
+    )
+
+    thr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    # Same construction discipline as operators/dedup.minhash_lsh_pairs:
+    # shingle once (checkpointed — feeds signatures AND exact verify),
+    # md5 once behind a Generate barrier, then the 16 rotation minima.
+    sh = (
+        toks.select("doc_id", word_shingles(F.col("__toks"), 3).alias("sh"))
+        .where(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    hashed = sh.select(
+        "doc_id", F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
+    )
+    sig = hashed.select(
+        "doc_id", *minhash_signature(F.col("__hs"), MH_HASHES)
+    ).localCheckpoint()  # read 3×: bands + both pair sides
+
+    num_bands = MH_HASHES // MH_BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * MH_BAND_ROWS + r}")
+                                for r in range(MH_BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "key")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "key"), ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    shingles = sh.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
+    ).localCheckpoint()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Exact side bounded by candidate activity: cut the shingle table
+    # to candidate docs BEFORE the inverted-index self-join.
+    cdocs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = shingles.join(cdocs, "doc_id", "left_semi")
+    shared = (
+        shc.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(shc.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MH_HASHES)]).alias("sigv")
+    )
+    pairs = (
+        cand.join(shared, ["id_a", "id_b"], "left")
+        .join(sig_arr.select(F.col("doc_id").alias("id_a"), F.col("sigv").alias("sig_a")), "id_a")
+        .join(sig_arr.select(F.col("doc_id").alias("id_b"), F.col("sigv").alias("sig_b")), "id_b")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_shared", F.lit(0))).alias(
+                "n_union"
+            ),
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+                )
+            ).alias("n_match"),
+        )
+    )
+    decile = F.least(
+        F.lit(MH_CAL_DECILE_CAP).cast("long"),
+        F.expr("(10 * n_shared) div n_union"),
+    )
+    return (
+        pairs.select(decile.alias("jacc_decile"), "n_match", "n_shared", "n_union")
+        .groupBy("jacc_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_match").alias("sum_match"),
+            F.count(
+                F.when(
+                    thr.denominator * F.col("n_shared")
+                    >= thr.numerator * F.col("n_union"),
+                    1,
+                )
+            ).alias("n_above_threshold"),
+        )
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    from fractions import Fraction
+
+    thr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
+    match_sum = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(MH_HASHES)
+    )
+    return f"""
+WITH {_minhash_pair_ctes()},
+pairs AS (
+  SELECT COALESCE(s.n_shared, 0) AS n_shared,
+         sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0) AS n_union,
+         {match_sum} AS n_match
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+)
+SELECT LEAST(CAST({MH_CAL_DECILE_CAP} AS BIGINT), (10 * n_shared) // n_union) AS jacc_decile,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(n_match) AS BIGINT) AS sum_match,
+       COUNT(*) FILTER (WHERE {thr.denominator} * n_shared >= {thr.numerator} * n_union)
+         AS n_above_threshold
+FROM pairs GROUP BY 1
+"""
+
+
+MINHASH_CALIBRATION_ORACLE = _minhash_calibration_oracle()
+
+
 # --- simhash_pairs --------------------------------------------------------
 
 SIMHASH_MAX_HAMMING = 3

@@ -637,3 +637,56 @@ def test_neardup_refresh_drops_only_paired_docs(spark, sf_dir):
         .distinct()
     )
     assert dropped.join(touched, "doc_id", "left_anti").count() == 0
+
+
+def test_quality_filter_cascade_funnel_identity(spark, sf_dir):
+    # Map-only cascade: exactly one whole-corpus aggregate, zero
+    # Python, no cartesian; and the funnel telescopes — n_out(s) =
+    # n_in(s) - n_rejected(s), n_in(s+1) = n_out(s), n_in(1) = corpus.
+    from myfitnesspaw_spark.plans.curation_queries import quality_filter_cascade
+    from myfitnesspaw_spark.sources import load_table
+
+    plan = _plan(spark, "quality_filter_cascade", sf_dir)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    rows = sorted(
+        quality_filter_cascade(spark, sf_dir).collect(), key=lambda r: r["stage"]
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    total = load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_in"] == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_out"]
+    for r in rows:
+        assert r["n_out"] == r["n_in"] - r["n_rejected"]
+        assert r["n_rejected"] >= 0 and r["n_out"] >= 0
+
+
+def test_minhash_calibration_consistent_with_lsh_stage(spark, sf_dir):
+    # The calibration's integer threshold count must agree exactly
+    # with the production stage query's verified pair count (same
+    # banding, same shingles; 5*n_shared >= 4*n_union <=> the stage's
+    # jaccard >= 0.8 — double division of exact ints rounds to the
+    # same side at any realistic set size), and the estimator must
+    # separate: mean match fraction in the top decile strictly above
+    # the bottom decile's.
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.text_queries import (
+        MH_HASHES,
+        minhash_jaccard_calibration,
+        minhash_lsh_pairs_q,
+    )
+
+    cal = minhash_jaccard_calibration(spark, sf_dir).collect()
+    above = sum(r["n_above_threshold"] for r in cal)
+    assert above == minhash_lsh_pairs_q(spark, sf_dir).count()
+    by_decile = {r["jacc_decile"]: r for r in cal}
+    if 0 in by_decile and 9 in by_decile:
+        lo = by_decile[0]["sum_match"] / (by_decile[0]["n_pairs"] * MH_HASHES)
+        hi = by_decile[9]["sum_match"] / (by_decile[9]["n_pairs"] * MH_HASHES)
+        assert hi > lo
+    plan = _plan(spark, "minhash_jaccard_calibration", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
