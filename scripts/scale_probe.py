@@ -159,6 +159,19 @@ Round-9 new ops (same base; 2026-08-15)::
                                              fixed CC-round scheduling
                                              dominates at this size)
 
+R9 late additions (same base; 2026-08-15, loaded host load≈3 — both
+curves well under the data ratio, re-probe on a quiet host if a
+regression is ever suspected)::
+
+    query                        K=4    K=8   (data ratio 4.0 / 8.0)
+    quality_filter_cascade      1.21x  1.55x  (map-only: one scan +
+                                               one 5-counter agg)
+    minhash_jaccard_calibration 2.85x  5.84x  (LSH-candidate-bounded;
+                                               exact side semi-joined
+                                               to candidate docs
+                                               before the inverted-
+                                               index join)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -238,6 +251,11 @@ PROBES = [
     "minhash_dedup_e2e",
     "exact_substring_removal",
     "neardup_refresh_pipeline",
+    # r9 late additions: the rule-funnel (map-only — must track the
+    # scan) and the LSH estimator calibration (candidate-bounded like
+    # the stage query it certifies).
+    "quality_filter_cascade",
+    "minhash_jaccard_calibration",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
