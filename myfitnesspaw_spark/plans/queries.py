@@ -13,9 +13,9 @@ ROTATION INVARIANT (amended r8, VERDICT r7 #1): no query's latest
 driver-green row may be more than MAX_AGE = 4 rounds old unless it
 sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  MAX_AGE was 3 through r7, which
-is arithmetically unsatisfiable at this registry size: 158 queries
+is arithmetically unsatisfiable at this registry size: 159 queries
 cycling through 47 effective slots per round (50-slot window minus 3
-permanent canaries) need ceil(155/47) = 4 rounds per full cycle.
+permanent canaries) need ceil(156/47) = 4 rounds per full cycle.
 scripts/certification_age.py enforces the invariant and exits
 non-zero on violation.
 
@@ -29,7 +29,7 @@ Round-9 window (freshness rotation):
    order_cadence, pivot_status_priority, snapshot_set_ops,
    regional_revenue, stream_stream_click_error,
    sessionize_stateful_stream, top_unshipped_orders.
-3. The FIVE round-9 additions (new queries register in-window on
+3. The SIX round-9 additions (new queries register in-window on
    arrival so no never-certified backlog accumulates):
    minhash_dedup_e2e (the doc-level MinHash→CC→survivor closure,
    VERDICT r8 #3), neardup_refresh_pipeline (the same closure at the
@@ -37,27 +37,29 @@ Round-9 window (freshness rotation):
    exact_substring_removal (the ExactSubstr cut behind
    repeated_ngram_spans' profile, VERDICT r8 #4),
    quality_filter_cascade (the first-fail rule funnel over the
-   Gopher/C4 filter stack), and minhash_jaccard_calibration (the
-   estimator-accuracy certificate for the MinHash LSH family).
-4. 33 of the 47 queries whose last driver-green row is
+   Gopher/C4 filter stack), minhash_jaccard_calibration (the
+   estimator-accuracy certificate for the MinHash LSH family), and
+   ivf_recall_eval (recall@K of the probe-limited IVF search vs the
+   brute-force truth — the approximate index's accuracy contract).
+4. 32 of the 47 queries whose last driver-green row is
    CORRECTNESS_r06 — the oldest remaining backlog, oldest-first in
    registration order.
 
 ROUND-10 FRONT (pre-committed, VERDICT r8 #8 — the rotation is
-mechanical): the FOURTEEN r6-certified queries that do not fit this
+mechanical): the FIFTEEN r6-certified queries that do not fit this
 window turn age 4 entering r10 and MUST lead the r10 window after
-the canaries: daily_event_sequence, hll_union_rollup,
-column_profile, stratified_sample, passage_dedup,
+the canaries: daily_type_share, daily_event_sequence,
+hll_union_rollup, column_profile, stratified_sample, passage_dedup,
 fixed_size_sample, fk_orphan_audit, cascade_delete_consistency,
 etl_mealentries_silver, etl_exercises_silver, mfp_api_datasource,
-q8_market_share, bigram_lm_score, semantic_dedup_kpp.  All fourteen
+q8_market_share, bigram_lm_score, semantic_dedup_kpp.  All fifteen
 are low-drift: the three samplers are row-local md5-lattice plans
 guarded by tests/test_registry_oracle.py at every sf, the two
 integrity audits are anti-join plans certified r6, the three ETL
 silvers share the certified meals-silver path, column_profile's
-pruned-scatter shape was fixed and certified r6,
+pruned-scatter shape was fixed and certified r6, daily_type_share /
 daily_event_sequence / hll_union_rollup are single-agg event plans
-displaced from this window by the two late r9 additions, and the
+displaced from this window by the three late r9 additions, and the
 remaining three were facts-probed in their certifying round.  After
 the r10 front, the r7-certified cohort (age 3 entering r10) fills
 the remaining slots, oldest first.
@@ -131,8 +133,9 @@ register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
 register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
     tq.minhash_jaccard_calibration
 )
+register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
 
-# --- Part 4: 33 of the 47 queries whose last driver-green row is
+# --- Part 4: 32 of the 47 queries whose last driver-green row is
 # --- CORRECTNESS_r06 (the oldest remaining backlog; the FOURTEEN
 # --- overflow queries are named in the module docstring and lead the
 # --- r10 window).
@@ -186,7 +189,6 @@ register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
 register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
 register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
 register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -194,6 +196,7 @@ register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
 # --- The r6-certified overflow (age 4 entering r10): THE R10 FRONT,
 # --- pre-committed in the module docstring so the r10 rotation is
 # --- mechanical.
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
 register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
     bq.daily_event_sequence
 )

@@ -994,6 +994,119 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+# --- ivf_recall_eval --------------------------------------------------------
+# The ACCURACY CONTRACT for the approximate index, completing the pair
+# with minhash_jaccard_calibration: recall@K of the probe-limited IVF
+# search against the brute-force ground truth, per query.  This is the
+# measurement an operator runs before trusting an (NC, NPROBE) config
+# at corpus scale — IVF trades recall for the probe bound, and nothing
+# else in the registry certifies WHERE that trade lands on this data.
+#
+# Output is one row per evaluation query: exact hit count against the
+# top-K truth set plus recall in exact integer ppm (10⁶·hits DIV K) —
+# no float crosses the hash.
+#
+# Scale shape: the ground-truth side is brute force BY DESIGN — recall
+# evaluation always pays exact search, which is why it runs on the
+# SAMPLED query set (vec_id % ANN_QUERY_MOD), not the corpus; that is
+# the same anchors×corpus cost as the already-registered
+# ann_topk_cosine.  The IVF side inherits its probe-limited plan.  The
+# final intersection joins two K·|queries|-row frames on (query,
+# neighbor) — evaluation-set-sized, broadcastable at any corpus scale.
+#
+# The oracle mirrors ANN_TOPK_ORACLE and IVF_ANN_ORACLE verbatim as
+# prefixed CTE chains; tests/test_registry_oracle.py certifies the
+# composition, and any drift in either source oracle fails this
+# query's parity too.
+
+
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    queries = truth.select("query_id").distinct()
+    per_q = queries.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits")
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(1000000 * n_hits) div {ANN_K}").alias("recall_ppm"),
+    )
+
+
+IVF_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {ANN_QUERY_MOD} = 0
+),
+bf_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_duck_cosine("q.qv", "c.embedding")} AS cos
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM bf_scored
+  ) WHERE rank <= {ANN_K}
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NC}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cosine("e.embedding", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cosine("q.qv", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_duck_cosine("p.qv", "a.embedding")} AS cos
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000000 * CAST(COALESCE(h.n_hits, 0) AS BIGINT)) // {ANN_K} AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # --- kmeans_clusters ------------------------------------------------------
 # Iterative Lloyd k-means (operators/clustering.py): k=8 centroids
 # seeded from the lowest vec_ids, 2 fixed rounds (the oracle unrolls

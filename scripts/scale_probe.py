@@ -256,6 +256,10 @@ PROBES = [
     # the stage query it certifies).
     "quality_filter_cascade",
     "minhash_jaccard_calibration",
+    # r9: the ANN accuracy contract — brute-force truth side grows
+    # with the K² pair space like ann_topk_cosine (compare against
+    # 16x/64x, not the data ratio).
+    "ivf_recall_eval",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):

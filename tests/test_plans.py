@@ -690,3 +690,29 @@ def test_minhash_calibration_consistent_with_lsh_stage(spark, sf_dir):
     plan = _plan(spark, "minhash_jaccard_calibration", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_ivf_recall_eval_bounds_and_composition(spark, sf_dir):
+    # Per-query hits are bounded by K, every evaluation query appears
+    # exactly once, and the hit counts equal the intersection of the
+    # two registered ANN queries' result sets (composition pin).
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.text_queries import (
+        ANN_K,
+        ann_topk_cosine,
+        ivf_ann_topk,
+        ivf_recall_eval,
+    )
+
+    out = ivf_recall_eval(spark, sf_dir)
+    rows = out.collect()
+    qids = [r["query_id"] for r in rows]
+    assert len(qids) == len(set(qids))
+    assert all(0 <= r["n_hits"] <= ANN_K for r in rows)
+    assert all(r["recall_ppm"] == (1_000_000 * r["n_hits"]) // ANN_K for r in rows)
+
+    truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    expected = approx.join(truth, ["query_id", "neighbor_id"]).count()
+    assert sum(r["n_hits"] for r in rows) == expected
