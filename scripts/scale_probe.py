@@ -171,6 +171,12 @@ regression is ever suspected)::
                                                to candidate docs
                                                before the inverted-
                                                index join)
+    ivf_recall_eval             7.29x  2.82x  (vs 16x/64x pair space —
+                                               brute-force truth side
+                                               is anchors×corpus by
+                                               design; the K=4 figure
+                                               carried transient load,
+                                               both far under bound)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
