@@ -295,56 +295,25 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    band_rows: int = 2,
     shingle_n: int = 3,
-    threshold: float = 0.8,
-    salt_groups: int = 1,
-    max_band_rows: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs via banded MinHash LSH + exact verification.
+) -> tuple[DataFrame, DataFrame]:
+    """Shingle table + MinHash signatures — the shared front of every
+    MinHash consumer (``minhash_lsh_pairs`` and the registry's
+    estimator-calibration query), factored so the LSH family can never
+    drift between the stage operator and the query that certifies it.
 
-    1. signature: per doc, md5 each shingle ONCE, then ``num_hashes``
-       minima under hex-rotation orderings (array-level transforms —
-       no per-hash shuffle, no per-seed re-hash);
-    2. banding: ``num_hashes / band_rows`` bands, band key = concat of
-       the band's rows; docs colliding in ANY band become candidates
-       (one shuffle on the band key);
-    3. verification: exact shingle Jaccard ≥ ``threshold`` on the
-       candidate pairs only.
-
-    Hot-band control — a DEGENERATE band key (thousands of
-    near-identical docs, routine in real crawl data) makes the band
-    self-join emit m² candidate rows in one task.  Two independent
-    knobs, mirroring ``similarity.bucket_near_dup``:
-
-    * ``salt_groups`` (exact): salt-cell decomposition of each band
-      key's pair space (``operators/salting.py``) — result-identical
-      at any G, hot-band work spread over G(G+1)/2 tasks.
-    * ``max_band_rows`` (bounded approximation): deterministically
-      keep only the first m rows per band key (hash(id) order, id
-      tiebreak), capping candidates at m·(m-1)/2 per band.  Identical
-      docs collide in EVERY band, and each band draws an independent
-      hash-ordered subset, so true duplicate clusters still surface;
-      ``None`` keeps exact semantics.
-
-    Returns ``(id_a, id_b, jaccard)``.
+    Returns ``(sh, sig)``: ``sh`` is the CHECKPOINTED per-doc shingle
+    array (materialized once — it feeds both the signature path and
+    exact verification; without the checkpoint each consumer re-runs
+    tokenize+shingle over the corpus), ``sig`` is one row per doc with
+    columns ``h0..h{num_hashes-1}``.
     """
-    from myfitnesspaw_spark.operators.salting import (
-        CELL_COL,
-        SALT_COL,
-        canonical_cell_pred,
-        with_salt_cells,
-    )
-    num_bands = num_hashes // band_rows
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    # Materialized ONCE: the shingle array feeds both the signature
-    # path and the exact-verification path — without the checkpoint,
-    # each consumer re-runs tokenize+shingle over the corpus.
     sh = (
         toks.select(
             F.col(id_col),
@@ -360,7 +329,44 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
     )
     sig = hashed.select(F.col(id_col), *minhash_signature(F.col("__hs"), num_hashes))
+    return sh, sig
 
+
+def minhash_band_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_rows: int,
+    salt_groups: int = 1,
+    max_band_rows: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a, id_b)``, ``id_a < id_b``, from
+    banded signatures: band key = concat of the band's rows; docs
+    colliding in ANY band become candidates (one shuffle on the band
+    key).
+
+    Hot-band control — a DEGENERATE band key (thousands of
+    near-identical docs, routine in real crawl data) makes the band
+    self-join emit m² candidate rows in one task.  Two independent
+    knobs, mirroring ``similarity.bucket_near_dup``:
+
+    * ``salt_groups`` (exact): salt-cell decomposition of each band
+      key's pair space (``operators/salting.py``) — result-identical
+      at any G, hot-band work spread over G(G+1)/2 tasks.
+    * ``max_band_rows`` (bounded approximation): deterministically
+      keep only the first m rows per band key (hash(id) order, id
+      tiebreak), capping candidates at m·(m-1)/2 per band.  Identical
+      docs collide in EVERY band, and each band draws an independent
+      hash-ordered subset, so true duplicate clusters still surface;
+      ``None`` keeps exact semantics.
+    """
+    from myfitnesspaw_spark.operators.salting import (
+        CELL_COL,
+        SALT_COL,
+        canonical_cell_pred,
+        with_salt_cells,
+    )
+    num_bands = num_hashes // band_rows
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -410,12 +416,42 @@ def minhash_lsh_pairs(
         left = bands.select(F.col(id_col).alias("id_a"), "band", "key")
         right = bands.select(F.col(id_col).alias("id_b"), "band", "key")
         paired = left.join(right, ["band", "key"])
-    candidates = (
+    return (
         paired.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    salt_groups: int = 1,
+    max_band_rows: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact verification.
+
+    1. signature: per doc, md5 each shingle ONCE, then ``num_hashes``
+       minima under hex-rotation orderings (array-level transforms —
+       no per-hash shuffle, no per-seed re-hash) —
+       ``minhash_signatures``;
+    2. banding: docs colliding in ANY band become candidates, with
+       salt-cell / band-cap hot-band controls —
+       ``minhash_band_candidates``;
+    3. verification: exact shingle Jaccard ≥ ``threshold`` on the
+       candidate pairs only — ``verify_pairs``.
+
+    Returns ``(id_a, id_b, jaccard)``.
+    """
+    sh, sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    candidates = minhash_band_candidates(
+        sig, id_col, num_hashes, band_rows, salt_groups, max_band_rows
+    )
     # Verification reads the shingle set three ways, ROW-wise — so
     # checkpoint the EXPLODED table (A/B-measured faster than three
     # re-explodes of the checkpointed array).  array_distinct before

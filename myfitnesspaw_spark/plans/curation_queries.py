@@ -1134,7 +1134,9 @@ def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff = (
         F.when(F.col("n_words") < CASCADE_MIN_WORDS, 1)
         .when(F.col("n_words") > CASCADE_MAX_WORDS, 2)
-        .when(~F.col("lang").isin(*CASCADE_LANGS), 3)
+        # NULL-lang must REJECT: a bare NOT IN is NULL for NULL lang
+        # in both engines, silently allowlisting unknown-language docs.
+        .when(F.col("lang").isNull() | ~F.col("lang").isin(*CASCADE_LANGS), 3)
         .when(
             CASCADE_DISTINCT_DEN * F.col("n_distinct")
             < CASCADE_DISTINCT_NUM * F.col("n_words"),
@@ -1190,7 +1192,7 @@ f AS (
   SELECT CASE
     WHEN len(w) < {CASCADE_MIN_WORDS} THEN 1
     WHEN len(w) > {CASCADE_MAX_WORDS} THEN 2
-    WHEN lang NOT IN ({langs}) THEN 3
+    WHEN lang IS NULL OR lang NOT IN ({langs}) THEN 3
     WHEN {CASCADE_DISTINCT_DEN} * len(list_distinct(w))
        < {CASCADE_DISTINCT_NUM} * len(w) THEN 4
     ELSE 0 END AS ff

@@ -136,7 +136,7 @@ register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
 register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
 
 # --- Part 4: 32 of the 47 queries whose last driver-green row is
-# --- CORRECTNESS_r06 (the oldest remaining backlog; the FOURTEEN
+# --- CORRECTNESS_r06 (the oldest remaining backlog; the FIFTEEN
 # --- overflow queries are named in the module docstring and lead the
 # --- r10 window).
 register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(

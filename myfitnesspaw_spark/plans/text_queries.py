@@ -518,13 +518,15 @@ FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
 # cross-multiplied (5*n_shared >= 4*n_union for 0.8) — no float ever
 # crosses a group boundary, so the driver hash cannot drift.
 #
-# Scale shape: identical to minhash_lsh_pairs up through candidates
-# (hash-once signatures behind a Generate barrier, one shuffle on the
-# band key); the exact side then semi-joins the shingle table down to
-# CANDIDATE docs before the inverted-index join, so verification work
-# is candidate-activity-bounded, never corpus-quadratic.  The final
-# aggregate is ≤10 rows.  At crawl scale the candidate join inherits
-# the hot-band story of the stage query (operators/salting.py) — a
+# Scale shape: identical to minhash_lsh_pairs up through candidates —
+# the SAME code (operators/dedup.minhash_signatures +
+# minhash_band_candidates), so the certified family cannot drift from
+# the stage operator; the exact side then counts intersections by
+# joining each shingle side THROUGH the checkpointed candidate list
+# (verify_pairs' shape — cost Σ|shingles of candidate docs|, never a
+# corpus- or candidate-doc-quadratic self-join).  The final aggregate
+# is ≤10 rows.  At crawl scale the candidate join inherits the
+# hot-band story of the stage query (operators/salting.py) — a
 # calibration pass typically runs on a corpus sample anyway.
 
 MH_CAL_DECILE_CAP = 9
@@ -533,75 +535,35 @@ MH_CAL_DECILE_CAP = 9
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fractions import Fraction
 
-    from myfitnesspaw_spark.functions.text import (
-        minhash_hashes,
-        minhash_signature,
-        word_shingles,
+    from myfitnesspaw_spark.operators.dedup import (
+        minhash_band_candidates,
+        minhash_signatures,
     )
 
     thr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
-    # Same construction discipline as operators/dedup.minhash_lsh_pairs:
-    # shingle once (checkpointed — feeds signatures AND exact verify),
-    # md5 once behind a Generate barrier, then the 16 rotation minima.
-    sh = (
-        toks.select("doc_id", word_shingles(F.col("__toks"), 3).alias("sh"))
-        .where(F.size("sh") > 0)
-        .localCheckpoint()
-    )
-    hashed = sh.select(
-        "doc_id", F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
-    )
-    sig = hashed.select(
-        "doc_id", *minhash_signature(F.col("__hs"), MH_HASHES)
-    ).localCheckpoint()  # read 3×: bands + both pair sides
-
-    num_bands = MH_HASHES // MH_BAND_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{b * MH_BAND_ROWS + r}")
-                                for r in range(MH_BAND_ROWS)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (
-        bands.select(F.col("doc_id").alias("id_a"), "band", "key")
-        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "key"), ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sh, sig = minhash_signatures(docs, "doc_id", "text", MH_HASHES, 3)
+    sig = sig.localCheckpoint()  # read 3×: bands + both pair sides
+    # Checkpointed: cand feeds the exact-intersection join AND the
+    # final left join — its lineage (band self-join + distinct) is the
+    # shuffle-heavy stage and must not replay per consumer.
+    cand = minhash_band_candidates(
+        sig, "doc_id", MH_HASHES, MH_BAND_ROWS
+    ).localCheckpoint()
 
     shingles = sh.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
     ).localCheckpoint()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Exact side bounded by candidate activity: cut the shingle table
-    # to candidate docs BEFORE the inverted-index self-join.
-    cdocs = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    shc = shingles.join(cdocs, "doc_id", "left_semi")
+    # Candidate-PAIR-driven intersection counts (unthresholded
+    # verify_pairs shape): each shingle side joins through the
+    # candidate list, so no non-candidate pair is ever materialized.
     shared = (
-        shc.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(shc.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(shingles.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            shingles.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -853,22 +815,37 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, vecs, "vec_id", "embedding", ANN_K)
 
 
-ANN_TOPK_ORACLE = f"""
-WITH q AS (
+# Shared oracle CTE fragments for the ANN family — interpolated into
+# ANN_TOPK_ORACLE, IVF_ANN_ORACLE, and IVF_RECALL_ORACLE (the recall
+# contract composes the other two), _minhash_pair_ctes-style, so the
+# notion of "truth" / "approx" can never drift between the stage
+# queries and the evaluation that scores them.
+
+_ANN_Q_CTE = f"""q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id % {ANN_QUERY_MOD} = 0
-),
-scored AS (
+)"""
+
+
+def _bf_ranked_ctes(scored: str = "scored", ranked: str = "ranked") -> str:
+    """Brute-force cosine scoring of ``q`` against the corpus, ranked
+    per query (cos DESC, neighbor_id ASC)."""
+    return f"""{scored} AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          {_duck_cosine("q.qv", "c.embedding")} AS cos
   FROM q JOIN embeddings c ON c.vec_id <> q.query_id
 ),
-ranked AS (
+{ranked} AS (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
-)
+  FROM {scored}
+)"""
+
+
+ANN_TOPK_ORACLE = f"""
+WITH {_ANN_Q_CTE},
+{_bf_ranked_ctes()}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {ANN_K}
 """
@@ -949,8 +926,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf(queries, vecs, "vec_id", "embedding", cents, IVF_NPROBE, ANN_K)
 
 
-IVF_ANN_ORACLE = f"""
-WITH cent AS (
+def _ivf_ranked_ctes(scored: str = "scored", ranked: str = "ranked") -> str:
+    """Probe-limited IVF search of ``q`` (cent/assigned/probes +
+    scoring), ranked per query — requires ``q`` in scope."""
+    return f"""cent AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NC}
 ),
 assigned AS (
@@ -963,10 +942,6 @@ assigned AS (
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
-q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % {ANN_QUERY_MOD} = 0
-),
 probes AS (
   SELECT query_id, qv, cid FROM (
     SELECT q.query_id, q.qv, c.cid,
@@ -977,18 +952,23 @@ probes AS (
     FROM q CROSS JOIN cent c
   ) WHERE rn <= {IVF_NPROBE}
 ),
-scored AS (
+{scored} AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_duck_cosine("p.qv", "a.embedding")} AS cos
   FROM probes p JOIN assigned a USING (cid)
   WHERE a.vec_id <> p.query_id
 ),
-ranked AS (
+{ranked} AS (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
-)
+  FROM {scored}
+)"""
+
+
+IVF_ANN_ORACLE = f"""
+WITH {_ANN_Q_CTE},
+{_ivf_ranked_ctes()}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {ANN_K}
 """
@@ -1014,10 +994,11 @@ FROM ranked WHERE rank <= {ANN_K}
 # final intersection joins two K·|queries|-row frames on (query,
 # neighbor) — evaluation-set-sized, broadcastable at any corpus scale.
 #
-# The oracle mirrors ANN_TOPK_ORACLE and IVF_ANN_ORACLE verbatim as
-# prefixed CTE chains; tests/test_registry_oracle.py certifies the
-# composition, and any drift in either source oracle fails this
-# query's parity too.
+# The oracle is COMPOSED from the same CTE fragments that build
+# ANN_TOPK_ORACLE and IVF_ANN_ORACLE (_ANN_Q_CTE / _bf_ranked_ctes /
+# _ivf_ranked_ctes), so truth/approx cannot drift from the stage
+# oracles by construction; tests/test_registry_oracle.py certifies
+# the composition against the Spark side.
 
 
 def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1009,14 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    queries = truth.select("query_id").distinct()
+    # Query universe straight off the scan (the oracle's q CTE) — NOT
+    # truth.select("query_id").distinct(), which would replay the
+    # whole brute-force subtree just to list ids.
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
     per_q = queries.join(hits, "query_id", "left").select(
         "query_id", F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits")
     )
@@ -1040,59 +1028,14 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_RECALL_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % {ANN_QUERY_MOD} = 0
-),
-bf_scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_duck_cosine("q.qv", "c.embedding")} AS cos
-  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
-),
+WITH {_ANN_Q_CTE},
+{_bf_ranked_ctes("bf_scored", "bf_ranked")},
 truth AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM bf_scored
-  ) WHERE rank <= {ANN_K}
+  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {ANN_K}
 ),
-cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NC}
-),
-assigned AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_duck_cosine("e.embedding", "c.cv")} DESC, c.cid ASC
-           ) AS rn
-    FROM embeddings e CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT query_id, qv, cid FROM (
-    SELECT q.query_id, q.qv, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.query_id
-             ORDER BY {_duck_cosine("q.qv", "c.cv")} DESC, c.cid ASC
-           ) AS rn
-    FROM q CROSS JOIN cent c
-  ) WHERE rn <= {IVF_NPROBE}
-),
-ivf_scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_duck_cosine("p.qv", "a.embedding")} AS cos
-  FROM probes p JOIN assigned a USING (cid)
-  WHERE a.vec_id <> p.query_id
-),
+{_ivf_ranked_ctes("ivf_scored", "ivf_ranked")},
 approx AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM ivf_scored
-  ) WHERE rank <= {ANN_K}
+  SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= {ANN_K}
 ),
 hits AS (
   SELECT a.query_id, COUNT(*) AS n_hits

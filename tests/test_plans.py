@@ -671,8 +671,6 @@ def test_minhash_calibration_consistent_with_lsh_stage(spark, sf_dir):
     # same side at any realistic set size), and the estimator must
     # separate: mean match fraction in the top decile strictly above
     # the bottom decile's.
-    from pyspark.sql import functions as F
-
     from myfitnesspaw_spark.plans.text_queries import (
         MH_HASHES,
         minhash_jaccard_calibration,
@@ -696,8 +694,6 @@ def test_ivf_recall_eval_bounds_and_composition(spark, sf_dir):
     # Per-query hits are bounded by K, every evaluation query appears
     # exactly once, and the hit counts equal the intersection of the
     # two registered ANN queries' result sets (composition pin).
-    from pyspark.sql import functions as F
-
     from myfitnesspaw_spark.plans.text_queries import (
         ANN_K,
         ann_topk_cosine,
