@@ -166,17 +166,23 @@ regression is ever suspected)::
     query                        K=4    K=8   (data ratio 4.0 / 8.0)
     quality_filter_cascade      1.21x  1.55x  (map-only: one scan +
                                                one 5-counter agg)
-    minhash_jaccard_calibration 2.85x  5.84x  (LSH-candidate-bounded;
-                                               exact side semi-joined
-                                               to candidate docs
-                                               before the inverted-
-                                               index join)
-    ivf_recall_eval             7.29x  2.82x  (vs 16x/64x pair space —
+    minhash_jaccard_calibration 1.05x  1.70x  (post review fix: shared
+                                               minhash_band_candidates
+                                               + candidate-PAIR-driven
+                                               exact side, verify_pairs
+                                               shape; pre-fix shingle
+                                               self-join over candidate
+                                               docs measured 2.85x/
+                                               5.84x)
+    ivf_recall_eval             1.35x  3.27x  (vs 16x/64x pair space —
                                                brute-force truth side
                                                is anchors×corpus by
-                                               design; the K=4 figure
-                                               carried transient load,
-                                               both far under bound)
+                                               design; post review fix
+                                               the query universe reads
+                                               the scan, not a second
+                                               brute-force pass — the
+                                               pre-fix shape measured
+                                               7.29x/2.82x under load)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
