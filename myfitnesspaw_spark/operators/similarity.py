@@ -449,6 +449,53 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Brute-force EXACT top-k by integer L2² — the ground truth the
+    PQ/ADC path approximates, on the same micro-int quantization
+    (``trunc(x·scale)``) so the only difference from ``pq_ann_topk``
+    is the codebook loss being measured, never float slack.
+
+    Scale: identical topology to ``cosine_topk`` — broadcast query
+    vectors against the sharded corpus, one top-k shuffle on
+    query_id.  Recall evaluation always pays exact search, which is
+    why it runs on a sampled query set, not the corpus.
+
+    Returns ``(query_id, neighbor_id, rank, dist)``, rank by ascending
+    exact distance (neighbor id tiebreak).
+    """
+
+    def _to_int(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(
+            "iv",
+            F.transform(
+                F.col(vec_col), lambda x: (x.cast("double") * scale).cast("long")
+            ),
+        ).select(F.col(id_col).alias(name), "iv")
+
+    corp = _to_int(corpus, "neighbor_id")
+    q = _to_int(queries, "query_id").select("query_id", F.col("iv").alias("qv"))
+    scored = corp.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _sq_l2(F.col("iv"), F.col("qv")).alias("dist"),
+    )
+    return topk_per_key(
+        scored,
+        ["query_id"],
+        [F.col("dist").asc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "rank", "dist")
+
+
 def pq_encode(
     df: DataFrame,
     int_vec_col: str,

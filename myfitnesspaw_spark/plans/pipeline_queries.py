@@ -961,11 +961,16 @@ _PQ_L2 = (
 )
 
 
-def _pq_oracle() -> str:
+def _pq_ctes(scored: str = "scored", ranked: str = "ranked") -> str:
+    """The iv → subs → cb → enc → lut → scored → ranked CTE chain,
+    composable _bf_ranked_ctes-style (text_queries.py) so
+    PQ_ANN_ORACLE and PQ_RECALL_ORACLE share one notion of "the PQ
+    search" by construction.  ``iv`` is MATERIALIZED: the recall
+    oracle references it three times (subs + both brute-force sides)
+    and DuckDB inlines plain CTEs per reference."""
     sub_d = 64 // PQ_M
     dist = _PQ_L2.format(n=sub_d, a="{a}", b="{b}")
-    return f"""
-WITH iv AS (
+    return f"""iv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(TRUNC(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS iv
@@ -996,24 +1001,119 @@ lut AS (
   FROM subs q JOIN cb c USING (m)
   WHERE q.vec_id % {PQ_QUERY_MOD} = 0
 ),
-scored AS (
+{scored} AS (
   SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS approx_dist
   FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
   WHERE e.vec_id <> l.query_id
   GROUP BY 1, 2
 ),
-ranked AS (
+{ranked} AS (
   SELECT query_id, neighbor_id, approx_dist,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
-  FROM scored
-)
+  FROM {scored}
+)"""
+
+
+PQ_ANN_ORACLE = f"""
+WITH {_pq_ctes()}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, approx_dist
 FROM ranked WHERE rank <= {PQ_TOPK}
 """
 
 
-PQ_ANN_ORACLE = _pq_oracle()
+# --- pq_recall_eval ---------------------------------------------------------
+# The ACCURACY CONTRACT for the PQ/ADC index (VERDICT r9 #3, carried
+# through r10 #4): recall@K of the compressed-scan search against the
+# exact integer-L2² ground truth on the SAME micro-int vectors — the
+# last approximate index in the registry without one (IVF has
+# ivf_recall_eval; MinHash has minhash_jaccard_calibration).  PQ's
+# error source differs from IVF's: nothing is pruned — every corpus
+# vector is scored — but through the M-subspace codebook, so recall
+# measures pure quantization loss, the number an operator reads
+# before choosing (M, K) at corpus scale.
+#
+# Output mirrors ivf_recall_eval: one row per evaluation query —
+# exact hit count against the top-K truth set and recall in exact
+# integer ppm (10⁶·hits DIV K); no float crosses the hash.
+#
+# Scale shape: the truth side is brute force BY DESIGN (recall
+# evaluation always pays exact search — operators/similarity.l2_topk,
+# broadcast queries × sharded corpus) and runs on the sampled query
+# set (vec_id % PQ_QUERY_MOD), not the corpus; the PQ side inherits
+# the compressed-scan plan.  The final intersection joins two
+# K·|queries|-row frames — evaluation-set-sized at any corpus scale.
+#
+# The oracle COMPOSES the same CTE chain that builds PQ_ANN_ORACLE
+# (_pq_ctes) plus a brute-force ranking over the shared ``iv`` table
+# (full-vector L2² = Σ subspace L2², exact in integers), so
+# truth/approx can never drift from the stage oracle.
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.similarity import l2_topk
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    queries = vecs.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+    truth = l2_topk(
+        queries, vecs, "vec_id", "embedding", PQ_TOPK, scale=PQ_SCALE
+    ).select("query_id", "neighbor_id")
+    approx = pq_ann_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    # Query universe straight off the scan — NOT truth's query ids,
+    # which would replay the brute-force subtree just to list them.
+    universe = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    per_q = universe.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits")
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(1000000 * n_hits) div {PQ_TOPK}").alias("recall_ppm"),
+    )
+
+
+PQ_RECALL_ORACLE = f"""
+WITH {_pq_ctes("pq_scored", "pq_ranked")},
+approx AS (
+  SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= {PQ_TOPK}
+),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_PQ_L2.format(n=64, a="q.iv", b="c.iv")} AS dist
+  FROM iv q JOIN iv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+),
+bf_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM bf_scored
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= {PQ_TOPK}
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (1000000 * CAST(COALESCE(h.n_hits, 0) AS BIGINT)) // {PQ_TOPK}
+         AS recall_ppm
+FROM iv q LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+"""
 
 # --- hard_negative_mining -------------------------------------------------
 # Contrastive-training data prep: for each sampled anchor vector, the
