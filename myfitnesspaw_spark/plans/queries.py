@@ -12,60 +12,41 @@ rotates the queries that most need a driver-side row to the front.
 ROTATION INVARIANT (amended r8, VERDICT r7 #1): no query's latest
 driver-green row may be more than MAX_AGE = 4 rounds old unless it
 sits in the CURRENT window awaiting refresh, and no query may sit
-never-certified outside the window.  MAX_AGE was 3 through r7, which
-is arithmetically unsatisfiable at this registry size: 159 queries
-cycling through 47 effective slots per round (50-slot window minus 3
-permanent canaries) need ceil(156/47) = 4 rounds per full cycle.
-scripts/certification_age.py enforces the invariant and exits
-non-zero on violation.
+never-certified outside the window.  scripts/certification_age.py
+enforces the invariant and exits non-zero on violation.
 
-Round-9 window (freshness rotation):
+ROUND-11 WINDOW (catch-up rotation).  Round 10 had zero builder
+turns (VERDICT r10), so the pre-committed r10 front never ran: the
+FIFTEEN r6-certified queries are now age 5 (invariant violated) and
+the 47 r7-certified queries age 4.  This window executes the catch-up
+exactly as VERDICT r10 #1 prescribes:
+
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. The NINE r5-certified deferrals at age 4 — the oldest rows in the
-   registry, pre-committed as the r9 front by the r8 docstring and
-   VERDICT r8 #2: median_order_value, trailing_7d_spend,
-   order_cadence, pivot_status_priority, snapshot_set_ops,
-   regional_revenue, stream_stream_click_error,
-   sessionize_stateful_stream, top_unshipped_orders.
-3. The SIX round-9 additions (new queries register in-window on
-   arrival so no never-certified backlog accumulates):
-   minhash_dedup_e2e (the doc-level MinHash→CC→survivor closure,
-   VERDICT r8 #3), neardup_refresh_pipeline (the same closure at the
-   refresh capstone's O(batch) incremental shape),
-   exact_substring_removal (the ExactSubstr cut behind
-   repeated_ngram_spans' profile, VERDICT r8 #4),
-   quality_filter_cascade (the first-fail rule funnel over the
-   Gopher/C4 filter stack), minhash_jaccard_calibration (the
-   estimator-accuracy certificate for the MinHash LSH family), and
-   ivf_recall_eval (recall@K of the probe-limited IVF search vs the
-   brute-force truth — the approximate index's accuracy contract).
-4. 32 of the 47 queries whose last driver-green row is
-   CORRECTNESS_r06 — the oldest remaining backlog, oldest-first in
-   registration order.
+2. New r11 queries register here, in-window on arrival, displacing
+   the tail of part 4 below the window marker.
+3. The FIFTEEN age-5 r6-certified queries — the violated set, named
+   by scripts/certification_age.py: daily_type_share,
+   daily_event_sequence, hll_union_rollup, column_profile,
+   stratified_sample, passage_dedup, fixed_size_sample,
+   fk_orphan_audit, cascade_delete_consistency,
+   etl_mealentries_silver, etl_exercises_silver, mfp_api_datasource,
+   q8_market_share, bigram_lm_score, semantic_dedup_kpp.
+4. The oldest age-4 r7-certified queries, oldest-first in prior
+   registration order, filling the remaining slots.
 
-ROUND-10 FRONT (pre-committed, VERDICT r8 #8 — the rotation is
-mechanical): the FIFTEEN r6-certified queries that do not fit this
-window turn age 4 entering r10 and MUST lead the r10 window after
-the canaries: daily_type_share, daily_event_sequence,
-hll_union_rollup, column_profile, stratified_sample, passage_dedup,
-fixed_size_sample, fk_orphan_audit, cascade_delete_consistency,
-etl_mealentries_silver, etl_exercises_silver, mfp_api_datasource,
-q8_market_share, bigram_lm_score, semantic_dedup_kpp.  All fifteen
-are low-drift: the three samplers are row-local md5-lattice plans
-guarded by tests/test_registry_oracle.py at every sf, the two
-integrity audits are anti-join plans certified r6, the three ETL
-silvers share the certified meals-silver path, column_profile's
-pruned-scatter shape was fixed and certified r6, daily_type_share /
-daily_event_sequence / hll_union_rollup are single-agg event plans
-displaced from this window by the three late r9 additions, and the
-remaining three were facts-probed in their certifying round.  After
-the r10 front, the r7-certified cohort (age 3 entering r10) fills
-the remaining slots, oldest first.
+ROUND-12 FRONT (pre-committed so the rotation stays mechanical):
+the r7-certified queries that do not fit this window turn age 5
+entering r12 and MUST lead the r12 window after the canaries — they
+are exactly the registrations between the window-end marker and the
+"certified r8" comment below.  After them, the r8-certified cohort
+(age 4 entering r12) fills the remaining slots, oldest-first; the
+r8 cohort does not fit in one window, so its own remainder fronts
+r13 ahead of the r10/r11-certified cohorts.
 
-Everything outside the window was driver-certified in r7 or r8
-(age <= 2 entering r9) and stays guarded by
+Everything outside the window was driver-certified in r8 or r10
+(age <= 3 entering r11) and stays guarded by
 tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -102,100 +83,13 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: the NINE r5-certified deferrals (age 4 — the oldest
-# --- rows in the registry; the r9 front per the r8 docstring and
-# --- VERDICT r8 #2).
-register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
-register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
-register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
-register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
-register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
-register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
-)
-register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
-    sq.sessionize_stateful_stream
-)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+# --- Part 2: round-11 additions land here, in-window on arrival
+# --- (each displaces the tail of part 4 below the window marker).
+register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
 
-# --- Part 3: round-9 additions, in-window on arrival.
-register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
-register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
-    cq.exact_substring_removal
-)
-register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
-    tq.neardup_refresh_pipeline
-)
-register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
-    cq.quality_filter_cascade
-)
-register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
-    tq.minhash_jaccard_calibration
-)
-register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
-
-# --- Part 4: 32 of the 47 queries whose last driver-green row is
-# --- CORRECTNESS_r06 (the oldest remaining backlog; the FIFTEEN
-# --- overflow queries are named in the module docstring and lead the
-# --- r10 window).
-register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
-    oq.brand_nation_revenue
-)
-register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
-    oq.approx_quantiles_contract
-)
-register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
-register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
-    oq.cust_order_distribution
-)
-register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
-register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
-register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
-    oq.salted_priority_revenue
-)
-register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
-register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
-register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
-register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
-    oq.large_volume_customers
-)
-register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
-register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
-    oq.correlated_latest_ship
-)
-register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
-register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
-    oq.distinct_users_per_type
-)
-register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
-register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
-register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
-register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
-register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
-register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
-    cq.error_click_window_join
-)
-register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
-register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
-register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
-register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
-    mq.incremental_agg_merge
-)
-register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- The r6-certified overflow (age 4 entering r10): THE R10 FRONT,
-# --- pre-committed in the module docstring so the r10 rotation is
-# --- mechanical.
+# --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
+# --- scripts/certification_age.py names as violated after the lost
+# --- round 10; the r10 front that never ran).
 register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
 register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
     bq.daily_event_sequence
@@ -218,12 +112,8 @@ register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
 register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
 
-# --- Out-of-window remainder: every query below was driver-certified
-# --- in r7 or r8 (age <= 2 entering r9) and stays continuously
-# --- guarded by tests/test_registry_oracle.py at every sf.
-
-# -- certified r7 (age 2 entering r9 — fills the r10 window after the
-# -- r10 front, then rotates into r11):
+# --- Part 4: the oldest age-4 r7-certified queries, oldest-first in
+# --- prior registration order.
 register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
     sq.tws_user_type_rollup_q
 )
@@ -275,6 +165,13 @@ register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
 register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
 register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- THE R12 FRONT (pre-committed): r7-certified queries that did
+# --- not fit the r11 window — age 5 entering r12, they MUST lead
+# --- the r12 window after the canaries.
 register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
     core_ops.latest_event_per_user
 )
@@ -294,7 +191,8 @@ register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_linei
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 
-# -- certified r8 (age 1 entering r9 — youngest, rotate last):
+# -- certified r8 (age 3 entering r11): fills the r12 window after
+# -- the r12 front, oldest-first; its remainder fronts r13.
 register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
 register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
 register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
@@ -364,3 +262,82 @@ register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup
 register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+
+# -- certified r10 (age 1 entering r11 — youngest, rotate last):
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
+register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
+    cq.exact_substring_removal
+)
+register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
+    tq.neardup_refresh_pipeline
+)
+register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
+    cq.quality_filter_cascade
+)
+register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
+    tq.minhash_jaccard_calibration
+)
+register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
+    oq.brand_nation_revenue
+)
+register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
+    oq.approx_quantiles_contract
+)
+register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
+register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
+    oq.cust_order_distribution
+)
+register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
+register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
+    oq.salted_priority_revenue
+)
+register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
+register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
+register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
+register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
+    oq.large_volume_customers
+)
+register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
+register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
+    oq.correlated_latest_ship
+)
+register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
+register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
+    oq.distinct_users_per_type
+)
+register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
+register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
+register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
+register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
+register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
+register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
+    cq.error_click_window_join
+)
+register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
+register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
