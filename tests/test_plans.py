@@ -712,3 +712,62 @@ def test_ivf_recall_eval_bounds_and_composition(spark, sf_dir):
     approx = ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
     expected = approx.join(truth, ["query_id", "neighbor_id"]).count()
     assert sum(r["n_hits"] for r in rows) == expected
+
+
+def test_pq_recall_eval_bounds_and_composition(spark, sf_dir):
+    # Mirror of test_ivf_recall_eval for the PQ/ADC contract: hits
+    # bounded by K, one row per evaluation query, ppm arithmetic
+    # exact, and the hit total equals the intersection of the PQ
+    # search with the exact-L2 truth (composition pin).
+    from myfitnesspaw_spark.operators.similarity import l2_topk
+    from myfitnesspaw_spark.plans.pipeline_queries import (
+        PQ_QUERY_MOD,
+        PQ_SCALE,
+        PQ_TOPK,
+        pq_ann_topk_q,
+        pq_recall_eval,
+    )
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = pq_recall_eval(spark, sf_dir)
+    rows = out.collect()
+    qids = [r["query_id"] for r in rows]
+    assert len(qids) == len(set(qids))
+    assert all(0 <= r["n_hits"] <= PQ_TOPK for r in rows)
+    assert all(r["recall_ppm"] == (1_000_000 * r["n_hits"]) // PQ_TOPK for r in rows)
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
+    truth = l2_topk(queries, vecs, "vec_id", "embedding", PQ_TOPK, scale=PQ_SCALE)
+    approx = pq_ann_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    expected = approx.join(
+        truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert sum(r["n_hits"] for r in rows) == expected
+    # The truth side broadcasts the sampled queries, never the corpus.
+    plan = _plan(spark, "pq_recall_eval", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_bpe_apply_merges_plan_and_semantics(spark, sf_dir):
+    # The encode step must stay pure codegen: literal replaces, no
+    # UDF, no join — the only shuffles are the scatter rebalance and
+    # the word-frequency groupBy.
+    plan = _plan(spark, "bpe_apply_merges", sf_dir)
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    # Iterative semantics: a later merge consumes an earlier merge's
+    # output (m+er chains on e+r), and n_tokens is consistent with
+    # the rendered token string.
+    from myfitnesspaw_spark.plans.pipeline_queries import bpe_apply_merges
+
+    rows = {r["word"]: r for r in bpe_apply_merges(spark, sf_dir).collect()}
+    for word, r in rows.items():
+        assert r["n_tokens"] == len(r["tokens"].split(" "))
+        assert r["tokens"].replace(" ", "") == word
+    if "merge" in rows:
+        assert rows["merge"]["tokens"] == "mer g e"
