@@ -332,6 +332,38 @@ def minhash_signatures(
     return sh, sig
 
 
+def minhash_band_table(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    band_rows: int,
+) -> DataFrame:
+    """The banded-signature INDEX rows: one ``(id, band, key)`` row per
+    (doc, band), key = '|'-concat of the band's signature rows.  This
+    is the table an incremental dedup job PERSISTS between runs (the
+    signature store): signatures are computed once per doc at ingest,
+    and a later batch probes the stored bands without re-shingling or
+    re-signing the corpus.  Row-local explode — no shuffle; the band
+    count is num_hashes/band_rows per doc."""
+    num_bands = num_hashes // band_rows
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def minhash_band_candidates(
     sig: DataFrame,
     id_col: str,
@@ -366,23 +398,7 @@ def minhash_band_candidates(
         canonical_cell_pred,
         with_salt_cells,
     )
-    num_bands = num_hashes // band_rows
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    bands = minhash_band_table(sig, id_col, num_hashes, band_rows)
 
     if max_band_rows is not None:
         w = Window.partitionBy("band", "key").orderBy(

@@ -83,3 +83,38 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# --- path-addressed index stores --------------------------------------------
+# The persistence layer for incremental-dedup state (e.g. the MinHash
+# band table of minhash_signature_refresh): a plain parquet directory,
+# written through the normal committer and read back with an EXPLICIT
+# schema — the same discipline as the io_queries round trips (schema
+# inference is an extra full pass at 100 TB, and the store's schema is
+# a contract between runs, not something to re-derive).  Path-
+# addressed rather than catalog-addressed so concurrent harnesses
+# (tests at sf0.001 while a driver sim runs sf0.01) can isolate by
+# path without sharing a metastore.
+
+import os as _os
+
+
+def store_path(name: str, sf_dir: str) -> str:
+    """Store dir unique per (store name, scale factor, process)."""
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "_index_store",
+    )
+    sf = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(root, f"{name}_{sf}_{_os.getpid()}")
+
+
+def write_index_store(df: DataFrame, path: str) -> None:
+    """Persist an index/state table (overwrite = the run's snapshot)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_index_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a persisted index back under its contracted schema."""
+    return spark.read.schema(schema).parquet(path)

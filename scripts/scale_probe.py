@@ -184,6 +184,22 @@ regression is ever suspected)::
                                                pre-fix shape measured
                                                7.29x/2.82x under load)
 
+Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    pq_recall_eval            2.25x  9.57x  (vs 16x/64x pair space —
+                                             the exact-L2 truth side
+                                             is anchors×corpus by
+                                             design, same caveat as
+                                             ivf_recall_eval/
+                                             ann_topk_cosine)
+    bpe_apply_merges          0.88x  1.68x  (vocab-sized shuffle: the
+                                             distinct-word table
+                                             saturates, so time is
+                                             nearly flat in corpus
+                                             size — the BPE trick
+                                             working as designed)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -272,6 +288,15 @@ PROBES = [
     # with the K² pair space like ann_topk_cosine (compare against
     # 16x/64x, not the data ratio).
     "ivf_recall_eval",
+    # r11: the PQ accuracy contract (same K² truth-side caveat as
+    # ivf_recall_eval) and the codegen BPE encode pass (vocab-sized
+    # shuffle — must track well under the data ratio).
+    "pq_recall_eval",
+    "bpe_apply_merges",
+    # r11: the signature-persisting LSH refresh — O(batch bands +
+    # candidate activity); the base corpus contributes only the
+    # persisted store side of the probe join.
+    "minhash_signature_refresh",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):

@@ -771,3 +771,52 @@ def test_bpe_apply_merges_plan_and_semantics(spark, sf_dir):
         assert r["tokens"].replace(" ", "") == word
     if "merge" in rows:
         assert rows["merge"]["tokens"] == "mer g e"
+
+
+def test_minhash_signature_refresh_probes_the_persisted_store(spark, sf_dir):
+    # The refresh result must equal the one-shot LSH admission run on
+    # the same corpus (split sign/persist/probe cannot drift), and the
+    # probe must read the PERSISTED band table — a parquet scan of the
+    # index store — not recompute the base lineage.
+    import os
+
+    from myfitnesspaw_spark.plans.text_queries import minhash_signature_refresh
+    from myfitnesspaw_spark.sinks.warehouse import store_path
+
+    out = minhash_signature_refresh(spark, sf_dir)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    # The store is REAL persisted parquet (the probe's base side reads
+    # it back; the final plan can't show the scan — the pair table is
+    # localCheckpoint-truncated — so pin the store contents instead):
+    # it must hold exactly the base corpus' band table.
+    path = store_path("minhash_bands", sf_dir)
+    assert os.path.isdir(path)
+    from myfitnesspaw_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures,
+    )
+    from myfitnesspaw_spark.plans.text_queries import MH_BAND_ROWS, MH_HASHES
+    from myfitnesspaw_spark.sinks.warehouse import read_index_store
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    _, sig = minhash_signatures(base, "doc_id", "text", MH_HASHES)
+    expected = minhash_band_table(sig, "doc_id", MH_HASHES, MH_BAND_ROWS)
+    stored = read_index_store(spark, path, "doc_id bigint, band int, key string")
+    assert stored.count() == expected.count()
+    assert stored.exceptAll(expected).isEmpty()
+
+    # Admitted docs are batch docs; every admitted doc is a real doc.
+    rows = out.collect()
+    assert all(r["doc_id"] % 10 == 0 for r in rows)
+    batch_n = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where("doc_id % 10 = 0")
+        .count()
+    )
+    assert 0 < len(rows) <= batch_n
