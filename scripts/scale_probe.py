@@ -199,6 +199,14 @@ Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
                                              nearly flat in corpus
                                              size — the BPE trick
                                              working as designed)
+    minhash_signature_refresh 1.33x  1.63x  (state-carrying refresh:
+                                             the base corpus is only
+                                             the persisted store side
+                                             of the probe join, so
+                                             cost tracks batch bands +
+                                             candidate activity; CC-
+                                             round scheduling
+                                             dominates at this size)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
