@@ -1587,12 +1587,15 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_oracle() -> str:
+def _bpe_vocab_ctes() -> str:
+    """``words`` → ``enc`` → ``vocab`` CTE chain (freq-weighted distinct
+    words tokenized under BPE_MERGES), shared by BPE_APPLY_ORACLE and
+    BPE_DOC_COUNTS_ORACLE so the two can never disagree on what "the
+    frozen tokenizer" produces."""
     enc = "regexp_replace(word, '(.)', '<\\1>', 'g')"
     for a, b in BPE_MERGES:
         enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT w AS word, COUNT(*) AS freq FROM (
     SELECT unnest({_WORDS}) AS w FROM documents
   ) WHERE length(w) >= 2 GROUP BY 1
@@ -1601,15 +1604,88 @@ enc AS (
   SELECT word, freq,
          trim(replace({enc}, '><', ' '), '<>') AS tokens
   FROM words
-)
-SELECT word, freq, tokens,
-       CAST(length(tokens) - length(replace(tokens, ' ', '')) + 1 AS BIGINT)
-         AS n_tokens
-FROM enc
+),
+vocab AS (
+  SELECT word, freq, tokens,
+         CAST(length(tokens) - length(replace(tokens, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM enc
+)"""
+
+
+BPE_APPLY_ORACLE = f"""
+WITH {_bpe_vocab_ctes()}
+SELECT word, freq, tokens, n_tokens FROM vocab
 """
 
 
-BPE_APPLY_ORACLE = _bpe_apply_oracle()
+# --- bpe_doc_token_counts ---------------------------------------------------
+# The DOCUMENT-level closure of the tokenizer surface: per-doc token
+# counts under the frozen merge table — the number every training-data
+# pipeline actually bills by (context packing, mixture budgets, cost
+# estimates all run on token counts, not word counts).  The engine
+# trick is the same one bpe_merge_candidates exploits in training:
+# ENCODE THE VOCABULARY, NOT THE CORPUS — the distinct-word table is
+# tokenized once (vocab-sized replace chain) and joined back to the
+# corpus' word stream, so the per-occurrence cost is a join probe, not
+# a re-run of the merge cascade.  Single-character words are no-ops of
+# every merge and count as one token via the join's COALESCE default —
+# they never enter the vocab (the length>=2 filter is shared with
+# bpe_apply_merges).
+#
+# Output: per doc, the word count, the BPE token count, and the
+# tokenizer-eval compression rate in exact integer milli-chars/token
+# ((1000·n_chars_norm) DIV n_bpe_tokens — no float crosses the hash).
+#
+# Scale shape: corpus scan → join against the vocab-sized tokenized
+# table (stats/AQE broadcast it — corpus-derived, so no hard hint per
+# the broadcast policy) → one doc-keyed aggregate.  The merge cascade
+# itself never touches corpus-sized data.
+
+
+def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    vocab = bpe_apply_merges(spark, sf_dir).select("word", "n_tokens")
+    per_doc = (
+        words.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(1).cast("long"))).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    norms = docs.select(
+        "doc_id", F.length(normalize_text(F.col("text"))).alias("__nc")
+    )
+    return per_doc.join(norms, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.expr("(1000 * cast(__nc as bigint)) div n_bpe_tokens").alias(
+            "chars_per_token_milli"
+        ),
+    )
+
+
+BPE_DOC_COUNTS_ORACLE = f"""
+WITH {_bpe_vocab_ctes()},
+docwords AS (
+  SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+),
+per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(COALESCE(v.n_tokens, 1)) AS BIGINT) AS n_bpe_tokens
+  FROM docwords d LEFT JOIN vocab v USING (word)
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_words, p.n_bpe_tokens,
+       (1000 * CAST(length({_NORM}) AS BIGINT)) // p.n_bpe_tokens
+         AS chars_per_token_milli
+FROM per_doc p JOIN documents d USING (doc_id)
+"""
 
 # --- sorted_neighborhood_pairs --------------------------------------------
 # Entity resolution on STRUCTURED attributes — the record-linkage

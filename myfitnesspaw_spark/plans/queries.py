@@ -90,6 +90,7 @@ register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
 register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
     tq.minhash_signature_refresh
 )
+register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -166,7 +167,6 @@ register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
 register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -174,6 +174,7 @@ register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
 register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
 register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(

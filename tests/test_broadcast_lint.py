@@ -38,6 +38,7 @@ ALLOWED = {
     ("operators/incremental.py", "point_lookup"): (1, "lookup key set: caller-bounded probe list"),
     ("operators/clustering.py", "assign_clusters"): (1, "centroid table: K rows"),
     ("operators/similarity.py", "cosine_topk"): (1, "query vectors: caller-bounded probe set"),
+    ("operators/similarity.py", "l2_topk"): (1, "query vectors: caller-bounded probe set (recall-eval sample)"),
     ("operators/similarity.py", "ivf_ann_topk"): (1, "probe-cell assignments: |queries|*nprobe rows"),
     ("operators/similarity.py", "pq_ann_topk"): (1, "ADC lookup table: M*K literals"),
 }

@@ -820,3 +820,39 @@ def test_minhash_signature_refresh_probes_the_persisted_store(spark, sf_dir):
         .count()
     )
     assert 0 < len(rows) <= batch_n
+
+
+def test_bpe_doc_token_counts_composition(spark, sf_dir):
+    # The doc-level counts must tie out against the vocab-level query
+    # they join: freq-weighted vocab token mass + one token per
+    # sub-2-char word occurrence == total billed tokens.
+    from myfitnesspaw_spark.plans.pipeline_queries import (
+        bpe_apply_merges,
+        bpe_doc_token_counts,
+    )
+    from myfitnesspaw_spark.sources import load_table
+    from myfitnesspaw_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    per_doc = bpe_doc_token_counts(spark, sf_dir)
+    total = per_doc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    vocab_mass = (
+        bpe_apply_merges(spark, sf_dir)
+        .agg(F.sum(F.col("freq") * F.col("n_tokens")))
+        .collect()[0][0]
+    )
+    short_words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") < 2)
+        .count()
+    )
+    assert total == vocab_mass + short_words
+    # And the vocab join must not inflate or drop word occurrences.
+    n_words = per_doc.agg(F.sum("n_words")).collect()[0][0]
+    all_words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .count()
+    )
+    assert n_words == all_words
