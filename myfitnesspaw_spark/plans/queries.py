@@ -91,6 +91,9 @@ register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
     tq.minhash_signature_refresh
 )
 register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
+register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
+    smp.hll_sketch_refresh
+)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -166,7 +169,6 @@ register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
 register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -174,6 +176,7 @@ register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
 register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
 register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
 register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)

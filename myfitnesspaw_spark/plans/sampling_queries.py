@@ -410,6 +410,93 @@ FROM events GROUP BY 1
 """
 
 
+# --- hll_sketch_refresh -----------------------------------------------------
+# The PERSISTED-STATE completion of the sketch story (companion to
+# minhash_signature_refresh's signature store): hll_union_rollup
+# certifies sketch mergeability within one job, but the 100 TB pattern
+# is a daily job that appends the day's (event_type, day) leaf
+# sketches to a WAREHOUSE STORE and answers any-range distincts by
+# merging stored sketches — never rescanning history.  This query
+# certifies that protocol end to end:
+#
+# 1. PRIOR RUNS (simulated): leaf sketches for the 24 history days
+#    (day < 2024-01-25 — the testdata event range is fixed at
+#    2024-01-01..30 at every sf) persisted through the parquet index
+#    store; the binary sketch column must round-trip the file format
+#    losslessly for the estimate to survive.
+# 2. REFRESH: only the 6 batch days are scanned and sketched; the
+#    merge unions STORED binaries with fresh ones per event_type.
+#
+# The certification contract mirrors hll_union_rollup: the merged
+# estimate must land within 5% of the exact distinct (lgK=12 is
+# ±~1.6% at 3σ), emitted as a boolean the oracle reproduces — the
+# exact side exists for certification only; the refresh path a
+# warehouse runs is history-scan-free by construction.
+
+HLL_REFRESH_CUTOFF = "2024-01-25"
+
+
+def hll_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.sinks.warehouse import (
+        read_index_store,
+        store_path,
+        write_index_store,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cutoff = F.lit(HLL_REFRESH_CUTOFF).cast("date")
+    history = (
+        events.where(day < cutoff)
+        .groupBy("event_type", day.alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    path = store_path("hll_daily", sf_dir)
+    write_index_store(history, path)
+    store = read_index_store(spark, path, "event_type string, d date, sketch binary")
+
+    batch = (
+        events.where(day >= cutoff)
+        .groupBy("event_type", day.alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    leaves = store.withColumn("__h", F.lit(1)).unionByName(
+        batch.withColumn("__h", F.lit(0))
+    )
+    merged = leaves.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
+        F.sum("__h").cast("long").alias("n_history_sketches"),
+        F.sum(F.lit(1) - F.col("__h")).cast("long").alias("n_batch_sketches"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_history_sketches",
+        "n_batch_sketches",
+        "exact_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merged_within_5pct"),
+    )
+
+
+HLL_SKETCH_REFRESH_ORACLE = f"""
+SELECT event_type,
+       COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         FILTER (WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '{HLL_REFRESH_CUTOFF}')
+         AS n_history_sketches,
+       COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         FILTER (WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '{HLL_REFRESH_CUTOFF}')
+         AS n_batch_sketches,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS merged_within_5pct
+FROM events GROUP BY 1
+"""
+
+
 # --- weighted_sample ------------------------------------------------------
 # Deterministic importance sampling: each document keeps with
 # probability proportional to a per-row weight (here: token count

@@ -856,3 +856,57 @@ def test_bpe_doc_token_counts_composition(spark, sf_dir):
         .count()
     )
     assert n_words == all_words
+
+
+def test_hll_sketch_refresh_matches_one_shot_merge(spark, sf_dir):
+    # Merging PERSISTED history sketches with fresh batch sketches must
+    # be register-identical to the one-shot union over all events —
+    # the binary column round-trips parquet losslessly and the merge is
+    # associative.  Pin by comparing the refresh path's estimate to a
+    # one-shot estimate per event_type.
+    import os
+
+    from myfitnesspaw_spark.plans.sampling_queries import hll_sketch_refresh
+    from myfitnesspaw_spark.sinks.warehouse import store_path
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = {r["event_type"]: r for r in hll_sketch_refresh(spark, sf_dir).collect()}
+    assert os.path.isdir(store_path("hll_daily", sf_dir))
+    assert all(r["merged_within_5pct"] for r in out.values())
+    assert all(
+        r["n_history_sketches"] > 0 and r["n_batch_sketches"] > 0
+        for r in out.values()
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    one_shot = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    }
+    from myfitnesspaw_spark.plans.sampling_queries import HLL_REFRESH_CUTOFF
+    from myfitnesspaw_spark.sinks.warehouse import read_index_store
+
+    store = read_index_store(
+        spark,
+        store_path("hll_daily", sf_dir),
+        "event_type string, d date, sketch binary",
+    ).select("event_type", "sketch")
+    batch = (
+        events.where(F.to_date("ts") >= F.lit(HLL_REFRESH_CUTOFF).cast("date"))
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .select("event_type", "sketch")
+    )
+    refresh_est = {
+        r["event_type"]: r["est"]
+        for r in store.unionByName(batch)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    }
+    assert one_shot == refresh_est
