@@ -322,6 +322,115 @@ WHERE d.doc_id % {_EVAL_MOD} != 0 AND c.doc_id IS NULL
 """.format(words=_WORDS)
 
 
+# --- bloom_decontaminated_corpus ---------------------------------------------
+# Decontamination through a PERSISTED BLOOM FILTER of the benchmark
+# n-grams — the third member of the index-store family (MinHash bands,
+# HLL sketches, now membership).  At 100 TB the benchmark gram set is
+# fixed and small but the corpus is not: shipping the benchmark into a
+# shuffle join on every ingest (decontaminated_corpus's shape) moves
+# the corpus' gram stream; the production pattern builds the bloom
+# ONCE, persists it, and every ingest applies it as a SCAN-LOCAL
+# prefilter — only grams the bloom admits (true hits + false
+# positives) reach the exact verification join.
+#
+# The bloom is hand-rolled and deterministic — BLOOM_K bit positions
+# per gram from md5 hex slices, OR-ed into BLOOM_WORDS 64-bit words by
+# a bit_or aggregate — because Spark's built-in BloomFilterAggregate
+# is an optimizer-internal expression, not a callable function, and a
+# portable bloom must rebuild bit-identically from the same grams.
+# Build and probe share _bloom_pos, so the no-false-negative property
+# holds by construction; the collected filter (256 longs — bounded,
+# like IVF centroids / PQ codebooks) rides into every probe task as
+# one array literal, making the prefilter pure whole-stage codegen.
+#
+# CERTIFIED CLAIM: the bloom-prefilter path is RESULT-IDENTICAL to
+# the exact path — false positives are re-checked by the exact join,
+# false negatives don't exist — so this registers against the very
+# same oracle as decontaminated_corpus and must hash-match it.
+
+BLOOM_BITS = 16_384  # m = 2^14 bits -> 256 64-bit words
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+
+
+def _bloom_pos(gram, j: int):
+    """Bit position j for a gram: 4 md5 hex chars (16 bits) mod m.
+    The ONE definition both the build and the probe use."""
+    return (
+        F.conv(F.substring(F.md5(gram), 4 * j + 1, 4), 16, 10).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def bloom_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.sinks.warehouse import (
+        read_index_store,
+        store_path,
+        write_index_store,
+    )
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+
+    # -- simulated prior run: build the benchmark bloom, persist it.
+    coords = ev.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom_rows = (
+        coords.select(
+            F.expr("int(pos div 64)").alias("word_idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    path = store_path("benchmark_bloom", sf_dir)
+    write_index_store(bloom_rows, path)
+    stored = {
+        int(r["word_idx"]): int(r["bits"])
+        for r in read_index_store(spark, path, "word_idx int, bits long").collect()
+    }
+    bloom_lit = F.array(
+        *[F.lit(stored.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)]
+    )
+
+    # -- ingest: scan-local bloom prefilter on the train gram stream.
+    probed = grams.where(F.col("doc_id") % _EVAL_MOD != 0).withColumn(
+        "__bloom", bloom_lit
+    )
+    cond = F.lit(True)
+    for j in range(BLOOM_K):
+        probed = probed.withColumn(f"__p{j}", _bloom_pos(F.col("shingle"), j))
+        cond = cond & F.expr(
+            f"(element_at(__bloom, int(__p{j} div 64) + 1)"
+            f" & shiftleft(1L, int(__p{j} % 64))) != 0"
+        )
+    candidates = probed.where(cond).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+
+    # -- exact verification on the admitted grams only (kills false
+    # -- positives; same pair-count threshold as decontaminated_corpus).
+    contaminated = (
+        candidates.join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 # --- repetition_quality ---------------------------------------------------
 # Gopher-style repetition filters (Rae et al. 2021, §A.1.1): fraction
 # of tokens in the most frequent word, and fraction of duplicate word

@@ -910,3 +910,56 @@ def test_hll_sketch_refresh_matches_one_shot_merge(spark, sf_dir):
         .collect()
     }
     assert one_shot == refresh_est
+
+
+def test_bloom_decontaminated_corpus_equiv_and_prunes(spark, sf_dir):
+    # The bloom-prefilter path must be result-identical to the exact
+    # path (false positives re-verified, false negatives impossible),
+    # the persisted filter must exist, and the prefilter must actually
+    # prune the train gram stream (not pass everything through).
+    import os
+
+    from myfitnesspaw_spark.operators.dedup import shingle_sets
+    from myfitnesspaw_spark.plans.curation_queries import (
+        BLOOM_K,
+        CONTAM_N,
+        _EVAL_MOD,
+        _bloom_pos,
+        bloom_decontaminated_corpus,
+        decontaminated_corpus,
+    )
+    from myfitnesspaw_spark.sinks.warehouse import read_index_store, store_path
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = bloom_decontaminated_corpus(spark, sf_dir)
+    want = decontaminated_corpus(spark, sf_dir)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    path = store_path("benchmark_bloom", sf_dir)
+    assert os.path.isdir(path)
+    stored = {
+        int(r["word_idx"]): int(r["bits"])
+        for r in read_index_store(spark, path, "word_idx int, bits long").collect()
+    }
+    bloom = F.array(*[F.lit(stored.get(i, 0)).cast("long") for i in range(256)])
+    grams = shingle_sets(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=CONTAM_N
+    )
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).withColumn("__bloom", bloom)
+    cond = F.lit(True)
+    for j in range(BLOOM_K):
+        train = train.withColumn(f"__p{j}", _bloom_pos(F.col("shingle"), j))
+        cond = cond & F.expr(
+            f"(element_at(__bloom, int(__p{j} div 64) + 1)"
+            f" & shiftleft(1L, int(__p{j} % 64))) != 0"
+        )
+    total = train.count()
+    admitted = train.where(cond).count()
+    assert 0 < admitted < total, (admitted, total)
+    # No false negatives: every train gram that truly appears in the
+    # eval set is admitted by the bloom.
+    ev_grams = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
+    truly_shared = train.join(ev_grams, "shingle", "left_semi")
+    missed = truly_shared.where(~cond).count()
+    assert missed == 0
