@@ -207,6 +207,13 @@ Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
                                              candidate activity; CC-
                                              round scheduling
                                              dominates at this size)
+    bloom_decontaminated_corpus 0.64x 1.77x (scan-local literal-array
+                                             prefilter + candidate-
+                                             bounded exact verify; the
+                                             K=4 sub-1x ratio is a
+                                             cold 1x-side measurement
+                                             under ambient load — the
+                                             K=8 pair is the signal)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -305,6 +312,12 @@ PROBES = [
     # candidate activity); the base corpus contributes only the
     # persisted store side of the probe join.
     "minhash_signature_refresh",
+    # r11: the bloom prefilter is scan-local, so it must track the
+    # scan, never a join square.  (hll_sketch_refresh is NOT probed
+    # here: its scale axis is events, which this builder symlinks
+    # unchanged — a ratio over identical data certifies nothing; its
+    # scale story is the fixed-size mergeable-sketch bound itself.)
+    "bloom_decontaminated_corpus",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
