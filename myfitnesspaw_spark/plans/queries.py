@@ -97,6 +97,9 @@ register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
 register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
     cq.bloom_decontaminated_corpus
 )
+register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
+    tq.leakage_safe_split
+)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -170,7 +173,6 @@ register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
     mq.snapshot_full_outer_diff
 )
 register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -178,6 +180,7 @@ register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
 register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
 register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)

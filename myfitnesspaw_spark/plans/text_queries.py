@@ -741,6 +741,93 @@ FROM b
 """
 
 
+# --- leakage_safe_split -------------------------------------------------------
+# Train/val/test assignment that cannot LEAK through near-duplicates:
+# train_val_test_split hashes the doc id, so the two members of a
+# near-dup pair land in different splits ~64% of the time — the exact
+# mechanism behind inflated eval numbers on deduplicated-later corpora
+# (Lee et al. 2022 measure over 1% of eval examples with train-set
+# near-dups).  The fix every careful pipeline ships: hash the near-dup
+# GROUP, not the document — connected components over the verified
+# pair graph give each doc a canonical group representative, every doc
+# inherits its representative's md5-lattice bucket, and a group is
+# atomic across splits by construction.
+#
+# Scale shape: the pair graph and CC label table are near-dup-sized
+# (tiny next to the corpus); the corpus-side work is one LEFT join of
+# the label table (AQE broadcasts it) + a row-local bucket projection.
+# Isolated docs (no near-dup) coalesce to themselves — their split
+# matches train_val_test_split's exactly, so the two queries disagree
+# only where disagreeing is the point.
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import connected_components
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    grouped = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("group_rep")
+    )
+    bucket = _split_bucket(F.col("group_rep"))
+    split = (
+        F.when(bucket < _VAL_LT, F.lit("val"))
+        .when(bucket < _TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return grouped.select(
+        "doc_id", "group_rep", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared) >= {JACCARD_THRESHOLD}
+),
+nodes AS (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges),
+sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT y.d, r.lbl FROM reach r JOIN sym y ON y.s = r.node
+),
+assign AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(a.cluster, d.doc_id) AS group_rep
+  FROM documents d LEFT JOIN assign a ON d.doc_id = a.node
+),
+b AS (
+  SELECT doc_id, group_rep,
+         CAST((strpos('{_HEX}', substr(md5(CAST(group_rep AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('{_HEX}', substr(md5(CAST(group_rep AS VARCHAR)), 2, 1)) - 1
+              AS BIGINT) AS bucket
+  FROM grouped
+)
+SELECT doc_id, group_rep, bucket,
+       CASE WHEN bucket < {_VAL_LT} THEN 'val'
+            WHEN bucket < {_TEST_LT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
 # --- sentence splitting: native posexplode + Python UDTF ------------------
 
 

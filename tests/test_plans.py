@@ -963,3 +963,48 @@ def test_bloom_decontaminated_corpus_equiv_and_prunes(spark, sf_dir):
     truly_shared = train.join(ev_grams, "shingle", "left_semi")
     missed = truly_shared.where(~cond).count()
     assert missed == 0
+
+
+def test_leakage_safe_split_groups_are_atomic(spark, sf_dir):
+    # The property the query exists for: no verified near-dup pair may
+    # straddle two splits, groups are atomic, and isolated docs get
+    # exactly the same split as the per-doc splitter.
+    from myfitnesspaw_spark.operators.dedup import jaccard_pairs_prefix, shingle_sets
+    from myfitnesspaw_spark.plans.text_queries import (
+        JACCARD_THRESHOLD,
+        leakage_safe_split,
+        train_val_test_split,
+    )
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = leakage_safe_split(spark, sf_dir)
+    # One split per group (atomicity).
+    assert (
+        out.groupBy("group_rep")
+        .agg(F.count_distinct("split").alias("n"))
+        .where("n > 1")
+        .count()
+        == 0
+    )
+    # No verified near-dup pair straddles splits.
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    s = out.select("doc_id", "split")
+    straddling = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .where("sa <> sb")
+        .count()
+    )
+    assert straddling == 0
+    # Isolated docs (group_rep == doc_id and in no pair) match the
+    # per-doc splitter bit for bit.
+    per_doc = train_val_test_split(spark, sf_dir).select("doc_id", F.col("split").alias("pd_split"))
+    in_pairs = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    isolated = out.join(in_pairs, "doc_id", "left_anti")
+    mismatched = isolated.join(per_doc, "doc_id").where("split <> pd_split").count()
+    assert mismatched == 0
