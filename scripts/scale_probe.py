@@ -214,6 +214,10 @@ Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
                                              cold 1x-side measurement
                                              under ambient load — the
                                              K=8 pair is the signal)
+    leakage_safe_split        1.84x  2.44x  (CC on the near-dup pair
+                                             graph only; corpus side =
+                                             one label join + row-
+                                             local bucket projection)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -318,6 +322,9 @@ PROBES = [
     # unchanged — a ratio over identical data certifies nothing; its
     # scale story is the fixed-size mergeable-sketch bound itself.)
     "bloom_decontaminated_corpus",
+    # r11: group-hash splitting — pair graph + CC stay near-dup-sized,
+    # corpus side is one label join + row-local bucket projection.
+    "leakage_safe_split",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
