@@ -1115,6 +1115,159 @@ FROM iv q LEFT JOIN hits h ON h.query_id = q.vec_id
 WHERE q.vec_id % {PQ_QUERY_MOD} = 0
 """
 
+# --- mmr_rerank ---------------------------------------------------------------
+# Maximal Marginal Relevance diversification (Carbonell & Goldstein
+# 1998) — the rerank step between retrieval and the context window:
+# greedily select K of the top-N candidates maximizing
+# λ·relevance − (1−λ)·max-similarity-to-already-selected, so the
+# result is relevant AND non-redundant (a RAG context of five copies
+# of the same passage wastes four slots; dedup'd mixture prompts and
+# diverse few-shot pools run the same algorithm).
+#
+# The Spark-first shape makes MMR DISTRIBUTED where it matters: the
+# greedy loop is inherently sequential in K but independent ACROSS
+# queries, so each query's top-N candidate list is grouped into one
+# row and the whole selection runs as a row-local SQL fold
+# (aggregate over 1..K; argmax via array_max of (score, -cid, cand)
+# structs) — a million queries rerank in parallel with zero driver
+# involvement and zero extra shuffles beyond the candidate top-N.
+#
+# Exact-integer contract: relevance and pairwise similarity are raw
+# integer dot products of the shared micro-int vectors (PQ_SCALE
+# trunc), λ = 0.7 enters as the weight pair (7, 3), ties break to the
+# lower candidate id — both engines replay the same greedy trace bit
+# for bit (the oracle unrolls the K rounds as chained CTEs).
+
+MMR_QUERY_MOD = 50
+MMR_N = 8   # candidate pool per query (retrieval top-N)
+MMR_K = 4   # diversified selection size
+MMR_W_REL, MMR_W_DIV = 7, 3  # λ=0.7 as exact integer weights
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import topk_per_key
+
+    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    iv = F.transform(
+        F.col("embedding"), lambda x: (x.cast("double") * PQ_SCALE).cast("long")
+    )
+    corp = vecs.select(F.col("vec_id").alias("cid"), iv.alias("civ"))
+    q = vecs.where(F.col("vec_id") % MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), iv.alias("qv")
+    )
+    dot_rel = F.aggregate(
+        F.zip_with(F.col("civ"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    scored = corp.join(F.broadcast(q), F.col("cid") != F.col("query_id")).select(
+        "query_id", "cid", "civ", dot_rel.alias("rel")
+    )
+    cands = topk_per_key(
+        scored, ["query_id"], [F.col("rel").desc(), F.col("cid").asc()], MMR_N
+    ).select("query_id", "cid", "rel", "civ")
+    grouped = cands.groupBy("query_id").agg(
+        F.collect_list(F.struct("cid", "rel", "civ")).alias("cands")
+    )
+    sel_type = "array<struct<cid:bigint,rel:bigint,civ:array<bigint>>>"
+    pick = f"""
+      array_max(
+        transform(
+          filter(cands, c -> NOT exists(sel, s -> s.cid = c.cid)),
+          c -> named_struct(
+            'score',
+            {MMR_W_REL}L * c.rel - {MMR_W_DIV}L * coalesce(
+              array_max(transform(sel, s ->
+                aggregate(zip_with(c.civ, s.civ, (x, y) -> x * y),
+                          0L, (a, v) -> a + v))),
+              0L),
+            'negid', -c.cid,
+            'c', c)
+        )
+      ).c"""
+    mmr = F.expr(
+        f"""aggregate(
+      sequence(1, {MMR_K}),
+      cast(array() as {sel_type}),
+      (sel, k) -> concat(sel, array({pick}))
+    )"""
+    )
+    return (
+        grouped.select("query_id", F.posexplode(mmr).alias("pos", "s"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.cid").alias("neighbor_id"),
+            F.col("s.rel").alias("rel_dot"),
+        )
+    )
+
+
+_MMR_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _mmr_oracle() -> str:
+    dot = _MMR_DOT
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, r))
+        rounds.append(f"""s{r} AS MATERIALIZED (
+  SELECT query_id, cid, rel, civ, {r} AS rank FROM (
+    SELECT c.query_id, c.cid, c.rel, c.civ,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY {MMR_W_REL}*c.rel - {MMR_W_DIV}*p.maxsim DESC, c.cid ASC
+           ) AS rn
+    FROM cand c
+    JOIN (
+      SELECT c2.query_id, c2.cid, MAX({dot.format(a="c2.civ", b="s.civ")}) AS maxsim
+      FROM cand c2 JOIN ({prev}) s ON s.query_id = c2.query_id
+      GROUP BY 1, 2
+    ) p ON p.query_id = c.query_id AND p.cid = c.cid
+    WHERE NOT EXISTS (SELECT 1 FROM ({prev}) s2
+                      WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+  ) WHERE rn = 1
+)""")
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return f"""
+WITH iv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(TRUNC(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, iv AS qv FROM iv
+  WHERE vec_id % {MMR_QUERY_MOD} = 0
+),
+cand AS MATERIALIZED (
+  SELECT query_id, cid, rel, civ FROM (
+    SELECT q.query_id, c.vec_id AS cid, c.iv AS civ,
+           {dot.format(a="c.iv", b="q.qv")} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {dot.format(a="c.iv", b="q.qv")} DESC, c.vec_id ASC
+           ) AS rn
+    FROM q JOIN iv c ON c.vec_id <> q.query_id
+  ) WHERE rn <= {MMR_N}
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, cid, rel, civ, 1 AS rank FROM (
+    SELECT query_id, cid, rel, civ,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {MMR_W_REL}*rel DESC, cid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{",".join(rounds)}
+SELECT query_id, CAST(rank AS INT) AS rank, cid AS neighbor_id, rel AS rel_dot
+FROM ({final})
+"""
+
+
+MMR_RERANK_ORACLE = _mmr_oracle()
+
 # --- hard_negative_mining -------------------------------------------------
 # Contrastive-training data prep: for each sampled anchor vector, the
 # top-K most similar vectors of a DIFFERENT label — the "hard

@@ -100,6 +100,7 @@ register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
 register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
     tq.leakage_safe_split
 )
+register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -172,7 +173,6 @@ register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
 register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
     mq.snapshot_full_outer_diff
 )
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -180,6 +180,7 @@ register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
 register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)

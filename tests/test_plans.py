@@ -1008,3 +1008,60 @@ def test_leakage_safe_split_groups_are_atomic(spark, sf_dir):
     isolated = out.join(in_pairs, "doc_id", "left_anti")
     mismatched = isolated.join(per_doc, "doc_id").where("split <> pd_split").count()
     assert mismatched == 0
+
+
+def test_mmr_rerank_greedy_semantics(spark, sf_dir):
+    # Exactly K distinct picks per query; rank 1 is the pure-relevance
+    # argmax (the greedy base case); and the diversity penalty must
+    # actually fire somewhere — if MMR equals plain top-K relevance on
+    # every query, the fold is a no-op.
+    from myfitnesspaw_spark.operators.dedup import topk_per_key
+    from myfitnesspaw_spark.plans.pipeline_queries import (
+        MMR_K,
+        MMR_QUERY_MOD,
+        PQ_SCALE,
+        mmr_rerank,
+    )
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = mmr_rerank(spark, sf_dir)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == MMR_K for v in by_q.values())
+    assert all(len({r["neighbor_id"] for r in v}) == MMR_K for v in by_q.values())
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    iv = F.transform(
+        F.col("embedding"), lambda x: (x.cast("double") * PQ_SCALE).cast("long")
+    )
+    corp = vecs.select(F.col("vec_id").alias("cid"), iv.alias("civ"))
+    q = vecs.where(F.col("vec_id") % MMR_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), iv.alias("qv")
+    )
+    rel = F.aggregate(
+        F.zip_with(F.col("civ"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    scored = corp.join(F.broadcast(q), F.col("cid") != F.col("query_id")).select(
+        "query_id", "cid", rel.alias("rel")
+    )
+    topk = topk_per_key(
+        scored, ["query_id"], [F.col("rel").desc(), F.col("cid").asc()], MMR_K
+    )
+    plain = {}
+    for r in topk.collect():
+        plain.setdefault(r["query_id"], {}).setdefault(r["rank"], r["cid"])
+    # Base case: rank-1 pick == relevance argmax, every query.
+    for qid, v in by_q.items():
+        first = next(r for r in v if r["rank"] == 1)
+        assert first["neighbor_id"] == plain[qid][1], qid
+    # Diversity: at least one query's MMR set differs from plain top-K.
+    diverged = any(
+        {r["neighbor_id"] for r in v} != set(plain[qid].values())
+        for qid, v in by_q.items()
+    )
+    assert diverged
