@@ -101,6 +101,9 @@ register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
     tq.leakage_safe_split
 )
 register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
+register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
+    sq.streaming_lsh_ingest_probe_q
+)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -170,9 +173,6 @@ register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_
 register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
     nq.variant_props_rollup
 )
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -180,6 +180,9 @@ register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
+)
 register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
 register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
 register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)

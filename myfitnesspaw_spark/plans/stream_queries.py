@@ -469,3 +469,31 @@ SELECT user_id, event_type, COUNT(*) AS n_events,
        MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
 FROM events GROUP BY 1, 2
 """
+
+
+def streaming_lsh_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online LSH probe of the persisted corpus band store — incoming
+    docs stream in, sign/band themselves row-locally, and stream-static
+    join the index; output is each doc's band-collision degree (the
+    exact-verification work queue).  See streaming/rollup.py."""
+    from myfitnesspaw_spark.streaming.rollup import streaming_lsh_ingest_probe
+
+    return streaming_lsh_ingest_probe(spark, sf_dir)
+
+
+def _streaming_lsh_ingest_oracle() -> str:
+    from myfitnesspaw_spark.plans.text_queries import _minhash_sig_band_ctes
+
+    return f"""
+WITH {_minhash_sig_band_ctes()},
+hits AS (
+  SELECT a.doc_id, COUNT(*) AS n_band_hits
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_band_hits AS BIGINT) AS n_band_hits FROM hits
+"""
+
+
+STREAMING_LSH_INGEST_ORACLE = _streaming_lsh_ingest_oracle()

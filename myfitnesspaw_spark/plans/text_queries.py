@@ -446,15 +446,15 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_ctes() -> str:
-    """Shared oracle CTE chain — banded-MinHash candidates (``cand``)
-    plus exact-Jaccard verification (``ver``) — interpolated into both
-    MINHASH_LSH_ORACLE and MINHASH_DEDUP_E2E_ORACLE so the pair
-    semantics can never drift between the stage query and the
-    end-to-end closure."""
-    # Rotation family (mirrors functions/text.py::minhash_signature):
-    # seed i = min over shingles of the md5 digest cyclically rotated
-    # by 2i hex chars; i=0 reduces to the plain digest.
+def _minhash_sig_band_ctes() -> str:
+    """The sh → sig → bands CTE fragment (shingles, 16-seed rotation
+    signatures, banded keys) — factored so the streaming ingest-probe
+    oracle (plans/stream_queries.py) replays the IDENTICAL banding the
+    batch pair oracles use.
+
+    Rotation family (mirrors functions/text.py::minhash_signature):
+    seed i = min over shingles of the md5 digest cyclically rotated
+    by 2i hex chars; i=0 reduces to the plain digest."""
     sig_cols = ",\n         ".join(
         f"min(substr(md5(shingle), {2 * i + 1}) || substr(md5(shingle), 1, {2 * i})) AS h{i}"
         for i in range(MH_HASHES)
@@ -472,7 +472,16 @@ sig AS (
 bands AS (
   SELECT doc_id, t.band, t.key
   FROM sig, LATERAL (VALUES {band_rows}) AS t(band, key)
-),
+)"""
+
+
+def _minhash_pair_ctes() -> str:
+    """Shared oracle CTE chain — banded-MinHash candidates (``cand``)
+    plus exact-Jaccard verification (``ver``) — interpolated into both
+    MINHASH_LSH_ORACLE and MINHASH_DEDUP_E2E_ORACLE so the pair
+    semantics can never drift between the stage query and the
+    end-to-end closure."""
+    return f"""{_minhash_sig_band_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key

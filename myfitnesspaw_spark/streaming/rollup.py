@@ -445,3 +445,107 @@ def streaming_dedup_within_watermark_counts(
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return state
+
+
+def streaming_lsh_ingest_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_name: str = "streaming_lsh_ingest_sink",
+) -> DataFrame:
+    """STREAMING ingest against persisted LSH state — the online half
+    of minhash_signature_refresh's protocol: the corpus band store is
+    built once by a prior (batch) run; new documents then arrive as a
+    STREAM, MinHash-sign themselves row-locally inside the micro-batch
+    (shingle → 16-seed rotation minima → banded keys are all pure
+    projections, so the stream side carries no state), and probe the
+    store through a stream-static join.  Output is the verification
+    WORK QUEUE: per incoming doc, how many (band, key) collisions it
+    has against the stored corpus index — the collision degree an
+    ingest pipeline uses to route docs to exact verification (and to
+    spot degenerate hot bands in-flight).
+
+    Scale shape: the stream-static join keeps NO join state (the store
+    is re-resolved per trigger — index refreshes are picked up
+    mid-stream); the only stateful operator is the per-doc count,
+    update-mode, merged through the same keyed foreachBatch drain as
+    every rollup here.  No event-time column exists on documents, so
+    there is no watermark: count state is bounded by the batch slice's
+    doc count, and nothing is ever dropped, which makes multi-batch
+    drains exact by construction.
+    """
+    from myfitnesspaw_spark.functions.text import (
+        minhash_hashes,
+        minhash_signature,
+        tokens,
+        word_shingles,
+    )
+    from myfitnesspaw_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures,
+    )
+    from myfitnesspaw_spark.plans.text_queries import MH_BAND_ROWS, MH_HASHES
+    from myfitnesspaw_spark.sinks.warehouse import (
+        read_index_store,
+        store_path,
+        write_index_store,
+    )
+    from myfitnesspaw_spark.sources import load_table
+
+    # -- simulated prior run: persist the base corpus's band table.
+    base = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    _, sig_base = minhash_signatures(base, "doc_id", "text", MH_HASHES)
+    path = store_path("lsh_ingest_bands", sf_dir)
+    write_index_store(
+        minhash_band_table(sig_base, "doc_id", MH_HASHES, MH_BAND_ROWS), path
+    )
+    store = read_index_store(
+        spark, path, "doc_id bigint, band int, key string"
+    ).withColumnRenamed("doc_id", "base_id")
+
+    # -- the ingest stream: sign + band row-locally, probe the store.
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    incoming = raw.where(F.col("doc_id") % 10 == 0)
+    toks = incoming.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("__toks"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    # Same Generate barrier as minhash_signatures (per-shingle md5
+    # runs once, not once per seed) — minus the localCheckpoint, which
+    # a streaming plan cannot (and does not need to) take.
+    hashed = sh.select(
+        "doc_id", F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
+    )
+    sig = hashed.select("doc_id", *minhash_signature(F.col("__hs"), MH_HASHES))
+    bands = minhash_band_table(sig, "doc_id", MH_HASHES, MH_BAND_ROWS)
+
+    hits = bands.join(store, ["band", "key"])
+    agg = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_band_hits"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_shuffle_partitions(spark))
+    )
+    try:
+        state = _drain_update_merge(
+            agg,
+            ["doc_id"],
+            f"{sink_name}_state",
+            sink_name,
+            multi_batch_exact=True,
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return state

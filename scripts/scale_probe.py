@@ -325,6 +325,10 @@ PROBES = [
     # r11: group-hash splitting — pair graph + CC stay near-dup-sized,
     # corpus side is one label join + row-local bucket projection.
     "leakage_safe_split",
+    # r11: per-query MMR — candidate top-N is the anchors×corpus scan
+    # (K² pair space like ann_topk_cosine); the greedy fold itself is
+    # row-local and candidate-pool-bounded.
+    "mmr_rerank",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
