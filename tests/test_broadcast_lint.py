@@ -27,6 +27,7 @@ ALLOWED = {
     ("plans/pipeline_queries.py", "mixture_sample"): (2, "1-row total + per-source quota table (|sources| rows)"),
     ("plans/pipeline_queries.py", "one_batch"): (2, "anchor batch: LIMIT-bounded slice"),
     ("plans/pipeline_queries.py", "corpus_build_pipeline"): (2, "1-row total + per-source quota table"),
+    ("plans/pipeline_queries.py", "mmr_rerank"): (1, "query vectors: sampled probe set (corpus/MMR_QUERY_MOD anchors)"),
     ("plans/sampling_queries.py", "cms_report_from_counts"): (2, "CMS sketch rows (depth*width literals) + 1-row total"),
     ("plans/text_queries.py", "lang_id"): (1, "language profile: |langs|*|ngrams| literal-bounded"),
     ("plans/olap_queries.py", "regional_revenue"): (2, "nation/region dims: fixed 25/5 rows"),
