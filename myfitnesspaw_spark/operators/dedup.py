@@ -301,6 +301,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shingle table + MinHash signatures — the shared front of every
     MinHash consumer (``minhash_lsh_pairs`` and the registry's
@@ -312,16 +313,19 @@ def minhash_signatures(
     exact verification; without the checkpoint each consumer re-runs
     tokenize+shingle over the corpus), ``sig`` is one row per doc with
     columns ``h0..h{num_hashes-1}``.
+
+    ``checkpoint=False`` skips the localCheckpoint — the ONLY piece a
+    STREAMING plan cannot take — so the streaming ingest probe signs
+    through this same chain instead of a drift-prone copy (pass False
+    too when the caller reads the result exactly once).
     """
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    sh = (
-        toks.select(
-            F.col(id_col),
-            word_shingles(F.col("__toks"), shingle_n).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
-        .localCheckpoint()
-    )
+    sh = toks.select(
+        F.col(id_col),
+        word_shingles(F.col("__toks"), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    if checkpoint:
+        sh = sh.localCheckpoint()
     # Generate barrier so the per-shingle md5 runs once, not once per
     # seed (CollapseProject would re-inline a projected array into all
     # num_hashes transform passes).

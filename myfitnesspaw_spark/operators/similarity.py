@@ -449,6 +449,22 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def _micro_int_vec(
+    df: DataFrame, id_col: str, vec_col: str, name: str, scale: int
+) -> DataFrame:
+    """``(name, iv)`` with the float vector quantized to truncated
+    micro-ints — the ONE quantization both ``pq_ann_topk`` and its
+    ground truth ``l2_topk`` apply, hoisted so the recall eval's
+    "codebook loss only, never float slack" contract cannot be broken
+    by the two paths drifting apart."""
+    return df.withColumn(
+        "iv",
+        F.transform(
+            F.col(vec_col), lambda x: (x.cast("double") * scale).cast("long")
+        ),
+    ).select(F.col(id_col).alias(name), "iv")
+
+
 def l2_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -470,17 +486,10 @@ def l2_topk(
     Returns ``(query_id, neighbor_id, rank, dist)``, rank by ascending
     exact distance (neighbor id tiebreak).
     """
-
-    def _to_int(df: DataFrame, name: str) -> DataFrame:
-        return df.withColumn(
-            "iv",
-            F.transform(
-                F.col(vec_col), lambda x: (x.cast("double") * scale).cast("long")
-            ),
-        ).select(F.col(id_col).alias(name), "iv")
-
-    corp = _to_int(corpus, "neighbor_id")
-    q = _to_int(queries, "query_id").select("query_id", F.col("iv").alias("qv"))
+    corp = _micro_int_vec(corpus, id_col, vec_col, "neighbor_id", scale)
+    q = _micro_int_vec(queries, id_col, vec_col, "query_id", scale).select(
+        "query_id", F.col("iv").alias("qv")
+    )
     scored = corp.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -573,19 +582,13 @@ def pq_ann_topk(
         ]
     )
 
-    def _to_int(df: DataFrame, name: str) -> DataFrame:
-        return df.withColumn(
-            "iv",
-            F.transform(
-                F.col(vec_col), lambda x: (x.cast("double") * scale).cast("long")
-            ),
-        ).select(F.col(id_col).alias(name), "iv")
-
-    enc = pq_encode(_to_int(corpus, "neighbor_id"), "iv", codebooks).select(
-        "neighbor_id", "codes"
-    )
+    enc = pq_encode(
+        _micro_int_vec(corpus, id_col, vec_col, "neighbor_id", scale),
+        "iv",
+        codebooks,
+    ).select("neighbor_id", "codes")
     lut = (
-        _to_int(queries, "query_id")
+        _micro_int_vec(queries, id_col, vec_col, "query_id", scale)
         .withColumn(
             "lut",
             F.transform(

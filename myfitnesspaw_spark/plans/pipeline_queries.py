@@ -1194,6 +1194,12 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grouped.select("query_id", F.posexplode(mmr).alias("pos", "s"))
+        # A candidate pool smaller than K exhausts mid-fold: array_max
+        # over the empty remainder is NULL and the fold pads with null
+        # structs.  The oracle's round CTEs simply emit fewer rows, so
+        # drop the padding to match (ranks of the non-null prefix are
+        # already correct — padding only ever trails).
+        .where(F.col("s").isNotNull())
         .select(
             "query_id",
             (F.col("pos") + 1).cast("int").alias("rank"),
@@ -1710,9 +1716,15 @@ BPE_MERGES: list[tuple[str, str]] = [
 
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
+    # Letter-only vocabulary: tokens() is a whitespace split, so
+    # punctuation would otherwise survive into words — and '<'/'>'
+    # inside a word would corrupt the bracket-delimited encode (the
+    # delimiter safety claim is enforced HERE, not assumed of the
+    # data).  Out-of-alphabet words are handled downstream by
+    # bpe_doc_token_counts' character fallback.
     words = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .where(F.length("word") >= 2)
+        .where((F.length("word") >= 2) & F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -1751,7 +1763,7 @@ def _bpe_vocab_ctes() -> str:
     return f"""words AS (
   SELECT w AS word, COUNT(*) AS freq FROM (
     SELECT unnest({_WORDS}) AS w FROM documents
-  ) WHERE length(w) >= 2 GROUP BY 1
+  ) WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$') GROUP BY 1
 ),
 enc AS (
   SELECT word, freq,
@@ -1781,10 +1793,11 @@ SELECT word, freq, tokens, n_tokens FROM vocab
 # ENCODE THE VOCABULARY, NOT THE CORPUS — the distinct-word table is
 # tokenized once (vocab-sized replace chain) and joined back to the
 # corpus' word stream, so the per-occurrence cost is a join probe, not
-# a re-run of the merge cascade.  Single-character words are no-ops of
-# every merge and count as one token via the join's COALESCE default —
-# they never enter the vocab (the length>=2 filter is shared with
-# bpe_apply_merges).
+# a re-run of the merge cascade.  Words outside the vocabulary
+# (single characters, and anything outside the trained [a-z]+
+# alphabet) take the CHARACTER FALLBACK via the join's COALESCE
+# default — one token per character, the byte/char-fallback every
+# production BPE applies to out-of-alphabet input.
 #
 # Output: per doc, the word count, the BPE token count, and the
 # tokenizer-eval compression rate in exact integer milli-chars/token
@@ -1805,9 +1818,12 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.coalesce(F.col("n_tokens"), F.lit(1).cast("long"))).alias(
-                "n_bpe_tokens"
-            ),
+            F.sum(
+                F.coalesce(
+                    F.col("n_tokens"),
+                    F.greatest(F.length("word"), F.lit(1)).cast("long"),
+                )
+            ).alias("n_bpe_tokens"),
         )
     )
     norms = docs.select(
@@ -1830,7 +1846,8 @@ docwords AS (
 ),
 per_doc AS (
   SELECT d.doc_id, COUNT(*) AS n_words,
-         CAST(SUM(COALESCE(v.n_tokens, 1)) AS BIGINT) AS n_bpe_tokens
+         CAST(SUM(COALESCE(v.n_tokens, GREATEST(length(d.word), 1)))
+              AS BIGINT) AS n_bpe_tokens
   FROM docwords d LEFT JOIN vocab v USING (word)
   GROUP BY 1
 )

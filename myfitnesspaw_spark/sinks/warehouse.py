@@ -100,12 +100,35 @@ import os as _os
 
 
 def store_path(name: str, sf_dir: str) -> str:
-    """Store dir unique per (store name, scale factor, process)."""
+    """Store dir unique per (store name, scale factor, process).
+
+    Every new process would otherwise orphan its predecessors' dirs
+    (the PID suffix exists so concurrent harnesses — tests at sf0.001
+    while a driver sim runs sf0.01 — never overwrite each other
+    mid-read), so each call garbage-collects SIBLING dirs whose owning
+    process is no longer alive.  Live PIDs are never touched; removal
+    is best-effort (a half-removed stale dir is re-removed next call).
+    """
     root = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
         "spark-warehouse",
         "_index_store",
     )
+    try:
+        for entry in _os.listdir(root):
+            pid_s = entry.rsplit("_", 1)[-1]
+            if not pid_s.isdigit() or int(pid_s) == _os.getpid():
+                continue
+            try:
+                _os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                import shutil as _shutil
+
+                _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+            except OSError:
+                pass  # e.g. EPERM: pid exists under another user — leave it
+    except OSError:
+        pass
     sf = _os.path.basename(_os.path.normpath(sf_dir))
     return _os.path.join(root, f"{name}_{sf}_{_os.getpid()}")
 

@@ -473,12 +473,6 @@ def streaming_lsh_ingest_probe(
     doc count, and nothing is ever dropped, which makes multi-batch
     drains exact by construction.
     """
-    from myfitnesspaw_spark.functions.text import (
-        minhash_hashes,
-        minhash_signature,
-        tokens,
-        word_shingles,
-    )
     from myfitnesspaw_spark.operators.dedup import (
         minhash_band_table,
         minhash_signatures,
@@ -518,17 +512,13 @@ def streaming_lsh_ingest_probe(
         .parquet(sf_dir)
     )
     incoming = raw.where(F.col("doc_id") % 10 == 0)
-    toks = incoming.select("doc_id", tokens(F.col("text")).alias("__toks"))
-    sh = toks.select(
-        "doc_id", word_shingles(F.col("__toks"), 3).alias("sh")
-    ).where(F.size("sh") > 0)
-    # Same Generate barrier as minhash_signatures (per-shingle md5
-    # runs once, not once per seed) — minus the localCheckpoint, which
-    # a streaming plan cannot (and does not need to) take.
-    hashed = sh.select(
-        "doc_id", F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
+    # The SAME signing chain the store builder ran (one implementation,
+    # so producer and prober cannot drift); checkpoint=False is the
+    # streaming-compatible path — localCheckpoint is the only piece a
+    # streaming plan cannot take.
+    _, sig = minhash_signatures(
+        incoming, "doc_id", "text", MH_HASHES, checkpoint=False
     )
-    sig = hashed.select("doc_id", *minhash_signature(F.col("__hs"), MH_HASHES))
     bands = minhash_band_table(sig, "doc_id", MH_HASHES, MH_BAND_ROWS)
 
     hits = bands.join(store, ["band", "key"])

@@ -824,8 +824,9 @@ def test_minhash_signature_refresh_probes_the_persisted_store(spark, sf_dir):
 
 def test_bpe_doc_token_counts_composition(spark, sf_dir):
     # The doc-level counts must tie out against the vocab-level query
-    # they join: freq-weighted vocab token mass + one token per
-    # sub-2-char word occurrence == total billed tokens.
+    # they join: freq-weighted vocab token mass + the character
+    # fallback (one token per char) for every out-of-vocabulary word
+    # occurrence == total billed tokens.
     from myfitnesspaw_spark.plans.pipeline_queries import (
         bpe_apply_merges,
         bpe_doc_token_counts,
@@ -836,18 +837,16 @@ def test_bpe_doc_token_counts_composition(spark, sf_dir):
 
     per_doc = bpe_doc_token_counts(spark, sf_dir)
     total = per_doc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
-    vocab_mass = (
-        bpe_apply_merges(spark, sf_dir)
-        .agg(F.sum(F.col("freq") * F.col("n_tokens")))
-        .collect()[0][0]
-    )
-    short_words = (
+    vocab = bpe_apply_merges(spark, sf_dir)
+    vocab_mass = vocab.agg(F.sum(F.col("freq") * F.col("n_tokens"))).collect()[0][0]
+    oov_fallback = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("w"))
-        .where(F.length("w") < 2)
-        .count()
-    )
-    assert total == vocab_mass + short_words
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .join(vocab.select("word"), "word", "left_anti")
+        .agg(F.sum(F.greatest(F.length("word"), F.lit(1)).cast("long")))
+        .collect()[0][0]
+    ) or 0
+    assert total == vocab_mass + oov_fallback
     # And the vocab join must not inflate or drop word occurrences.
     n_words = per_doc.agg(F.sum("n_words")).collect()[0][0]
     all_words = (
