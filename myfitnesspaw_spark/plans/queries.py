@@ -104,6 +104,9 @@ register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
 register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
     sq.streaming_lsh_ingest_probe_q
 )
+register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
+    tq.incremental_cc_refresh
+)
 
 # --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
 # --- scripts/certification_age.py names as violated after the lost
@@ -170,9 +173,6 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
 register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
@@ -180,6 +180,9 @@ register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
 # --- THE R12 FRONT (pre-committed): r7-certified queries that did
 # --- not fit the r11 window — age 5 entering r12, they MUST lead
 # --- the r12 window after the canaries.
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
 register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
     mq.snapshot_full_outer_diff
 )

