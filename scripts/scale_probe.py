@@ -218,6 +218,11 @@ Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
                                              graph only; corpus side =
                                              one label join + row-
                                              local bucket projection)
+    incremental_cc_refresh    1.28x  1.91x  (refresh CC over label +
+                                             delta edges; the two
+                                             shingle passes are the
+                                             simulated-prior-run tax,
+                                             both scan-linear)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -329,6 +334,9 @@ PROBES = [
     # (K² pair space like ann_topk_cosine); the greedy fold itself is
     # row-local and candidate-pool-bounded.
     "mmr_rerank",
+    # r11: label-store CC maintenance — refresh CC input is label-
+    # table + batch-activity sized, never the full pair graph.
+    "incremental_cc_refresh",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
