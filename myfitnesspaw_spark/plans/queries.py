@@ -24,8 +24,12 @@ exactly as VERDICT r10 #1 prescribes:
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. New r11 queries register here, in-window on arrival, displacing
-   the tail of part 4 below the window marker.
+2. The TEN r11 additions, in-window on arrival (each displaced the
+   then-tail of part 4 below the window marker): pq_recall_eval,
+   bpe_apply_merges, minhash_signature_refresh, bpe_doc_token_counts,
+   hll_sketch_refresh, bloom_decontaminated_corpus,
+   leakage_safe_split, mmr_rerank, streaming_lsh_ingest_probe,
+   incremental_cc_refresh.
 3. The FIFTEEN age-5 r6-certified queries — the violated set, named
    by scripts/certification_age.py: daily_type_share,
    daily_event_sequence, hll_union_rollup, column_profile,
@@ -33,17 +37,22 @@ exactly as VERDICT r10 #1 prescribes:
    fk_orphan_audit, cascade_delete_consistency,
    etl_mealentries_silver, etl_exercises_silver, mfp_api_datasource,
    q8_market_share, bigram_lm_score, semantic_dedup_kpp.
-4. The oldest age-4 r7-certified queries, oldest-first in prior
+4. The 22 oldest age-4 r7-certified queries, oldest-first in prior
    registration order, filling the remaining slots.
 
 ROUND-12 FRONT (pre-committed so the rotation stays mechanical):
-the r7-certified queries that do not fit this window turn age 5
-entering r12 and MUST lead the r12 window after the canaries — they
-are exactly the registrations between the window-end marker and the
-"certified r8" comment below.  After them, the r8-certified cohort
-(age 4 entering r12) fills the remaining slots, oldest-first; the
-r8 cohort does not fit in one window, so its own remainder fronts
-r13 ahead of the r10/r11-certified cohorts.
+the TWENTY-FIVE r7-certified queries that did not fit this window
+turn age 5 entering r12 and MUST lead the r12 window after the
+canaries — they are exactly the registrations between the window-end
+marker and the "certified r8" comment below (variant_props_rollup
+through sessionize_events).  After them, the r8-certified cohort (47
+queries, age 4 entering r12) fills the remaining 22 slots,
+oldest-first; the r8 remainder (25) fronts r13 ahead of the
+r10/r11-certified cohorts.  The bound check: 169 registered, 47
+effective slots per round, ceil(166/47) = 4 = MAX_AGE — satisfiable
+exactly as long as EVERY round executes its window (a second lost
+round makes a violation unavoidable; the arithmetic has no slack
+left for one).
 
 Everything outside the window was driver-certified in r8 or r10
 (age <= 3 entering r11) and stays guarded by
