@@ -15,47 +15,46 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-11 WINDOW (catch-up rotation).  Round 10 had zero builder
-turns (VERDICT r10), so the pre-committed r10 front never ran: the
-FIFTEEN r6-certified queries are now age 5 (invariant violated) and
-the 47 r7-certified queries age 4.  This window executes the catch-up
-exactly as VERDICT r10 #1 prescribes:
+ROUND-12 WINDOW (executing the front pre-committed in the r11
+docstring, per VERDICT r11 #1):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. The TEN r11 additions, in-window on arrival (each displaced the
-   then-tail of part 4 below the window marker): pq_recall_eval,
-   bpe_apply_merges, minhash_signature_refresh, bpe_doc_token_counts,
-   hll_sketch_refresh, bloom_decontaminated_corpus,
-   leakage_safe_split, mmr_rerank, streaming_lsh_ingest_probe,
-   incremental_cc_refresh.
-3. The FIFTEEN age-5 r6-certified queries — the violated set, named
-   by scripts/certification_age.py: daily_type_share,
-   daily_event_sequence, hll_union_rollup, column_profile,
-   stratified_sample, passage_dedup, fixed_size_sample,
-   fk_orphan_audit, cascade_delete_consistency,
-   etl_mealentries_silver, etl_exercises_silver, mfp_api_datasource,
-   q8_market_share, bigram_lm_score, semantic_dedup_kpp.
-4. The 22 oldest age-4 r7-certified queries, oldest-first in prior
-   registration order, filling the remaining slots.
+2. Round-12 additions, in-window on arrival (each displaces the
+   then-tail of part 4 below the window marker into the r13 front).
+3. The TWENTY-FIVE r7-certified queries that turned age 5 entering
+   r12 — exactly the set scripts/certification_age.py 12 named as
+   OVERFLOW before this rotation: variant_props_rollup through
+   sessionize_events, including §2 components nutrition_report (Q2),
+   cdc_diff (D1), upsert_keep_latest (K2), point_lookup (S3),
+   topk_retention (D4), date_spine_gaps (D2), multi_format_dates (D3).
+4. The oldest r8-certified queries (age 4 entering r12),
+   oldest-first in prior registration order, filling the remaining
+   slots (22 before any r12 additions land).
 
-ROUND-12 FRONT (pre-committed so the rotation stays mechanical):
-the TWENTY-FIVE r7-certified queries that did not fit this window
-turn age 5 entering r12 and MUST lead the r12 window after the
-canaries — they are exactly the registrations between the window-end
-marker and the "certified r8" comment below (variant_props_rollup
-through sessionize_events).  After them, the r8-certified cohort (47
-queries, age 4 entering r12) fills the remaining 22 slots,
-oldest-first; the r8 remainder (25) fronts r13 ahead of the
-r10/r11-certified cohorts.  The bound check: 169 registered, 47
-effective slots per round, ceil(166/47) = 4 = MAX_AGE — satisfiable
-exactly as long as EVERY round executes its window (a second lost
-round makes a violation unavoidable; the arithmetic has no slack
-left for one).
+ROUND-13 FRONT (pre-committed so the rotation stays mechanical):
+the r8-certified remainder below the window marker — age 5 entering
+r13 — MUST lead the r13 window after the canaries; they are exactly
+the registrations between the window-end marker and the "certified
+r10" comment (doc_chunk_overlap through cube_sales, plus any part-4
+tail displaced by r12 additions).  After them, the r10-certified
+cohort (47 queries, age 3 entering r13) fills the remaining slots
+oldest-first; its remainder fronts r14, and the r11-certified cohort
+(age 2 entering r13) rotates last.
 
-Everything outside the window was driver-certified in r8 or r10
-(age <= 3 entering r11) and stays guarded by
+GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
+169 + small refresh-variant additions.  MAX_AGE = 4 with 47
+effective slots/round is satisfiable only while the registry holds
+at most 3 + 4*47 = 191 queries under the conservative
+recert-every-4-rounds schedule; tests/test_bench_book.py asserts
+``len(registry) <= 191`` so growth past the bound is a test failure,
+not a surprise violation.  (The exact invariant — age 5 is legal
+in-window — would allow 3 + 5*47 = 238, but the conservative bound
+keeps one full round of slack for a lost round like r10.)
+
+Everything outside the window was driver-certified in r10 or r11
+(age <= 2 entering r12) and stays guarded by
 tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -92,103 +91,11 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: round-11 additions land here, in-window on arrival
+# --- Part 2: round-12 additions land here, in-window on arrival
 # --- (each displaces the tail of part 4 below the window marker).
-register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
-register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
-register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
-    tq.minhash_signature_refresh
-)
-register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
-register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
-    smp.hll_sketch_refresh
-)
-register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.bloom_decontaminated_corpus
-)
-register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
-    tq.leakage_safe_split
-)
-register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
-register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
-    sq.streaming_lsh_ingest_probe_q
-)
-register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
-    tq.incremental_cc_refresh
-)
 
-# --- Part 3: the FIFTEEN age-5 r6-certified queries (the set
-# --- scripts/certification_age.py names as violated after the lost
-# --- round 10; the r10 front that never ran).
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
-register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
-    iq.cascade_delete_consistency
-)
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
-    ef.etl_mealentries_silver
-)
-register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
-register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
-register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
-register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
-
-# --- Part 4: the oldest age-4 r7-certified queries, oldest-first in
-# --- prior registration order.
-register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
-    sq.tws_user_type_rollup_q
-)
-register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
-register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.decontaminated_corpus
-)
-register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
-    tq.dedup_graph_triangles
-)
-register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
-    oq.q21_waiting_suppliers
-)
-register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
-register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
-register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
-register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
-register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
-    cq.corpus_refresh_pipeline
-)
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
-register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
-register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- THE R12 FRONT (pre-committed): r7-certified queries that did
-# --- not fit the r11 window — age 5 entering r12, they MUST lead
-# --- the r12 window after the canaries.
+# --- Part 3: the TWENTY-FIVE age-5 r7-certified queries (the r12
+# --- front pre-committed by the r11 rotation docstring).
 register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
     nq.variant_props_rollup
 )
@@ -221,8 +128,8 @@ register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_linei
 register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
 register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
 
-# -- certified r8 (age 3 entering r11): fills the r12 window after
-# -- the r12 front, oldest-first; its remainder fronts r13.
+# --- Part 4: the oldest age-4 r8-certified queries, oldest-first in
+# --- prior registration order, filling the window.
 register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
 register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
 register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
@@ -249,6 +156,13 @@ register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
 )
 register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
 register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- THE R13 FRONT (pre-committed): r8-certified queries that did
+# --- not fit the r12 window — age 5 entering r13, they MUST lead
+# --- the r13 window after the canaries.
 register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
 register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
 register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
@@ -293,7 +207,8 @@ register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
 
-# -- certified r10 (age 1 entering r11 — youngest, rotate last):
+# -- certified r10 (age 2 entering r12): fills the r13 window after
+# -- the r13 front, oldest-first; its remainder fronts r14.
 register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
 register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
@@ -371,3 +286,88 @@ register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
 register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
 register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
 register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+
+# -- certified r11 (age 1 entering r12 — youngest, rotate last):
+# -- first the ten r11 additions, then the r6-cohort and r7-cohort
+# -- queries the r11 catch-up window re-certified.
+register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
+register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
+register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
+    tq.minhash_signature_refresh
+)
+register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
+register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
+    smp.hll_sketch_refresh
+)
+register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.bloom_decontaminated_corpus
+)
+register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
+    tq.leakage_safe_split
+)
+register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
+register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
+    sq.streaming_lsh_ingest_probe_q
+)
+register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
+    tq.incremental_cc_refresh
+)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
+    ef.etl_mealentries_silver
+)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
+register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
+register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
+register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
+)
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
+)
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
+)
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
+)
+register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
+register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
+register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
+register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
+register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
+    cq.corpus_refresh_pipeline
+)
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)

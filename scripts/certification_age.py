@@ -34,11 +34,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # A query older than this many rounds, sitting OUTSIDE the current
 # window, violates the rotation invariant and fails the report.
 # MAX_AGE=4 since r8 (VERDICT r7 #1): the arithmetic bound for a
-# 153-query registry cycling through 47 effective slots per round
-# (50-slot window minus 3 permanent canaries) is ceil(150/47) = 4
-# rounds — MAX_AGE=3 was unsatisfiable no matter how the rotation
-# was chosen.  (Recompute this bound whenever the registry grows:
-# it stays 4 up to 3 + 4*47 = 191 registered queries.)
+# registry cycling through 47 effective slots per round (50-slot
+# window minus 3 permanent canaries) is satisfiable up to
+# 3 + 4*47 = 191 registered queries on the conservative
+# recert-every-4-rounds schedule.  GROWTH FREEZE (r12, VERDICT r11
+# #3): tests/test_bench_book.py::test_registry_growth_freeze_bound
+# asserts the registry stays <= 191, so crossing the bound is a test
+# failure decided by editing the constants here, not a surprise
+# violation.  (The exact invariant — age MAX_AGE+1 is legal while
+# in-window — would allow 3 + 5*47 = 238, but the conservative bound
+# keeps one full round of slack for a zero-turn round like r10.)
 # Never-certified out-of-window remains an instant failure, and
 # age == MAX_AGE out-of-window still prints as OVERFLOW (it MUST
 # front the next window); only age > MAX_AGE violates.

@@ -225,6 +225,26 @@ def test_rotation_cycle_sustains_max_age_four():
     assert worst_over > 4, worst_over
 
 
+def test_registry_growth_freeze_bound():
+    """GROWTH FREEZE (VERDICT r11 #3): MAX_AGE=4 with 47 effective
+    slots/round is satisfiable only up to 3 + 4*47 = 191 registered
+    queries (conservative recert-every-4-rounds schedule; the exact
+    invariant would allow 238 but keeps no slack for a lost round).
+    Registry growth past the bound must be a TEST failure decided by
+    editing this bound alongside the rotation constants, never a
+    surprise certification violation three rounds later."""
+    from myfitnesspaw_spark.plans import registry
+    import myfitnesspaw_spark.plans.queries  # noqa: F401  (populates registry)
+
+    ceiling = 3 + ca.MAX_AGE * (ca.WINDOW - 3)
+    assert ceiling == 191
+    n = len(list(registry.queries()))
+    assert n <= ceiling, (
+        f"registry has {n} queries, past the {ceiling} rotation ceiling: "
+        "raise MAX_AGE or retire queries before registering more"
+    )
+
+
 # --- shared round-artifact matcher ---------------------------------------
 
 _art_spec = importlib.util.spec_from_file_location(
