@@ -315,9 +315,13 @@ def minhash_signatures(
     columns ``h0..h{num_hashes-1}``.
 
     ``checkpoint=False`` skips the localCheckpoint — the ONLY piece a
-    STREAMING plan cannot take — so the streaming ingest probe signs
-    through this same chain instead of a drift-prone copy (pass False
-    too when the caller reads the result exactly once).
+    STREAMING plan cannot take — and exists for streaming callers.
+    A BATCH caller must keep the default: the checkpoint is the
+    recompute barrier for every consumer of ``sh``/``sig``, and
+    skipping it silently re-runs tokenize+shingle per consumer — a
+    cost regression no test catches.  Pass False from a batch plan
+    only when it provably consumes the result exactly once (and say
+    so at the call site).
     """
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     sh = toks.select(

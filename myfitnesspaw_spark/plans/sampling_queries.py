@@ -471,6 +471,14 @@ def hll_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")
     )
+    # excess_err_bp: basis points OVER the 5% bar, clamped to 0 while
+    # within it — constant (hash-stable) on success, but a future
+    # failure self-reports its magnitude instead of a bare flipped
+    # boolean (ADVICE r11: lgConfigK default or estimator changes
+    # would otherwise surface as an unexplained hash mismatch).
+    err_excess = F.abs(F.col("__est") - F.col("exact_distinct")) - 0.05 * F.col(
+        "exact_distinct"
+    )
     return merged.join(exact, "event_type").select(
         "event_type",
         "n_history_sketches",
@@ -480,6 +488,10 @@ def hll_sketch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("__est") - F.col("exact_distinct"))
             <= 0.05 * F.col("exact_distinct")
         ).alias("merged_within_5pct"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil(err_excess * 10000 / F.col("exact_distinct")).cast("long"),
+        ).alias("excess_err_bp"),
     )
 
 
@@ -492,7 +504,8 @@ SELECT event_type,
          FILTER (WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '{HLL_REFRESH_CUTOFF}')
          AS n_batch_sketches,
        COUNT(DISTINCT user_id) AS exact_distinct,
-       TRUE AS merged_within_5pct
+       TRUE AS merged_within_5pct,
+       CAST(0 AS BIGINT) AS excess_err_bp
 FROM events GROUP BY 1
 """
 

@@ -99,6 +99,21 @@ def write_bucketed(
 import os as _os
 
 
+def _proc_start_ticks(pid: int) -> int:
+    """Process start time in clock ticks since boot (``/proc/<pid>/stat``
+    field 22); 0 when /proc is unavailable (non-Linux), degrading the
+    stale-dir GC to PID-liveness only."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may itself contain spaces/parens; real fields
+        # resume after the LAST ')', starting at field 3 (state).
+        fields = data[data.rindex(b")") + 2 :].split()
+        return int(fields[19])  # field 22 = starttime
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def store_path(name: str, sf_dir: str) -> str:
     """Store dir unique per (store name, scale factor, process).
 
@@ -106,8 +121,13 @@ def store_path(name: str, sf_dir: str) -> str:
     (the PID suffix exists so concurrent harnesses — tests at sf0.001
     while a driver sim runs sf0.01 — never overwrite each other
     mid-read), so each call garbage-collects SIBLING dirs whose owning
-    process is no longer alive.  Live PIDs are never touched; removal
-    is best-effort (a half-removed stale dir is re-removed next call).
+    process is no longer alive.  Ownership is (pid, process start
+    ticks), not pid alone: under container PID reuse (ADVICE r11) a
+    recycled pid would otherwise keep a stale dir alive forever — and a
+    new harness handed a stale dir's pid would silently adopt its path.
+    A live pid whose recorded start ticks no longer match is therefore
+    stale too.  Removal is best-effort (a half-removed stale dir is
+    re-removed next call).
     """
     root = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
@@ -116,21 +136,34 @@ def store_path(name: str, sf_dir: str) -> str:
     )
     try:
         for entry in _os.listdir(root):
-            pid_s = entry.rsplit("_", 1)[-1]
-            if not pid_s.isdigit() or int(pid_s) == _os.getpid():
+            parts = entry.rsplit("_", 2)
+            if len(parts) == 3 and parts[-2].isdigit() and parts[-1].isdigit():
+                pid, ticks = int(parts[-2]), int(parts[-1])
+            elif parts[-1].isdigit():  # pre-r12 layout: bare pid suffix
+                pid, ticks = int(parts[-1]), 0
+            else:
+                continue
+            if pid == _os.getpid():
                 continue
             try:
-                _os.kill(int(pid_s), 0)
+                _os.kill(pid, 0)
             except ProcessLookupError:
+                stale = True
+            except OSError:
+                continue  # e.g. EPERM: pid exists under another user — leave it
+            else:
+                # Alive — but a start-tick mismatch means the pid was
+                # recycled by an unrelated process: the owner is gone.
+                stale = ticks != 0 and _proc_start_ticks(pid) != ticks
+            if stale:
                 import shutil as _shutil
 
                 _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
-            except OSError:
-                pass  # e.g. EPERM: pid exists under another user — leave it
     except OSError:
         pass
     sf = _os.path.basename(_os.path.normpath(sf_dir))
-    return _os.path.join(root, f"{name}_{sf}_{_os.getpid()}")
+    me = _os.getpid()
+    return _os.path.join(root, f"{name}_{sf}_{me}_{_proc_start_ticks(me)}")
 
 
 def write_index_store(df: DataFrame, path: str) -> None:

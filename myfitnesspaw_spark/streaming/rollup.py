@@ -497,15 +497,10 @@ def streaming_lsh_ingest_probe(
     ).withColumnRenamed("doc_id", "base_id")
 
     # -- the ingest stream: sign + band row-locally, probe the store.
-    doc_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
+    # Schema comes from the batch table (ADVICE r11): a documents
+    # rename/type change must fail this plan loudly at analysis, not
+    # read nulls and emit zero signatures.
+    doc_schema = base.schema
     raw = (
         spark.readStream.schema(doc_schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -522,3 +522,55 @@ def test_fifo_rotation_plan_matches_sink_selection(spark):
             ).collect()
         )
         assert got == expected, (keep, got, expected)
+
+
+def test_store_path_gc_handles_pid_reuse(tmp_path):
+    """ADVICE r11: dir ownership is (pid, start-ticks), not pid alone.
+    A dead pid's dir is swept in both layouts; a LIVE pid whose
+    recorded start ticks mismatch (container PID reuse) is swept too;
+    the true owner's dir survives."""
+    import os
+    import subprocess
+
+    from myfitnesspaw_spark.sinks.warehouse import _proc_start_ticks, store_path
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "_index_store",
+    )
+    os.makedirs(root, exist_ok=True)
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    live = subprocess.Popen(["sleep", "30"])
+    try:
+        live_ticks = _proc_start_ticks(live.pid)
+        assert live_ticks > 0  # /proc available on the test platform
+        dirs = {
+            "dead_old": os.path.join(root, f"gcprobe_sf0.001_{dead.pid}"),
+            "dead_new": os.path.join(root, f"gcprobe_sf0.001_{dead.pid}_12345"),
+            "reused": os.path.join(
+                root, f"gcprobe_sf0.001_{live.pid}_{live_ticks + 7}"
+            ),
+            "owner": os.path.join(
+                root, f"gcprobe_sf0.001_{live.pid}_{live_ticks}"
+            ),
+        }
+        for d in dirs.values():
+            os.makedirs(d, exist_ok=True)
+
+        mine = store_path("gcprobe", "/x/sf0.001")  # triggers the GC sweep
+        assert mine.endswith(f"_{os.getpid()}_{_proc_start_ticks(os.getpid())}")
+
+        assert not os.path.exists(dirs["dead_old"])
+        assert not os.path.exists(dirs["dead_new"])
+        assert not os.path.exists(dirs["reused"])  # live pid, wrong ticks
+        assert os.path.exists(dirs["owner"])  # live pid, right ticks
+    finally:
+        live.kill()
+        live.wait()
+        import shutil
+
+        for d in ("owner",):
+            shutil.rmtree(os.path.join(root, os.path.basename(dirs[d])), True)
