@@ -1285,6 +1285,16 @@ MMR_RERANK_ORACLE = _mmr_oracle()
 
 HN_K = 5
 HN_QUERY_MOD = 50
+# Fixed-size anchor cap (VERDICT r11 #5): `vec_id % HN_QUERY_MOD` alone
+# keeps the anchor sample corpus-PROPORTIONAL, making the exhaustive
+# path O(N²/mod) at scale.  Contrastive prep needs a bounded anchor set
+# anyway, so cap it: deterministic hash-order (md5 of the id, id
+# tiebreak) + LIMIT compiles to TakeOrderedAndProject — a distributed
+# partial top-K, no global sort — and bounds the whole path at
+# O(N·cap).  At every tested sf the modulo sample is under the cap
+# (10/10/40 anchors), so results and baselines are unchanged; only the
+# 100× behavior differs.
+HN_MAX_ANCHORS = 256
 
 
 def _anchor_batched(anchors, id_col: str, n_batches: int, one_batch):
@@ -1315,20 +1325,25 @@ def hard_negative_mining(
     spark: SparkSession, sf_dir: str, anchor_batches: int | None = None
 ) -> DataFrame:
     """``anchor_batches`` is the broadcast-size knob (see
-    ``_anchor_batched``): None picks scale-aware — one batch at bench
-    scale, 4 beyond, since the anchor sample (corpus/``HN_QUERY_MOD``)
-    grows linearly with the corpus."""
+    ``_anchor_batched``; the batched path stays result-identical and
+    is pinned by test_anchor_batching_result_identical).  Since the
+    ``HN_MAX_ANCHORS`` cap the anchor broadcast is bounded by
+    construction, so None means 1 batch at every scale."""
     from myfitnesspaw_spark.operators.dedup import topk_per_key
     from myfitnesspaw_spark.operators.similarity import cosine
-    from myfitnesspaw_spark.sources import sf_is_small
 
     if anchor_batches is None:
-        anchor_batches = 1 if sf_is_small(sf_dir) else 4
+        anchor_batches = 1
     vecs = scatter(load_table(spark, sf_dir, "embeddings"))
-    anchors = vecs.where(F.col("vec_id") % HN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("av"),
-        F.col("label").alias("anchor_label"),
+    anchors = (
+        vecs.where(F.col("vec_id") % HN_QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("av"),
+            F.col("label").alias("anchor_label"),
+        )
+        .orderBy(F.md5(F.col("anchor_id").cast("string")), F.col("anchor_id"))
+        .limit(HN_MAX_ANCHORS)
     )
     corpus = vecs.select(
         F.col("vec_id").alias("negative_id"),
@@ -1365,6 +1380,8 @@ def _hard_negative_oracle() -> str:
 WITH a AS (
   SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
   FROM embeddings WHERE vec_id % {HN_QUERY_MOD} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {HN_MAX_ANCHORS}
 ),
 scored AS (
   SELECT a.anchor_id, c.vec_id AS negative_id,

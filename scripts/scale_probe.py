@@ -224,6 +224,21 @@ Round-11 additions (sf0.1 base; 2026-08-15, quiet host load<1)::
                                              simulated-prior-run tax,
                                              both scan-linear)
 
+Round-12 additions (sf0.1 base; 2026-08-15, quiet host)::
+
+    query                      K=4    K=8   (data ratio 4.0 / 8.0)
+    hard_negative_mining      2.06x  5.75x  (post HN_MAX_ANCHORS=256
+                                             cap, VERDICT r11 #5: was
+                                             3.46x/8.08x vs the 16x/
+                                             64x pair space when the
+                                             anchor sample was corpus-
+                                             proportional; now the
+                                             cap binds at K=8 — 320
+                                             modulo-sampled anchors
+                                             truncated to 256 — and
+                                             the path is O(N*cap),
+                                             LINEAR in the corpus)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
