@@ -22,7 +22,9 @@ docstring, per VERDICT r11 #1):
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
 2. Round-12 additions, in-window on arrival (each displaces the
-   then-tail of part 4 below the window marker into the r13 front).
+   then-tail of part 4 below the window marker into the r13 front):
+   indexed_cc_refresh (VERDICT r11 #7 — the stored-shingle-index
+   refresh; displaced delta_dedup_pairs).
 3. The TWENTY-FIVE r7-certified queries that turned age 5 entering
    r12 — exactly the set scripts/certification_age.py 12 named as
    OVERFLOW before this rotation: variant_props_rollup through
@@ -93,6 +95,7 @@ register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
 # --- Part 2: round-12 additions land here, in-window on arrival
 # --- (each displaces the tail of part 4 below the window marker).
+register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
 
 # --- Part 3: the TWENTY-FIVE age-5 r7-certified queries (the r12
 # --- front pre-committed by the r11 rotation docstring).
@@ -155,14 +158,16 @@ register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
     sq.streaming_cms_heavy_hitters
 )
 register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 # ---------------------------------------------------------------
 # --- The 50-query driver window ends here.
 # ---------------------------------------------------------------
 
 # --- THE R13 FRONT (pre-committed): r8-certified queries that did
 # --- not fit the r12 window — age 5 entering r13, they MUST lead
-# --- the r13 window after the canaries.
+# --- the r13 window after the canaries.  delta_dedup_pairs leads:
+# --- it was the part-4 tail the indexed_cc_refresh addition
+# --- displaced below the marker.
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
 register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
 register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)

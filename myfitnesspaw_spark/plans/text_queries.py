@@ -403,6 +403,67 @@ def incremental_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- indexed_cc_refresh -------------------------------------------------------
+# incremental_cc_refresh with the LAST full-corpus pass removed
+# (VERDICT r11 #7): that query re-shingles the whole corpus per
+# refresh to rebuild the probe-side inverted index — an honest 100×
+# caveat noted in its plan.  Here the prior run persists the exploded
+# shingle index ALONGSIDE the label table (the same parquet index
+# store that already holds bands/sketches/bloom/labels), and the
+# refresh shingles ONLY the batch docs: probe index = stored shingles
+# ∪ batch shingles, so every refresh-side input is O(|store| read +
+# |batch| compute) — no base text is ever re-tokenized.  Same output
+# contract as dedup_clusters/incremental_cc_refresh, certified
+# against the same full-graph transitive-closure oracle.
+
+
+def indexed_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_delta,
+    )
+    from myfitnesspaw_spark.sinks.warehouse import (
+        read_index_store,
+        store_path,
+        write_index_store,
+    )
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+
+    # -- simulated prior run: shingle the base corpus ONCE, persist the
+    # exploded shingle index, and persist the CC label table computed
+    # from that same stored index (read back so the certified refresh
+    # consumes exactly what a real prior run would have left behind).
+    idx_path = store_path("cc_shingle_idx", sf_dir)
+    write_index_store(shingle_sets(base, "doc_id", "text", n=3), idx_path)
+    sh_stored = read_index_store(spark, idx_path, "doc_id bigint, shingle string")
+    base_pairs = jaccard_pairs_prefix(sh_stored, "doc_id", JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    lbl_path = store_path("cc_labels_idx", sf_dir)
+    write_index_store(connected_components(base_pairs), lbl_path)
+    stored = read_index_store(spark, lbl_path, "node bigint, cluster bigint")
+
+    # -- refresh: shingle only the batch, probe store ∪ batch, CC over
+    # label edges + delta pairs (contraction property, as in
+    # incremental_cc_refresh).
+    sh_batch = shingle_sets(batch, "doc_id", "text", n=3)
+    sh_probe = read_index_store(
+        spark, idx_path, "doc_id bigint, shingle string"
+    ).unionByName(sh_batch)
+    delta = jaccard_pairs_delta(
+        sh_probe, "doc_id", JACCARD_THRESHOLD, batch.select("doc_id")
+    ).select("id_a", "id_b")
+    label_edges = stored.select(
+        F.col("node").alias("id_a"), F.col("cluster").alias("id_b")
+    )
+    return connected_components(label_edges.unionByName(delta)).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same cluster assignment as :func:`dedup_clusters`, computed with
     the large-star/small-star contraction (O(log^2 n) rounds) instead

@@ -1110,3 +1110,33 @@ def test_incremental_cc_refresh_contraction_property(spark, sf_dir):
     # near-dup graphs far below it.
     assert stored_n <= 2 * base_pairs
     assert stored_n + delta_pairs <= full_pairs + stored_n  # sanity: finite
+
+
+def test_indexed_cc_refresh_reads_stored_shingles(spark, sf_dir):
+    """VERDICT r11 #7: the stored-index refresh must (a) reproduce
+    dedup_clusters exactly, and (b) actually own a persisted shingle
+    index holding exactly the BASE corpus' exploded shingles — the
+    piece whose in-query recomputation was incremental_cc_refresh's
+    documented 100× caveat."""
+    import os
+
+    from myfitnesspaw_spark.operators.dedup import shingle_sets
+    from myfitnesspaw_spark.plans.text_queries import (
+        dedup_clusters,
+        indexed_cc_refresh,
+    )
+    from myfitnesspaw_spark.sinks.warehouse import read_index_store, store_path
+    from myfitnesspaw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = indexed_cc_refresh(spark, sf_dir)
+    want = dedup_clusters(spark, sf_dir)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    idx = store_path("cc_shingle_idx", sf_dir)
+    assert os.path.isdir(idx)
+    stored = read_index_store(spark, idx, "doc_id bigint, shingle string")
+    base = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    want_sh = shingle_sets(base, "doc_id", "text", n=3)
+    assert stored.exceptAll(want_sh).isEmpty()
+    assert want_sh.exceptAll(stored).isEmpty()
