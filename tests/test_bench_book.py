@@ -225,6 +225,22 @@ def test_rotation_cycle_sustains_max_age_four():
     assert worst_over > 4, worst_over
 
 
+def test_permanent_canaries_lead_the_registry():
+    """The three permanent canaries (flagship, one streaming path, one
+    dedup path) must be the first three registrations EVERY round — a
+    rotation edit that drops them out of the driver window would let a
+    loader/session regression hide for a full round."""
+    from myfitnesspaw_spark.plans import registry
+    import myfitnesspaw_spark.plans.queries  # noqa: F401
+
+    names = list(registry.queries())
+    assert names[:3] == [
+        "progress_report",
+        "streaming_hourly_rollup",
+        "dedup_clusters",
+    ]
+
+
 def test_registry_growth_freeze_bound():
     """GROWTH FREEZE (VERDICT r11 #3): MAX_AGE=4 with 47 effective
     slots/round is satisfiable only up to 3 + 4*47 = 191 registered
