@@ -1,5 +1,21 @@
 """Every registered named query must match its DuckDB oracle —
-the same check the driver runs at sf0.01 (here at the test sf)."""
+the same check the driver runs at sf0.01 (here at the test sf).
+
+The same pass also LINTS each query's final physical plan (free: the
+DataFrame is already built, and ``explainString`` only runs Catalyst,
+not the job).  This turns the per-query plan audits in
+``test_plans.py`` into a registry-wide ratchet:
+
+- ``CartesianProduct`` is banned outright — every cross-shaped join in
+  the repo must be broadcast-bounded (BNLJ), never a full cartesian;
+- row-at-a-time Python (``BatchEvalPython*``) is allowed only for the
+  one intentional UDTF demo;
+- ``BroadcastNestedLoopJoin`` is allowlisted per query: BNLJ is the
+  right plan for k≪N non-equi / 1-row-aggregate joins, but a NEW query
+  that introduces one must be added here consciously (with the same
+  construction-bounded-side audit the existing entries got) rather
+  than slipping in silently.
+"""
 
 from __future__ import annotations
 
@@ -11,10 +27,71 @@ from tests.conftest import assert_matches_oracle
 _QUERIES = registry.queries()
 _ORACLES = registry.oracle_sql()
 
+# Queries whose final plan may contain a BroadcastNestedLoopJoin.  Every
+# entry was audited (VERDICT r11 + the r12 sweep) as joining against a
+# construction-bounded side: a 1-row global aggregate (corpus stats, IDF
+# normalizer, quota totals), a literal band/bucket dimension, or a
+# bounded anchor/query sample.
+_BNLJ_ALLOWED = frozenset(
+    {
+        "ann_topk_cosine",
+        "bm25_rank",
+        "cascade_delete_consistency",
+        "cms_heavy_hitters",
+        "corpus_build_pipeline",
+        "etl_exercises_silver",
+        "etl_mealentries_silver",
+        "etl_meals_silver",
+        "fk_orphan_audit",
+        "forward_fill_gauge",
+        "hard_negative_mining",
+        "ivf_recall_eval",
+        "kmeans_clusters",
+        "mixture_sample",
+        "mmr_rerank",
+        "pq_ann_topk",
+        "pq_recall_eval",
+        "price_band_join",
+        "q22_dormant_customers",
+        "random_negative_sampling",
+        "streaming_cms_heavy_hitters",
+        "tf_idf_topk",
+    }
+)
+
+# Row-at-a-time Python evaluation is the slow path; the only permitted
+# site is the Spark 4 UDTF demo (result-checked against the native form
+# in test_plans.py).
+_ROW_PYTHON_ALLOWED = frozenset({"sentence_split_udtf"})
+
+
+def _lint_final_plan(name: str, df) -> None:
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in the final plan — a cross-shaped join "
+        f"lost its broadcast bound (check the small side's construction)"
+    )
+    if "BatchEvalPython" in plan and name not in _ROW_PYTHON_ALLOWED:
+        raise AssertionError(
+            f"{name}: row-at-a-time Python eval (BatchEvalPython*) in the "
+            f"final plan — use built-in functions or an Arrow-batched "
+            f"pandas UDF, or allowlist deliberately"
+        )
+    if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+        raise AssertionError(
+            f"{name}: unallowlisted BroadcastNestedLoopJoin — audit that the "
+            f"build side is construction-bounded, then add it to "
+            f"_BNLJ_ALLOWED in {__name__}"
+        )
+
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
+    _lint_final_plan(name, df)
     oracle = _ORACLES.get(name)
     if oracle is None:
         assert df.count() >= 0  # rows-only check, like the driver
