@@ -238,6 +238,17 @@ Round-12 additions (sf0.1 base; 2026-08-15, quiet host)::
                                              truncated to 256 — and
                                              the path is O(N*cap),
                                              LINEAR in the corpus)
+    indexed_cc_refresh        1.50x  1.93x  (stored-shingle-index
+                                             variant of
+                                             incremental_cc_refresh:
+                                             refresh side never
+                                             re-tokenizes base text —
+                                             O(|store| read +
+                                             |batch| compute); the
+                                             residual growth is the
+                                             simulated prior run
+                                             seeding the two stores,
+                                             scan-linear by design)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -352,6 +363,11 @@ PROBES = [
     # r11: label-store CC maintenance — refresh CC input is label-
     # table + batch-activity sized, never the full pair graph.
     "incremental_cc_refresh",
+    # r12: the stored-shingle-index variant — refresh side is
+    # O(|store| read + |batch| compute) with no base re-tokenize; the
+    # probe's residual growth is the simulated prior run seeding the
+    # two stores (scan-linear by design).
+    "indexed_cc_refresh",
 ]
 
 # Fact-table probes (``python scripts/scale_probe.py facts [K]``):
