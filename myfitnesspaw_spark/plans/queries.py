@@ -15,48 +15,46 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-12 WINDOW (executing the front pre-committed in the r11
-docstring, per VERDICT r11 #1):
+ROUND-13 WINDOW (executing the front pre-committed in the r12
+docstring, per VERDICT r12 #1):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-12 additions, in-window on arrival (each displaces the
-   then-tail of part 4 below the window marker into the r13 front):
-   indexed_cc_refresh (VERDICT r11 #7 — the stored-shingle-index
-   refresh; displaced delta_dedup_pairs).
-3. The TWENTY-FIVE r7-certified queries that turned age 5 entering
-   r12 — exactly the set scripts/certification_age.py 12 named as
-   OVERFLOW before this rotation: variant_props_rollup through
-   sessionize_events, including §2 components nutrition_report (Q2),
-   cdc_diff (D1), upsert_keep_latest (K2), point_lookup (S3),
-   topk_retention (D4), date_spine_gaps (D2), multi_format_dates (D3).
-4. The oldest r8-certified queries (age 4 entering r12),
+2. Round-13 additions land here, in-window on arrival — NONE
+   expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
+   tests/test_bench_book.py asserts <= 191).
+3. The TWENTY-SIX r8-certified queries that turned age 5 entering
+   r13 — exactly the OVERFLOW list scripts/certification_age.py 12
+   printed: delta_dedup_pairs through cube_sales, including §2
+   streaming components session_window_events,
+   streaming_upsert_latest_event (K2-streaming),
+   streaming_dedup_counts, and the TPC-shaped Q7/Q17/Q19/Q22 family.
+4. The oldest r10-certified queries (age 3 entering r13),
    oldest-first in prior registration order, filling the remaining
-   slots (22 before any r12 additions land).
+   21 slots: median_order_value through spend_rank_dist.
 
-ROUND-13 FRONT (pre-committed so the rotation stays mechanical):
-the r8-certified remainder below the window marker — age 5 entering
-r13 — MUST lead the r13 window after the canaries; they are exactly
-the registrations between the window-end marker and the "certified
-r10" comment (doc_chunk_overlap through cube_sales, plus any part-4
-tail displaced by r12 additions).  After them, the r10-certified
-cohort (47 queries, age 3 entering r13) fills the remaining slots
-oldest-first; its remainder fronts r14, and the r11-certified cohort
-(age 2 entering r13) rotates last.
+ROUND-14 FRONT (pre-committed so the rotation stays mechanical):
+the r10-certified remainder below the window marker — age 4 entering
+r14 — MUST lead the r14 window after the canaries; they are exactly
+the 26 registrations between the window-end marker and the
+"certified r11" comment (salted_priority_revenue through
+forward_fill_gauge).  After them, the r11-certified cohort (47
+queries, age 3 entering r14) fills the remaining 21 slots
+oldest-first; its remainder (26) fronts r15, and the r12-certified
+cohort (age 1 entering r13) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
-169 + small refresh-variant additions.  MAX_AGE = 4 with 47
-effective slots/round is satisfiable only while the registry holds
-at most 3 + 4*47 = 191 queries under the conservative
-recert-every-4-rounds schedule; tests/test_bench_book.py asserts
-``len(registry) <= 191`` so growth past the bound is a test failure,
-not a surprise violation.  (The exact invariant — age 5 is legal
-in-window — would allow 3 + 5*47 = 238, but the conservative bound
-keeps one full round of slack for a lost round like r10.)
+170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
+while the registry holds at most 3 + 4*47 = 191 queries under the
+conservative recert-every-4-rounds schedule; tests/test_bench_book.py
+asserts ``len(registry) <= 191`` so growth past the bound is a test
+failure, not a surprise violation.  (The exact invariant — age 5 is
+legal in-window — would allow 3 + 5*47 = 238, but the conservative
+bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r10 or r11
-(age <= 2 entering r12) and stays guarded by
+Everything outside the window was driver-certified in r11 or r12
+(age <= 2 entering r13) and stays guarded by
 tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -86,87 +84,17 @@ from myfitnesspaw_spark.plans.progress import (
 )
 from myfitnesspaw_spark.plans.registry import register
 
-
 # --- Window part 1: permanent canaries (pinned in-window every round
 # --- from round 5 on) - flagship, one streaming path, one dedup path.
 register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: round-12 additions land here, in-window on arrival
-# --- (each displaces the tail of part 4 below the window marker).
-register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
+# --- Part 2: round-13 additions would land here, in-window on
+# --- arrival — none: the registry is growth-frozen at 170.
 
-# --- Part 3: the TWENTY-FIVE age-5 r7-certified queries (the r12
-# --- front pre-committed by the r11 rotation docstring).
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
-register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
-register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
-register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
-register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
-    core_ops.latest_event_per_user
-)
-register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
-register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
-register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
-register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
-register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
-register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
-register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
-register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
-register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
-register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
-register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
-register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
-register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-
-# --- Part 4: the oldest age-4 r8-certified queries, oldest-first in
-# --- prior registration order, filling the window.
-register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
-register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
-register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
-register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
-register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
-register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
-register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
-register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
-register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
-    bq.recursive_user_spine
-)
-register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
-register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
-register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
-    sq.streaming_cms_heavy_hitters
-)
-register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- THE R13 FRONT (pre-committed): r8-certified queries that did
-# --- not fit the r12 window — age 5 entering r13, they MUST lead
-# --- the r13 window after the canaries.  delta_dedup_pairs leads:
-# --- it was the part-4 tail the indexed_cc_refresh addition
-# --- displaced below the marker.
+# --- Part 3: the TWENTY-SIX age-5 r8-certified queries (the r13
+# --- front pre-committed by the r12 rotation docstring).
 register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
 register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
@@ -212,8 +140,8 @@ register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
 register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
 register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
 
-# -- certified r10 (age 2 entering r12): fills the r13 window after
-# -- the r13 front, oldest-first; its remainder fronts r14.
+# --- Part 4: the oldest age-3 r10-certified queries, oldest-first
+# --- in prior registration order, filling the window.
 register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
 register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
 register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
@@ -253,6 +181,14 @@ register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
 )
 register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
 register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- THE R14 FRONT (pre-committed): r10-certified queries that did
+# --- not fit the r13 window — age 4 entering r14, they MUST lead
+# --- the r14 window after the canaries.
 register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
     oq.salted_priority_revenue
 )
@@ -292,9 +228,8 @@ register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
 register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
 register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
 
-# -- certified r11 (age 1 entering r12 — youngest, rotate last):
-# -- first the ten r11 additions, then the r6-cohort and r7-cohort
-# -- queries the r11 catch-up window re-certified.
+# -- certified r11 (age 2 entering r13): fills the r14 window after
+# -- the r14 front, oldest-first; its remainder fronts r15.
 register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
 register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
 register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
@@ -376,3 +311,63 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
 register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+
+# -- certified r12 (age 1 entering r13 — youngest, rotate last):
+# -- the r12 window minus the canaries, in r12 window order.
+register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
+)
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
+    core_ops.latest_event_per_user
+)
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
+register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
