@@ -27,6 +27,7 @@ from myfitnesspaw_spark.streaming import (
     stream_upsert_latest,
     streaming_hourly_rollup,
 )
+from myfitnesspaw_spark.streaming.lint_hook import lint_batch_plan
 
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
 
@@ -347,6 +348,7 @@ def streaming_cms_heavy_hitters(
             .groupBy("token")
             .agg(F.sum("n_true").alias("n_true"))
         )
+        lint_batch_plan("streaming_cms_sink", merged)
         merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
 
     query = (

@@ -114,6 +114,15 @@ def _proc_start_ticks(pid: int) -> int:
         return 0
 
 
+# Age backstop for the sweep below: liveness checks cannot see a
+# recycled pid behind a pre-r12 bare-pid dir (ticks unknown) or an
+# EPERM pid (another user).  Any sibling dir untouched for this long
+# is stale regardless — stores are rewritten (dir mtime refreshed) on
+# every refresh-query run, and a harness session lasts hours, not
+# days, so a day-old dir has no live reader (VERDICT r12 #7).
+_STORE_TTL_SECONDS = 24 * 3600
+
+
 def store_path(name: str, sf_dir: str) -> str:
     """Store dir unique per (store name, scale factor, process).
 
@@ -126,7 +135,11 @@ def store_path(name: str, sf_dir: str) -> str:
     recycled pid would otherwise keep a stale dir alive forever — and a
     new harness handed a stale dir's pid would silently adopt its path.
     A live pid whose recorded start ticks no longer match is therefore
-    stale too.  Removal is best-effort (a half-removed stale dir is
+    stale too — including when that pid is OURS (ADVICE r12: a
+    recycled-into-us pid proves the dir belongs to a dead
+    predecessor).  Dirs whose liveness is unknowable (bare-pid layout
+    with the pid alive, EPERM pids) fall to the ``_STORE_TTL_SECONDS``
+    age backstop.  Removal is best-effort (a half-removed stale dir is
     re-removed next call).
     """
     root = _os.path.join(
@@ -134,7 +147,12 @@ def store_path(name: str, sf_dir: str) -> str:
         "spark-warehouse",
         "_index_store",
     )
+    me = _os.getpid()
+    my_ticks = _proc_start_ticks(me)
     try:
+        import time as _time
+
+        now = _time.time()
         for entry in _os.listdir(root):
             parts = entry.rsplit("_", 2)
             if len(parts) == 3 and parts[-2].isdigit() and parts[-1].isdigit():
@@ -143,18 +161,35 @@ def store_path(name: str, sf_dir: str) -> str:
                 pid, ticks = int(parts[-1]), 0
             else:
                 continue
-            if pid == _os.getpid():
-                continue
-            try:
-                _os.kill(pid, 0)
-            except ProcessLookupError:
+            if pid == me:
+                # Ours only when the start ticks match (on platforms
+                # without /proc both sides read 0 and we keep it —
+                # best-effort).  A bare-pid or tick-mismatched dir
+                # carrying our pid is a dead predecessor's, recycled.
+                if ticks == my_ticks:
+                    continue
                 stale = True
-            except OSError:
-                continue  # e.g. EPERM: pid exists under another user — leave it
             else:
-                # Alive — but a start-tick mismatch means the pid was
-                # recycled by an unrelated process: the owner is gone.
-                stale = ticks != 0 and _proc_start_ticks(pid) != ticks
+                try:
+                    _os.kill(pid, 0)
+                except ProcessLookupError:
+                    stale = True
+                except OSError:
+                    stale = False  # e.g. EPERM: another user's pid — age-gate only
+                else:
+                    # Alive — but a start-tick mismatch means the pid
+                    # was recycled by an unrelated process: the owner
+                    # is gone.  ticks == 0 (bare layout) is unknowable
+                    # by liveness; the age backstop below decides.
+                    stale = ticks != 0 and _proc_start_ticks(pid) != ticks
+            if not stale:
+                try:
+                    stale = (
+                        now - _os.path.getmtime(_os.path.join(root, entry))
+                        > _STORE_TTL_SECONDS
+                    )
+                except OSError:
+                    stale = False
             if stale:
                 import shutil as _shutil
 
@@ -162,8 +197,7 @@ def store_path(name: str, sf_dir: str) -> str:
     except OSError:
         pass
     sf = _os.path.basename(_os.path.normpath(sf_dir))
-    me = _os.getpid()
-    return _os.path.join(root, f"{name}_{sf}_{me}_{_proc_start_ticks(me)}")
+    return _os.path.join(root, f"{name}_{sf}_{me}_{my_ticks}")
 
 
 def write_index_store(df: DataFrame, path: str) -> None:

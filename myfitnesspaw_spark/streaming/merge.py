@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.operators import upsert_keep_latest
+from myfitnesspaw_spark.streaming.lint_hook import lint_batch_plan
 
 
 def stream_upsert_latest(
@@ -46,6 +47,7 @@ def stream_upsert_latest(
             )
         else:
             merged = upsert_keep_latest(batch, key_cols, version_col)
+        lint_batch_plan(sink_name, merged)
         merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
 
     query = (

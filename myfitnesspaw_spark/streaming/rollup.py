@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from myfitnesspaw_spark.functions.numeric import money_cents
+from myfitnesspaw_spark.streaming.lint_hook import lint_batch_plan
 
 def state_shuffle_partitions(spark: SparkSession) -> int:
     """Shuffle-partition count for STATEFUL streaming queries.
@@ -147,6 +148,7 @@ def _drain_update_merge(
         merged = state.join(
             batch.select(key_cols), key_cols, "left_anti"
         ).unionByName(batch)
+        lint_batch_plan(sink_name, merged)
         merged.localCheckpoint().createOrReplaceGlobalTempView(state_view)
 
     query = (

@@ -66,10 +66,25 @@ _ROW_PYTHON_ALLOWED = frozenset({"sentence_split_udtf"})
 
 
 def _lint_final_plan(name: str, df) -> None:
-    spark = df.sparkSession
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    # classic PySpark exposes the JVM QueryExecution directly; under
+    # Spark Connect (no _jdf) fall back to the public explain() text so
+    # the lint degrades to the same check instead of erroring the whole
+    # registry sweep (ADVICE r12).
+    if hasattr(df, "_jdf"):
+        spark = df.sparkSession
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    else:  # pragma: no cover - exercised only under Spark Connect
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
     assert "CartesianProduct" not in plan, (
         f"{name}: CartesianProduct in the final plan — a cross-shaped join "
         f"lost its broadcast bound (check the small side's construction)"
@@ -86,6 +101,38 @@ def _lint_final_plan(name: str, df) -> None:
             f"build side is construction-bounded, then add it to "
             f"_BNLJ_ALLOWED in {__name__}"
         )
+
+
+def _lint_inner_batch_plan(sink_name: str, df) -> None:
+    """Lint for streaming queries' foreachBatch micro-batch plans
+    (VERDICT r12 #8): the final-plan lint sees only the drained
+    localCheckpoint scan, so the plans that do the streaming work are
+    checked here, via the ``lint_hook`` seam, on every micro-batch the
+    sweep drives.  CartesianProduct and row-Python are held to the
+    final-plan standard; BNLJ is exempt — inner frames join
+    micro-batch-bounded state, and the per-query audit that backs the
+    final-plan allowlist has no equivalent for anonymous inner plans."""
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{sink_name}: CartesianProduct inside a foreachBatch merge plan"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{sink_name}: row-at-a-time Python eval inside a foreachBatch "
+        f"merge plan"
+    )
+
+
+@pytest.fixture(autouse=True)
+def _hook_inner_plan_lint():
+    from myfitnesspaw_spark.streaming import lint_hook
+
+    lint_hook.BATCH_PLAN_LINT = _lint_inner_batch_plan
+    yield
+    lint_hook.BATCH_PLAN_LINT = None
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

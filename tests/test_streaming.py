@@ -457,3 +457,55 @@ def test_tws_v2_plan_construction_with_mocked_gate(spark, sf_dir, monkeypatch):
     assert recorded["mode"] == "Update"
     assert recorded["time"] == "None"
     assert got == baseline
+
+
+def test_inner_batch_plan_lint_hook(spark, tmp_path):
+    """The lint_hook seam (VERDICT r12 #8): foreachBatch merge bodies
+    hand every micro-batch plan to the installed hook; the default is
+    a no-op, and a raising hook fails the streaming drain (so the
+    oracle sweep's inner-plan lint cannot be silently bypassed)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from myfitnesspaw_spark.streaming import lint_hook
+    from myfitnesspaw_spark.streaming.rollup import _drain_update_merge
+
+    assert lint_hook.BATCH_PLAN_LINT is None  # production default: no-op
+
+    def _make_agg(name):
+        src = str(tmp_path / name)
+        spark.createDataFrame(
+            [("2024-01-01 00:05:00", "click", 1.0)],
+            "ts_s string, event_type string, value double",
+        ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value").write.parquet(src)
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        return (
+            stream.withWatermark("ts", "3650 days")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    calls = []
+    lint_hook.BATCH_PLAN_LINT = lambda n, df: calls.append((n, len(df.columns)))
+    try:
+        out = _drain_update_merge(
+            _make_agg("hook_ok"), ["win", "event_type"],
+            "hook_ok_state", "hook_ok_sink",
+        )
+        assert out.count() == 1
+        assert calls and all(n == "hook_ok_sink" for n, _ in calls)
+
+        def _boom(name, df):
+            raise AssertionError(f"lint rejected {name}")
+
+        lint_hook.BATCH_PLAN_LINT = _boom
+        with _pytest.raises(Exception, match="lint rejected"):
+            _drain_update_merge(
+                _make_agg("hook_boom"), ["win", "event_type"],
+                "hook_boom_state", "hook_boom_sink",
+            )
+    finally:
+        lint_hook.BATCH_PLAN_LINT = None
+        spark.sql("DROP VIEW IF EXISTS global_temp.hook_boom_state")

@@ -531,6 +531,7 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
     the true owner's dir survives."""
     import os
     import subprocess
+    import time
 
     from myfitnesspaw_spark.sinks.warehouse import _proc_start_ticks, store_path
 
@@ -541,12 +542,16 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
     )
     os.makedirs(root, exist_ok=True)
 
+    from myfitnesspaw_spark.sinks.warehouse import _STORE_TTL_SECONDS
+
     dead = subprocess.Popen(["true"])
     dead.wait()
     live = subprocess.Popen(["sleep", "30"])
+    dirs = {}
     try:
         live_ticks = _proc_start_ticks(live.pid)
         assert live_ticks > 0  # /proc available on the test platform
+        my_pid = os.getpid()
         dirs = {
             "dead_old": os.path.join(root, f"gcprobe_sf0.001_{dead.pid}"),
             "dead_new": os.path.join(root, f"gcprobe_sf0.001_{dead.pid}_12345"),
@@ -556,21 +561,38 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
             "owner": os.path.join(
                 root, f"gcprobe_sf0.001_{live.pid}_{live_ticks}"
             ),
+            # ADVICE r12: a dir embedding OUR pid but foreign ticks is a
+            # dead predecessor whose pid was recycled into us — sweep it
+            # (both layouts).
+            "self_reused": os.path.join(root, f"gcprobe_sf0.001_{my_pid}_1"),
+            "self_bare": os.path.join(root, f"gcprobe_sf0.001_{my_pid}"),
+            # Age backstop: bare-pid dir of a LIVE pid is unknowable by
+            # liveness; swept only once older than the TTL.
+            "bare_live_old": os.path.join(root, f"gcprobe2_sf0.001_{live.pid}"),
+            "bare_live_fresh": os.path.join(root, f"gcprobe3_sf0.001_{live.pid}"),
         }
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
+        old = time.time() - _STORE_TTL_SECONDS - 60
+        os.utime(dirs["bare_live_old"], (old, old))
 
         mine = store_path("gcprobe", "/x/sf0.001")  # triggers the GC sweep
-        assert mine.endswith(f"_{os.getpid()}_{_proc_start_ticks(os.getpid())}")
+        assert mine.endswith(f"_{my_pid}_{_proc_start_ticks(my_pid)}")
 
         assert not os.path.exists(dirs["dead_old"])
         assert not os.path.exists(dirs["dead_new"])
         assert not os.path.exists(dirs["reused"])  # live pid, wrong ticks
+        assert not os.path.exists(dirs["self_reused"])  # our pid, wrong ticks
+        assert not os.path.exists(dirs["self_bare"])  # our pid, bare layout
+        assert not os.path.exists(dirs["bare_live_old"])  # over-TTL backstop
+        assert os.path.exists(dirs["bare_live_fresh"])  # live + fresh: kept
         assert os.path.exists(dirs["owner"])  # live pid, right ticks
     finally:
         live.kill()
         live.wait()
         import shutil
 
-        for d in ("owner",):
-            shutil.rmtree(os.path.join(root, os.path.basename(dirs[d])), True)
+        # Remove EVERY probe dir (ADVICE r12: a mid-test failure must
+        # not leave litter in the repo's real _index_store).
+        for d in dirs.values():
+            shutil.rmtree(d, True)
