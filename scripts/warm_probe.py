@@ -85,7 +85,15 @@ def main() -> int:
             times.append(time.perf_counter() - t0)
         best = min(times[1:])
         base = base_q.get(name)
-        ratio = f"{best / base:.2f}x vs baseline {base}" if base else "no baseline"
+        if base:
+            ratio = f"{best / base:.2f}x vs baseline {base}"
+            ref = baseline.get("host_cal_ref")
+            if ref and cal:
+                # the number every clearance note needs: raw ratio
+                # divided by this host's slowdown vs the recording ref.
+                ratio += f" = {best / base / (cal / ref):.2f}x host-normalized"
+        else:
+            ratio = "no baseline"
         print(
             f"{name}: warm best-of-{reps} {best:.3f}s ({ratio}; "
             f"all reps {[round(t, 3) for t in times[1:]]}, warmup {times[0]:.3f})"
