@@ -560,3 +560,110 @@ def test_triangle_counts_canonicalize_noisy_input(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_cc_refresh_contraction_random(spark):
+    """The refresh protocol behind incremental_cc_refresh /
+    indexed_cc_refresh rests on one graph property: CC over (stored
+    base labels as edges) ∪ (pairs touching the batch) equals CC over
+    ALL pairs.  The registered queries certify it on ONE fixed corpus
+    and split (doc_id % 10); seeded random graphs and splits check the
+    contraction itself, not the split the testdata happens to have."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(1307)
+    for trial in range(3):
+        n = int(rng.randint(8, 40))
+        m = int(rng.randint(4, 80))
+        edges = sorted(
+            {
+                (int(rng.randint(0, n)), int(rng.randint(0, n)))
+                for _ in range(m)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        batch = {int(x) for x in rng.choice(n, size=max(1, n // 4), replace=False)}
+
+        full = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["node"], r["cluster"])
+            for r in connected_components(full).collect()
+        }
+
+        base_edges = [(a, b) for a, b in edges if a not in batch and b not in batch]
+        delta_edges = [(a, b) for a, b in edges if a in batch or b in batch]
+        label_edges = []
+        if base_edges:
+            stored = connected_components(
+                spark.createDataFrame(base_edges, "id_a long, id_b long")
+            )
+            # exactly what the refresh queries feed back: node→cluster
+            # rows as edges (the component min labels itself, so the
+            # merged graph carries self-loops — they must be harmless).
+            label_edges = [(r["node"], r["cluster"]) for r in stored.collect()]
+        merged = label_edges + delta_edges
+        if not merged:
+            continue
+        got = {
+            (r["node"], r["cluster"])
+            for r in connected_components(
+                spark.createDataFrame(merged, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want, f"trial {trial} (n={n}, batch={sorted(batch)})"
+
+
+def test_jaccard_pairs_delta_matches_restricted_full(spark):
+    """jaccard_pairs_delta's exactly-once flag rule (probe<index, or
+    probe>index when the index doc is NOT itself delta) must emit
+    precisely the full pair set restricted to pairs touching the
+    delta — no delta×delta pair twice, no base×delta pair missed,
+    regardless of which side of the id order the delta member sits.
+    Random corpora + random delta subsets; the full set comes from
+    jaccard_pairs_prefix (itself oracle-checked elsewhere)."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs_delta,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    rng = np.random.RandomState(4113)
+    vocab = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot"]
+    threshold = 0.3
+    for trial in range(3):
+        n_docs = int(rng.randint(10, 18))
+        rows = [
+            (
+                i,
+                " ".join(
+                    vocab[int(k)]
+                    for k in rng.randint(0, len(vocab), int(rng.randint(4, 12)))
+                ),
+            )
+            for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = shingle_sets(docs, "doc_id", "text", n=3)
+        batch = sorted(
+            int(x)
+            for x in rng.choice(n_docs, size=max(1, n_docs // 3), replace=False)
+        )
+        batch_df = spark.createDataFrame([(b,) for b in batch], "doc_id long")
+
+        key = lambda r: (r["id_a"], r["id_b"], r["n_shared"], r["n_a"], r["n_b"])
+        full = {
+            key(r) for r in jaccard_pairs_prefix(sh, "doc_id", threshold).collect()
+        }
+        bs = set(batch)
+        want = {p for p in full if p[0] in bs or p[1] in bs}
+        got = {
+            key(r)
+            for r in jaccard_pairs_delta(sh, "doc_id", threshold, batch_df).collect()
+        }
+        assert got == want, f"trial {trial} (batch={batch})"
