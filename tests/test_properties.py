@@ -667,3 +667,62 @@ def test_jaccard_pairs_delta_matches_restricted_full(spark):
             for r in jaccard_pairs_delta(sh, "doc_id", threshold, batch_df).collect()
         }
         assert got == want, f"trial {trial} (batch={batch})"
+
+
+def test_prefix_filter_equals_brute_random_corpora(spark):
+    """Zero recall loss of the PPJoin path on RANDOM corpora: the
+    prefix / length / positional filters (Xiao et al. WWW'08, added
+    r6) prune candidates by threshold arithmetic whose boundary cases
+    (ceil/floor of t·|set|, overlap lower bound) a fixed 4-doc corpus
+    (test_operators.test_prefix_filter_equals_brute_force) cannot
+    sweep.  Seeded random corpora × three thresholds, exact set
+    equality against the brute inverted-index join."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    rng = np.random.RandomState(80)
+    vocab = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot", "golf"]
+    for trial, threshold in enumerate([0.3, 0.5, 0.8]):
+        # Random base docs plus near-duplicate mutations of them (one
+        # token replaced / one appended / exact copy) so every
+        # threshold sees genuine pairs, not a vacuous empty==empty.
+        n_base = int(rng.randint(5, 9))
+        texts = [
+            [
+                vocab[int(k)]
+                for k in rng.randint(0, len(vocab), int(rng.randint(5, 10)))
+            ]
+            for _ in range(n_base)
+        ]
+        for src in range(n_base):
+            kind = int(rng.randint(0, 3))
+            mut = list(texts[src])
+            if kind == 0 and mut:
+                mut[int(rng.randint(0, len(mut)))] = vocab[
+                    int(rng.randint(0, len(vocab)))
+                ]
+            elif kind == 1:
+                mut.append(vocab[int(rng.randint(0, len(vocab)))])
+            texts.append(mut)
+        rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+        sh = shingle_sets(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            3,
+        )
+        key = lambda r: (
+            r["id_a"], r["id_b"], r["n_shared"], r["n_a"], r["n_b"],
+        )
+        brute = {key(r) for r in jaccard_pairs(sh, "doc_id", threshold).collect()}
+        pref = {
+            key(r)
+            for r in jaccard_pairs_prefix(sh, "doc_id", threshold).collect()
+        }
+        assert pref == brute, f"trial {trial} t={threshold}"
+        assert brute, f"degenerate trial t={threshold}: no pairs — mutate harder"
