@@ -726,3 +726,81 @@ def test_prefix_filter_equals_brute_random_corpora(spark):
         }
         assert pref == brute, f"trial {trial} t={threshold}"
         assert brute, f"degenerate trial t={threshold}: no pairs — mutate harder"
+
+
+def test_hashmin_and_star_cc_agree_random_graphs(spark):
+    """The two CC implementations (hash-min propagation, the oracle
+    twin; large-star/small-star contraction, the O(log² n)-rounds
+    scale path) are registered with the same oracle but only on the
+    fixed corpus.  On random graphs they must emit identical
+    (node, min-of-component) labelings."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.RandomState(2027)
+    for trial in range(3):
+        n = int(rng.randint(10, 50))
+        m = int(rng.randint(5, 100))
+        edges = sorted(
+            {(int(rng.randint(0, n)), int(rng.randint(0, n))) for _ in range(m)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        hashmin = {
+            (r["node"], r["cluster"]) for r in connected_components(df).collect()
+        }
+        star = {
+            (r["node"], r["cluster"])
+            for r in connected_components_star(df).collect()
+        }
+        assert hashmin == star, f"trial {trial}"
+
+
+def test_minhash_lsh_never_misses_exact_duplicates(spark):
+    """Deterministic safety floor of banded MinHash: two docs with the
+    SAME text have identical shingle sets, hence identical signatures,
+    hence collide in EVERY band — an exact-duplicate pair can never be
+    lost to banding, at any corpus shape.  Random corpora with planted
+    exact-copy groups; every planted pair must appear with jaccard 1.0
+    (near-miss mutations are probabilistic recall and NOT asserted)."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(515)
+    vocab = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot"]
+    for trial in range(3):
+        n_base = int(rng.randint(6, 10))
+        texts = [
+            " ".join(
+                vocab[int(k)]
+                for k in rng.randint(0, len(vocab), int(rng.randint(5, 12)))
+            )
+            for _ in range(n_base)
+        ]
+        planted = []
+        rows = [(i, t) for i, t in enumerate(texts)]
+        for j in range(int(rng.randint(2, 5))):
+            src = int(rng.randint(0, n_base))
+            dup_id = n_base + j
+            rows.append((dup_id, texts[src]))
+            planted.append((src, dup_id))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=16, band_rows=2, threshold=0.8
+            ).collect()
+        }
+        for a, b in planted:
+            # the copy may itself duplicate another doc; membership +
+            # jaccard 1.0 is the guaranteed part.
+            pair = (min(a, b), max(a, b))
+            assert pair in got, f"trial {trial}: exact-dup pair {pair} missed"
+            assert got[pair] == 1.0, f"trial {trial}: {pair} jaccard {got[pair]}"
