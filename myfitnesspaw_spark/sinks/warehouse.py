@@ -175,14 +175,21 @@ def store_path(name: str, sf_dir: str) -> str:
                 except ProcessLookupError:
                     stale = True
                 except OSError:
-                    stale = False  # e.g. EPERM: another user's pid — age-gate only
+                    stale = None  # e.g. EPERM: another user's pid — unknowable
                 else:
-                    # Alive — but a start-tick mismatch means the pid
-                    # was recycled by an unrelated process: the owner
-                    # is gone.  ticks == 0 (bare layout) is unknowable
-                    # by liveness; the age backstop below decides.
-                    stale = ticks != 0 and _proc_start_ticks(pid) != ticks
-            if not stale:
+                    if ticks == 0:
+                        # bare pre-r12 layout with the pid alive:
+                        # ownership unknowable by liveness.
+                        stale = None
+                    else:
+                        # Alive — but a start-tick mismatch means the
+                        # pid was recycled by an unrelated process:
+                        # the owner is gone.
+                        stale = _proc_start_ticks(pid) != ticks
+            if stale is None:
+                # The age backstop decides ONLY liveness-unknowable
+                # dirs — a positively-identified live owner keeps its
+                # store however old.
                 try:
                     stale = (
                         now - _os.path.getmtime(_os.path.join(root, entry))

@@ -570,11 +570,18 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
             # liveness; swept only once older than the TTL.
             "bare_live_old": os.path.join(root, f"gcprobe2_sf0.001_{live.pid}"),
             "bare_live_fresh": os.path.join(root, f"gcprobe3_sf0.001_{live.pid}"),
+            # ...but a POSITIVELY live owner (pid alive, ticks match)
+            # keeps its store however old — the TTL only decides
+            # unknowable dirs.
+            "owner_old": os.path.join(
+                root, f"gcprobe4_sf0.001_{live.pid}_{live_ticks}"
+            ),
         }
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
         old = time.time() - _STORE_TTL_SECONDS - 60
         os.utime(dirs["bare_live_old"], (old, old))
+        os.utime(dirs["owner_old"], (old, old))
 
         mine = store_path("gcprobe", "/x/sf0.001")  # triggers the GC sweep
         assert mine.endswith(f"_{my_pid}_{_proc_start_ticks(my_pid)}")
@@ -587,6 +594,7 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
         assert not os.path.exists(dirs["bare_live_old"])  # over-TTL backstop
         assert os.path.exists(dirs["bare_live_fresh"])  # live + fresh: kept
         assert os.path.exists(dirs["owner"])  # live pid, right ticks
+        assert os.path.exists(dirs["owner_old"])  # live owner: TTL-exempt
     finally:
         live.kill()
         live.wait()
