@@ -804,3 +804,70 @@ def test_minhash_lsh_never_misses_exact_duplicates(spark):
             pair = (min(a, b), max(a, b))
             assert pair in got, f"trial {trial}: exact-dup pair {pair} missed"
             assert got[pair] == 1.0, f"trial {trial}: {pair} jaccard {got[pair]}"
+
+
+def test_refresh_protocol_degenerate_batches(spark):
+    """Production edge cases of the incremental refresh protocol that
+    the fixed doc_id%10 split never exercises: an EMPTY batch (a
+    nightly refresh with no new docs) must return exactly the stored
+    clustering, and an everything-is-new batch (first run against an
+    empty store) must equal the full recompute."""
+    from myfitnesspaw_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_delta,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta echo"),
+        (1, "alpha beta gamma delta echo"),          # dup of 0
+        (2, "alpha beta gamma delta foxtrot"),       # near-dup of 0/1
+        (3, "golf hotel india juliet kilo"),
+        (4, "golf hotel india juliet lima"),          # near-dup of 3
+        (5, "mike november oscar papa quebec"),       # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    t = 0.3
+    full_pairs = jaccard_pairs_prefix(sh, "doc_id", t).select("id_a", "id_b")
+    want = {
+        (r["node"], r["cluster"])
+        for r in connected_components(full_pairs).collect()
+    }
+    assert want  # the fixture must have clusters
+
+    # empty batch: delta pairs empty; CC over label edges alone must
+    # reproduce the stored clustering byte-for-byte.
+    empty = spark.createDataFrame([], "doc_id long")
+    delta_empty = jaccard_pairs_delta(sh, "doc_id", t, empty).select(
+        "id_a", "id_b"
+    )
+    assert delta_empty.count() == 0
+    from pyspark.sql import functions as F
+
+    stored = connected_components(full_pairs)
+    label_edges = stored.select(
+        F.col("node").alias("id_a"), F.col("cluster").alias("id_b")
+    )
+    got_empty = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            label_edges.unionByName(delta_empty)
+        ).collect()
+    }
+    assert got_empty == want
+
+    # everything-new batch against an empty store: delta must carry
+    # ALL pairs and CC over it alone equals the full recompute.
+    all_ids = docs.select("doc_id")
+    delta_all = jaccard_pairs_delta(sh, "doc_id", t, all_ids).select(
+        "id_a", "id_b"
+    )
+    full_set = {tuple(r) for r in full_pairs.collect()}
+    assert {tuple(r) for r in delta_all.collect()} == full_set
+    got_all = {
+        (r["node"], r["cluster"])
+        for r in connected_components(delta_all).collect()
+    }
+    assert got_all == want
