@@ -144,3 +144,40 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert df.count() >= 0  # rows-only check, like the driver
     else:
         assert_matches_oracle(df, duck, oracle)
+
+
+def test_lint_trips_on_bad_plans(spark):
+    """The lint must actually FAIL on the plans it bans — a ratchet
+    that cannot trip is decoration.  A genuine cartesian (non-equi
+    cross of two unbounded ranges), a row-at-a-time Python UDF, and an
+    unallowlisted BNLJ each raise; the UDTF allowlist admits only its
+    named query."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    # The frames are tiny; the JOIN SHAPE is what the planner turns
+    # into each banned node: a non-equi join on small stats plans as
+    # BNLJ, and an explicit crossJoin with auto-broadcast disabled
+    # plans as CartesianProduct.
+    a = spark.range(10).withColumnRenamed("id", "a")
+    b = spark.range(10).withColumnRenamed("id", "b")
+
+    bnlj = a.join(b, F.col("a") < F.col("b"))
+    with pytest.raises(AssertionError, match="BroadcastNestedLoopJoin"):
+        _lint_final_plan("not_allowlisted", bnlj)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = a.crossJoin(b)
+        with pytest.raises(AssertionError, match="CartesianProduct"):
+            _lint_final_plan("any_query", cart)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    rowpy = a.select(plus_one(F.col("a")).alias("a1"))
+    with pytest.raises(AssertionError, match="BatchEvalPython"):
+        _lint_final_plan("not_the_udtf_demo", rowpy)
+    # the one allowlisted name passes the row-Python arm
+    _lint_final_plan("sentence_split_udtf", rowpy)
