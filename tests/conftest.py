@@ -58,13 +58,82 @@ def _canon(v):
     return f"s:{v}"
 
 
+def _type_class(t) -> str:
+    """Coarse type class for cross-engine schema-parity checks.
+
+    Accepts a Spark DataType or a pyarrow DataType and maps both onto
+    one vocabulary, so an oracle whose SUM silently degrades to
+    float64 under DuckDB's Arrow export (HUGEINT — the driver-hash
+    hazard pytest's fetchall path cannot see, verify-skill r4 note)
+    fails HERE as int-vs-float instead of only in the driver run."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.DataType):
+        return {
+            T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
+            T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
+            T.DecimalType: "decimal", T.BooleanType: "bool",
+            T.StringType: "str", T.VarcharType: "str", T.CharType: "str",
+            T.DateType: "date", T.TimestampType: "timestamp",
+            T.TimestampNTZType: "timestamp", T.BinaryType: "binary",
+            T.ArrayType: "list", T.MapType: "nested", T.StructType: "nested",
+            T.NullType: "null",
+        }.get(type(t), f"other:{type(t).__name__}")
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "nested"
+    if pa.types.is_null(t):
+        return "null"
+    return f"other:{t}"
+
+
 def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
     """Mirror of the driver's t2 check: row-count + sorted-column schema
-    + order-insensitive value comparison between Spark and DuckDB."""
+    + order-insensitive value comparison between Spark and DuckDB —
+    plus a TYPE-CLASS parity check through DuckDB's Arrow export (the
+    path the driver hashes through), which fetchall cannot see."""
     oracle = duck_con.sql(oracle_sql)
     o_cols = sorted(oracle.columns)
     s_cols = sorted(spark_df.columns)
     assert s_cols == o_cols, f"schema mismatch: spark={s_cols} oracle={o_cols}"
+
+    # LIMIT 0 executes trivially but surfaces the exact Arrow types the
+    # driver's hash reads (HUGEINT -> float64 etc.).
+    arrow_schema = duck_con.sql(
+        f"SELECT * FROM ({oracle_sql}) LIMIT 0"
+    ).arrow().schema
+    s_classes = {f.name: _type_class(f.dataType) for f in spark_df.schema.fields}
+    o_classes = {
+        name: _type_class(arrow_schema.field(name).type) for name in o_cols
+    }
+    mismatched = {
+        c: (s_classes[c], o_classes[c])
+        for c in o_cols
+        if s_classes[c] != o_classes[c]
+    }
+    assert not mismatched, (
+        f"type-class mismatch (spark, oracle-arrow): {mismatched} — an "
+        f"integer column degrading to float under the driver's Arrow hash "
+        f"needs CAST(... AS BIGINT) in the oracle"
+    )
 
     s_rows = [tuple(_canon(r[c]) for c in s_cols) for r in spark_df.collect()]
     o_raw = oracle.fetchall()

@@ -181,3 +181,24 @@ def test_lint_trips_on_bad_plans(spark):
         _lint_final_plan("not_the_udtf_demo", rowpy)
     # the one allowlisted name passes the row-Python arm
     _lint_final_plan("sentence_split_udtf", rowpy)
+
+
+def test_type_class_check_trips_on_hugeint(spark, duck):
+    """The Arrow type-class parity arm of assert_matches_oracle must
+    trip on the exact hazard it exists for: a DuckDB SUM over plain
+    INTEGER yields HUGEINT, which this build's Arrow export degrades
+    to float64 — invisible to fetchall (Python int) but fatal to the
+    driver's Arrow-based value hash."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(3).agg(F.sum("id").alias("s"))
+    with pytest.raises(AssertionError, match="type-class"):
+        assert_matches_oracle(
+            df, duck, "SELECT SUM(x) AS s FROM (VALUES (0),(1),(2)) t(x)"
+        )
+    # the documented discipline fixes it
+    assert_matches_oracle(
+        df,
+        duck,
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (0),(1),(2)) t(x)",
+    )
