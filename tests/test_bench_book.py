@@ -286,3 +286,36 @@ def test_artifact_matcher_covers_renames_and_quotes():
     assert not art.is_artifact_line("?? scripts/round_close.py")
     assert not art.is_artifact_line(" M bench_full.json.bak")
     assert not art.is_artifact_line("?? myBENCH_notes.md")
+
+
+def test_compact_bench_line_fits_driver_tail_capture():
+    """The driver records only the LAST ~2000 bytes of bench.py output;
+    the compact summary line must stay under that budget at the
+    WORST CASE the current registry can produce: the 20
+    longest-named queries, maximal float widths, 3-digit counts.
+    (The r4 truncation bug was the full dict crossing the budget as
+    queries were added — this pins the slowest-20 form instead.)"""
+    import json
+
+    from myfitnesspaw_spark.plans import registry
+
+    names = sorted(registry.queries(), key=len, reverse=True)[:20]
+    worst = {n: 999.999 for n in names}
+    line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": worst,
+            "n_queries": 999,
+            "n_timed": 999,
+            "n_errors": 999,
+            "n_regressions": 999,
+            "n_watch": 999,
+            "sf": 0.1,
+            "host_cal_sec": 99.999,
+            "io_cal_sec": 99.999,
+            "full": "bench_full.json",
+        }
+    )
+    assert len(line) < 1900, (len(line), "compact bench line over budget")
