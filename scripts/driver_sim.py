@@ -81,7 +81,33 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
             continue
-        if s_cols != o_cols:
+        # Arrow type-class parity (the driver hashes THROUGH Arrow, so
+        # e.g. DuckDB HUGEINT surfacing as float64 fails there even
+        # when fetchall's Python ints compare clean) — same check as
+        # tests/conftest.py::assert_matches_oracle.
+        try:
+            from tests.conftest import _type_class
+
+            arrow_schema = con.sql(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+            ).arrow().schema
+            s_classes = {
+                f.name: _type_class(f.dataType) for f in sdf.schema.fields
+            }
+            bad_types = {
+                c: (s_classes[c], _type_class(arrow_schema.field(c).type))
+                for c in o_cols
+                if c in s_classes
+                and s_classes[c] != _type_class(arrow_schema.field(c).type)
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: type-class check error: {e}")
+            failed.append(name)
+            continue
+        if bad_types:
+            print(f"FAIL {name}: arrow type-class {bad_types}")
+            failed.append(name)
+        elif s_cols != o_cols:
             print(f"FAIL {name}: schema spark={s_cols} oracle={o_cols}")
             failed.append(name)
         elif len(s_rows) != len(o_rows):
