@@ -15,34 +15,35 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-13 WINDOW (executing the front pre-committed in the r12
-docstring, per VERDICT r12 #1):
+ROUND-14 WINDOW (executing the front pre-committed in the r13
+docstring, per VERDICT r13 #1):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-13 additions land here, in-window on arrival — NONE
+2. Round-14 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r8-certified queries that turned age 5 entering
-   r13 — exactly the OVERFLOW list scripts/certification_age.py 12
-   printed: delta_dedup_pairs through cube_sales, including §2
-   streaming components session_window_events,
-   streaming_upsert_latest_event (K2-streaming),
-   streaming_dedup_counts, and the TPC-shaped Q7/Q17/Q19/Q22 family.
-4. The oldest r10-certified queries (age 3 entering r13),
+3. The TWENTY-SIX r10-certified queries that turned age 4 entering
+   r14 — exactly the registrations the r13 docstring pre-committed
+   (salted_priority_revenue through forward_fill_gauge), including
+   the UDAF regression slope, grouping-sets/correlated-subquery OLAP
+   family, the curation block (tf_idf_topk through iqr_outlier_docs),
+   the §2 ETL trio (etl_meals_silver, incremental_agg_merge,
+   mfp_api_stream_rollup), and the behavior-analytics family.
+4. The oldest r11-certified queries (age 3 entering r14),
    oldest-first in prior registration order, filling the remaining
-   21 slots: median_order_value through spend_rank_dist.
+   21 slots: pq_recall_eval through etl_exercises_silver.
 
-ROUND-14 FRONT (pre-committed so the rotation stays mechanical):
-the r10-certified remainder below the window marker — age 4 entering
-r14 — MUST lead the r14 window after the canaries; they are exactly
+ROUND-15 FRONT (pre-committed so the rotation stays mechanical):
+the r11-certified remainder below the window marker — age 4 entering
+r15 — MUST lead the r15 window after the canaries; they are exactly
 the 26 registrations between the window-end marker and the
-"certified r11" comment (salted_priority_revenue through
-forward_fill_gauge).  After them, the r11-certified cohort (47
-queries, age 3 entering r14) fills the remaining 21 slots
-oldest-first; its remainder (26) fronts r15, and the r12-certified
-cohort (age 1 entering r13) rotates last.
+"certified r12" comment (mfp_api_datasource through
+embedding_dim_stats).  After them, the r12-certified cohort (47
+queries, age 3 entering r15) fills the remaining 21 slots
+oldest-first; its remainder (26) fronts r16, and the r13-certified
+cohort (age 2 entering r15) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -53,9 +54,9 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r11 or r12
-(age <= 2 entering r13) and stays guarded by
-tests/test_registry_oracle.py at every sf.
+Everything outside the window was driver-certified in r12 or r13
+(age <= 2 entering r14) except the pre-committed r15 front (age 3),
+and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
 
@@ -90,105 +91,11 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: round-13 additions would land here, in-window on
+# --- Part 2: round-14 additions would land here, in-window on
 # --- arrival — none: the registry is growth-frozen at 170.
 
-# --- Part 3: the TWENTY-SIX age-5 r8-certified queries (the r13
-# --- front pre-committed by the r12 rotation docstring).
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
-register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
-register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
-register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
-register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
-register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
-    sq.stream_static_enrich_q
-)
-register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
-    pq.quality_classifier_score
-)
-register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
-    sq.streaming_dedup_within_watermark
-)
-register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
-    sq.stream_stream_click_error_outer_q
-)
-register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
-register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
-register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
-register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
-    pq.random_negative_sampling
-)
-register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
-register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
-register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
-register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
-    oq.q17_small_quantity_revenue
-)
-register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
-    oq.q19_disjunctive_brackets
-)
-register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
-register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
-    pq.sorted_neighborhood_pairs
-)
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
-    sq.streaming_upsert_latest_event
-)
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
-
-# --- Part 4: the oldest age-3 r10-certified queries, oldest-first
-# --- in prior registration order, filling the window.
-register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
-register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
-register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
-register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
-register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
-register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
-)
-register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
-    sq.sessionize_stateful_stream
-)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
-register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
-register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
-    cq.exact_substring_removal
-)
-register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
-    tq.neardup_refresh_pipeline
-)
-register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
-    cq.quality_filter_cascade
-)
-register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
-    tq.minhash_jaccard_calibration
-)
-register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
-register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
-    oq.brand_nation_revenue
-)
-register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
-    oq.approx_quantiles_contract
-)
-register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
-register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
-    oq.cust_order_distribution
-)
-register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
-register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- THE R14 FRONT (pre-committed): r10-certified queries that did
-# --- not fit the r13 window — age 4 entering r14, they MUST lead
-# --- the r14 window after the canaries.
+# --- Part 3: the TWENTY-SIX age-4 r10-certified queries (the r14
+# --- front pre-committed by the r13 rotation docstring).
 register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
     oq.salted_priority_revenue
 )
@@ -228,8 +135,8 @@ register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
 register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
 register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
 
-# -- certified r11 (age 2 entering r13): fills the r14 window after
-# -- the r14 front, oldest-first; its remainder fronts r15.
+# --- Part 4: the oldest age-3 r11-certified queries, oldest-first
+# --- in prior registration order, filling the window.
 register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
 register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
 register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
@@ -269,6 +176,14 @@ register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
     ef.etl_mealentries_silver
 )
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- THE R15 FRONT (pre-committed): r11-certified queries that did
+# --- not fit the r14 window — age 4 entering r15, they MUST lead
+# --- the r15 window after the canaries.
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
 register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
@@ -312,8 +227,8 @@ register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
 register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
 
-# -- certified r12 (age 1 entering r13 — youngest, rotate last):
-# -- the r12 window minus the canaries, in r12 window order.
+# -- certified r12 (age 2 entering r14): fills the r15 window after
+# -- the r15 front, oldest-first; its remainder fronts r16.
 register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
 register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
     nq.variant_props_rollup
@@ -371,3 +286,89 @@ register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
     sq.streaming_cms_heavy_hitters
 )
 register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+
+# -- certified r13 (age 1 entering r14 — youngest, rotate last):
+# -- the r13 window minus the canaries, in r13 window order.
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
+register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
+register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
+    pq.random_negative_sampling
+)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
+register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
+    cq.exact_substring_removal
+)
+register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
+    tq.neardup_refresh_pipeline
+)
+register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
+    cq.quality_filter_cascade
+)
+register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
+    tq.minhash_jaccard_calibration
+)
+register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
+    oq.brand_nation_revenue
+)
+register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
+    oq.approx_quantiles_contract
+)
+register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
+register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
+    oq.cust_order_distribution
+)
+register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
+register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)

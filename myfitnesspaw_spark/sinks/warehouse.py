@@ -96,7 +96,10 @@ def write_bucketed(
 # (tests at sf0.001 while a driver sim runs sf0.01) can isolate by
 # path without sharing a metastore.
 
+import logging as _logging
 import os as _os
+
+_logger = _logging.getLogger(__name__)
 
 
 def _proc_start_ticks(pid: int) -> int:
@@ -186,10 +189,12 @@ def store_path(name: str, sf_dir: str) -> str:
                         # pid was recycled by an unrelated process:
                         # the owner is gone.
                         stale = _proc_start_ticks(pid) != ticks
+            reason = "dead-owner"
             if stale is None:
                 # The age backstop decides ONLY liveness-unknowable
                 # dirs — a positively-identified live owner keeps its
                 # store however old.
+                reason = "ttl-backstop"
                 try:
                     stale = (
                         now - _os.path.getmtime(_os.path.join(root, entry))
@@ -200,6 +205,11 @@ def store_path(name: str, sf_dir: str) -> str:
             if stale:
                 import shutil as _shutil
 
+                # Telemetry (VERDICT r13 #7): the TTL backstop removes
+                # dirs it cannot prove dead — name the removal and the
+                # arm that decided it so a surprise deletion is
+                # diagnosable from logs rather than silent.
+                _logger.info("store GC removed %s (%s)", entry, reason)
                 _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
     except OSError:
         pass

@@ -86,7 +86,7 @@ def main() -> int:
         # when fetchall's Python ints compare clean) — same check as
         # tests/conftest.py::assert_matches_oracle.
         try:
-            from tests.conftest import _type_class
+            from myfitnesspaw_spark.typeclass import type_class as _type_class
 
             arrow_schema = con.sql(
                 f"SELECT * FROM ({oracles[name]}) LIMIT 0"

@@ -58,51 +58,10 @@ def _canon(v):
     return f"s:{v}"
 
 
-def _type_class(t) -> str:
-    """Coarse type class for cross-engine schema-parity checks.
-
-    Accepts a Spark DataType or a pyarrow DataType and maps both onto
-    one vocabulary, so an oracle whose SUM silently degrades to
-    float64 under DuckDB's Arrow export (HUGEINT — the driver-hash
-    hazard pytest's fetchall path cannot see, verify-skill r4 note)
-    fails HERE as int-vs-float instead of only in the driver run."""
-    import pyarrow as pa
-    from pyspark.sql import types as T
-
-    if isinstance(t, T.DataType):
-        return {
-            T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
-            T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
-            T.DecimalType: "decimal", T.BooleanType: "bool",
-            T.StringType: "str", T.VarcharType: "str", T.CharType: "str",
-            T.DateType: "date", T.TimestampType: "timestamp",
-            T.TimestampNTZType: "timestamp", T.BinaryType: "binary",
-            T.ArrayType: "list", T.MapType: "nested", T.StructType: "nested",
-            T.NullType: "null",
-        }.get(type(t), f"other:{type(t).__name__}")
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_integer(t):
-        return "int"
-    if pa.types.is_floating(t):
-        return "float"
-    if pa.types.is_decimal(t):
-        return "decimal"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_timestamp(t):
-        return "timestamp"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "binary"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return "list"
-    if pa.types.is_struct(t) or pa.types.is_map(t):
-        return "nested"
-    if pa.types.is_null(t):
-        return "null"
-    return f"other:{t}"
+# _type_class moved to myfitnesspaw_spark.typeclass (ADVICE r13:
+# scripts/driver_sim.py shares it and must not import the test
+# suite); re-exported here for existing imports.
+from myfitnesspaw_spark.typeclass import type_class as _type_class
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:

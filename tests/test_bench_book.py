@@ -10,6 +10,7 @@ needed — BenchBook is pure Python).  Invariants under test:
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 import sys
 
@@ -133,6 +134,49 @@ def test_gate_io_factor_annotated_only_when_baseline_has_ref():
     base_io = {**_BASE, "io_cal_ref": 2.0}
     _, watch = bench.classify_regressions(timed, base_io, 0.3, 5.0)
     assert watch["fast_q"]["io_factor"] == 2.0  # clamped from 2.5
+
+
+def test_gate_clamp_against_reanchored_floors():
+    """VERDICT r13 #3: the r13 re-anchor replaced the inflated
+    ensemble floor with reference-speed minima, so the clamp
+    arithmetic must be validated against the REAL book, not just the
+    synthetic _BASE.  Simulate host weather by scaling every recorded
+    floor and host_cal together by k:
+
+    - k within the documented 2x swing -> an EMPTY board (the
+      calibrated gate absorbs it; watch does not flood);
+    - k beyond the swing (2.5x) -> the hard gate still stays silent
+      (clamped factor 2 widens it to 4x raw) but EVERY query floods
+      the report-only watch band, each entry carrying host_factor 2.0
+      as the explanation — flooding-with-annotation is the designed
+      behavior there, not a gate failure;
+    - a genuine regression (one query at 5x on a mildly loud host)
+      trips the hard gate regardless of weather.
+    """
+    with open(os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "BASELINE_BENCH.json")) as fh:
+        book = json.load(fh)
+    floors = {n: v for n, v in book["queries"].items() if v}
+    ref = book["host_cal_ref"]
+    assert floors and ref
+
+    for k in (1.3, 1.9):
+        timed = {n: v * k for n, v in floors.items()}
+        reg, watch = bench.classify_regressions(timed, book, ref * k, None)
+        assert not reg and not watch, (k, len(reg), len(watch))
+
+    timed = {n: v * 2.5 for n, v in floors.items()}
+    reg, watch = bench.classify_regressions(timed, book, ref * 2.5, None)
+    assert not reg
+    assert len(watch) == len(floors)  # floods, but report-only...
+    assert all(e["host_factor"] == 2.0 for e in watch.values())  # ...annotated
+
+    victim = next(iter(sorted(floors)))
+    timed = {n: v * 1.5 for n, v in floors.items()}
+    timed[victim] = floors[victim] * 5.0
+    reg, watch = bench.classify_regressions(timed, book, ref * 1.5, None)
+    assert victim in reg  # 5x > 2x * clamp(1.5): weather can't excuse it
+    assert not watch
 
 
 def test_gate_ignores_absent_and_falsy_baselines():

@@ -509,3 +509,4 @@ def test_inner_batch_plan_lint_hook(spark, tmp_path):
     finally:
         lint_hook.BATCH_PLAN_LINT = None
         spark.sql("DROP VIEW IF EXISTS global_temp.hook_boom_state")
+        spark.sql("DROP VIEW IF EXISTS global_temp.hook_ok_state")

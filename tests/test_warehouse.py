@@ -524,11 +524,13 @@ def test_fifo_rotation_plan_matches_sink_selection(spark):
         assert got == expected, (keep, got, expected)
 
 
-def test_store_path_gc_handles_pid_reuse(tmp_path):
+def test_store_path_gc_handles_pid_reuse(tmp_path, caplog):
     """ADVICE r11: dir ownership is (pid, start-ticks), not pid alone.
     A dead pid's dir is swept in both layouts; a LIVE pid whose
     recorded start ticks mismatch (container PID reuse) is swept too;
-    the true owner's dir survives."""
+    the true owner's dir survives.  Every removal is logged with the
+    arm that decided it (VERDICT r13 #7)."""
+    import logging
     import os
     import subprocess
     import time
@@ -583,8 +585,26 @@ def test_store_path_gc_handles_pid_reuse(tmp_path):
         os.utime(dirs["bare_live_old"], (old, old))
         os.utime(dirs["owner_old"], (old, old))
 
-        mine = store_path("gcprobe", "/x/sf0.001")  # triggers the GC sweep
+        with caplog.at_level(
+            logging.INFO, logger="myfitnesspaw_spark.sinks.warehouse"
+        ):
+            mine = store_path("gcprobe", "/x/sf0.001")  # triggers the GC sweep
         assert mine.endswith(f"_{my_pid}_{_proc_start_ticks(my_pid)}")
+
+        # Telemetry: each removal names the entry and the deciding arm,
+        # so a TTL-backstop deletion is diagnosable from logs.
+        removed = {
+            m.split()[3]: m.split()[4].strip("()")
+            for m in caplog.messages
+            if m.startswith("store GC removed")
+        }
+        assert removed[os.path.basename(dirs["dead_old"])] == "dead-owner"
+        assert removed[os.path.basename(dirs["reused"])] == "dead-owner"
+        assert (
+            removed[os.path.basename(dirs["bare_live_old"])] == "ttl-backstop"
+        )
+        assert os.path.basename(dirs["owner"]) not in removed
+        assert os.path.basename(dirs["bare_live_fresh"]) not in removed
 
         assert not os.path.exists(dirs["dead_old"])
         assert not os.path.exists(dirs["dead_new"])
