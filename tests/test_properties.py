@@ -871,3 +871,60 @@ def test_refresh_protocol_degenerate_batches(spark):
         for r in connected_components(delta_all).collect()
     }
     assert got_all == want
+
+
+def test_type_class_spark_arrow_parity_exhaustive():
+    """The shared cross-engine type-class map
+    (myfitnesspaw_spark/typeclass.py, split out of conftest per ADVICE
+    r13) must assign the SAME class to a Spark type and the Arrow type
+    Spark converts it to — otherwise the oracle sweep's schema-parity
+    arm would false-positive on a correct oracle.  Enumerate every
+    supported logical type through both vocabularies, including the
+    width variants Arrow distinguishes but one class must absorb."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from myfitnesspaw_spark.typeclass import type_class
+
+    pairs = [
+        (T.ByteType(), pa.int8(), "int"),
+        (T.ShortType(), pa.int16(), "int"),
+        (T.IntegerType(), pa.int32(), "int"),
+        (T.LongType(), pa.int64(), "int"),
+        (T.LongType(), pa.uint64(), "int"),  # DuckDB UBIGINT
+        (T.FloatType(), pa.float32(), "float"),
+        (T.DoubleType(), pa.float64(), "float"),
+        (T.DecimalType(12, 2), pa.decimal128(12, 2), "decimal"),
+        (T.BooleanType(), pa.bool_(), "bool"),
+        (T.StringType(), pa.string(), "str"),
+        (T.StringType(), pa.large_string(), "str"),
+        (T.DateType(), pa.date32(), "date"),
+        (T.TimestampType(), pa.timestamp("us"), "timestamp"),
+        (T.TimestampNTZType(), pa.timestamp("us"), "timestamp"),
+        (T.BinaryType(), pa.binary(), "binary"),
+        (T.BinaryType(), pa.large_binary(), "binary"),
+        (T.ArrayType(T.LongType()), pa.list_(pa.int64()), "list"),
+        (T.ArrayType(T.DoubleType()), pa.large_list(pa.float64()), "list"),
+        (
+            T.MapType(T.StringType(), T.LongType()),
+            pa.map_(pa.string(), pa.int64()),
+            "nested",
+        ),
+        (
+            T.StructType([T.StructField("a", T.LongType())]),
+            pa.struct([("a", pa.int64())]),
+            "nested",
+        ),
+        (T.NullType(), pa.null(), "null"),
+    ]
+    for spark_t, arrow_t, expected in pairs:
+        assert type_class(spark_t) == expected, spark_t
+        assert type_class(arrow_t) == expected, arrow_t
+
+    # The hazard the map exists for stays DISTINGUISHED, never merged:
+    # DuckDB HUGEINT surfaces as float64 through this Arrow build.
+    assert type_class(T.LongType()) != type_class(pa.float64())
+    # Unknown types degrade to a labeled class, not a crash or a
+    # false "match" with anything known.
+    assert type_class(pa.duration("s")).startswith("other:")
+    assert type_class(T.DayTimeIntervalType()).startswith("other:")
