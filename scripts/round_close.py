@@ -64,6 +64,21 @@ def main() -> int:
         print("round_close: FAIL (rotation invariant)")
         return r.returncode
 
+    print("== rotation order ==", flush=True)
+    # The registration order must BE the rotation the policy computes
+    # for the current round — catches a botched hand rotation at close
+    # time instead of as a next-round invariant violation (the window
+    # arithmetic has zero slack at 170 registered).
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "rotate_window.py"),
+         "--check"],
+        cwd=REPO,
+    )
+    if r.returncode:
+        print("round_close: FAIL (registration order is not the computed "
+              "rotation — run scripts/rotate_window.py --write)")
+        return r.returncode
+
     print("== git hygiene ==", flush=True)
     # A failed git invocation must FAIL the gate, not read as a clean
     # tree — an index.lock or missing git with empty stdout would

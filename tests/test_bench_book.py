@@ -14,6 +14,8 @@ import json
 import os
 import sys
 
+import pytest
+
 _spec = importlib.util.spec_from_file_location(
     "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
 )
@@ -363,3 +365,112 @@ def test_compact_bench_line_fits_driver_tail_capture():
         }
     )
     assert len(line) < 1900, (len(line), "compact bench line over budget")
+
+
+# --- rotate_window: mechanical rotation policy ---------------------------
+
+_rw_spec = importlib.util.spec_from_file_location(
+    "rotate_window",
+    os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts",
+        "rotate_window.py",
+    ),
+)
+rw = importlib.util.module_from_spec(_rw_spec)
+sys.modules.setdefault("rotate_window", rw)
+_rw_spec.loader.exec_module(rw)
+
+
+def test_compute_rotation_policy():
+    """The pure ordering policy scripts/rotate_window.py mechanizes:
+    canaries pinned, due set (age >= MAX_AGE or never certified)
+    fronts the window in prior order, oldest-first fill, below-marker
+    remainder oldest-cohort-first so the next front is contiguous."""
+    canaries = ["c1", "c2", "c3"]
+    # 3 canaries + 9 rotating names across three cohorts, window 7
+    # (4 rotating slots), max_age 2.
+    order = canaries + [f"a{i}" for i in range(3)] + [
+        f"b{i}" for i in range(3)
+    ] + [f"n{i}" for i in range(3)]
+    latest = {n: 8 for n in canaries}
+    latest.update({f"a{i}": 6 for i in range(3)})  # age 2 -> due
+    latest.update({f"b{i}": 7 for i in range(3)})  # age 1 -> fill pool
+    # n* certified this very round (age 0): rotate last.
+    latest.update({f"n{i}": 8 for i in range(3)})
+
+    got = rw.compute_rotation(
+        order, latest, current=8, canaries=canaries, max_age=2, window=7
+    )
+    # due a* front the window (prior order), oldest fresh b0 fills the
+    # 4th slot, then below-marker: b1 b2 (age 1) before n* (age 0).
+    assert got == canaries + ["a0", "a1", "a2", "b0", "b1", "b2",
+                              "n0", "n1", "n2"]
+
+    # A never-certified query is infinitely old: it must front the due
+    # set's cohort ordering (prior order among the due).
+    latest2 = dict(latest)
+    del latest2["a1"]
+    got2 = rw.compute_rotation(
+        order, latest2, current=8, canaries=canaries, max_age=2, window=7
+    )
+    assert got2[:7] == canaries + ["a0", "a1", "a2", "b0"]
+
+    # Overfull due set is a clean, typed failure — the invariant is
+    # already lost, not silently truncated.
+    latest3 = {n: 8 for n in canaries}
+    latest3.update({n: 1 for n in order[3:]})  # everything age 7
+    with pytest.raises(rw.RotationUnsatisfiable):
+        rw.compute_rotation(
+            order, latest3, current=8, canaries=canaries, max_age=2, window=7
+        )
+
+
+def test_live_registry_order_is_the_computed_rotation():
+    """The committed plans/queries.py order must BE the rotation the
+    policy computes for the current round (max CORRECTNESS round + 1)
+    — a botched hand rotation fails here, this round, instead of as a
+    next-round invariant violation.  Also re-checks the parse: blocks
+    round-trip to exactly the registry's registration order."""
+    import glob
+    import re as _re
+
+    from myfitnesspaw_spark.plans import registry
+
+    text = open(rw.QUERIES_PY).read()
+    _, blocks, order = rw.parse_blocks(text)
+    assert order == list(registry.queries())
+    assert set(blocks) == set(order)
+
+    rounds = [
+        int(_re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "CORRECTNESS_r*.json",
+        ))
+    ]
+    current = max(rounds) + 1
+    latest = rw.latest_green_rounds()
+    assert rw.compute_rotation(order, latest, current) == order
+
+
+def test_rotate_window_render_roundtrip():
+    """--write safety: rendering a new order and re-parsing must give
+    back exactly that order with every registration block intact, the
+    window marker at the 50-boundary, and an import-clean module
+    (compile check) — proven here so the first real --write (r15)
+    cannot silently drop or duplicate a registration."""
+    text = open(rw.QUERIES_PY).read()
+    header, blocks, order = rw.parse_blocks(text)
+
+    # a deliberately different (reversed rotating section) order
+    new_order = order[:3] + list(reversed(order[3:]))
+    rendered = rw.render(header, blocks, new_order, current=99)
+
+    h2, blocks2, order2 = rw.parse_blocks(rendered)
+    assert order2 == new_order
+    assert blocks2 == {n: blocks[n] for n in order}
+    assert h2 == header
+    # marker sits between registration #50 and #51
+    before_marker = rendered.split(rw.WINDOW_MARKER)[0]
+    assert before_marker.count('register("') == 50
+    compile(rendered, rw.QUERIES_PY, "exec")
