@@ -338,28 +338,31 @@ def main() -> None:
         except Exception:
             return None
 
-    wall["host_cal_sec"] = _host_cal_probe()
     # IO calibration: a fixed parquet write+read round trip.  The two
     # constants separate the noise dimensions — one recorded run showed
     # compute 1.5× FASTER while streaming/file-heavy queries ran 2-3×
     # slower (IO contention), which a single compute constant can't
     # explain.
-    try:
-        import tempfile
-        import shutil
-
-        tmp = tempfile.mkdtemp(prefix="benchcal_")
+    def _io_cal_probe():
         try:
-            t0 = time.perf_counter()
-            spark.range(2_000_000).selectExpr(
-                "id", "cast(id % 97 as double) AS v"
-            ).write.mode("overwrite").parquet(os.path.join(tmp, "cal"))
-            spark.read.parquet(os.path.join(tmp, "cal")).count()
-            wall["io_cal_sec"] = round(time.perf_counter() - t0, 3)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-    except Exception:
-        wall["io_cal_sec"] = None
+            import tempfile
+            import shutil
+
+            tmp = tempfile.mkdtemp(prefix="benchcal_")
+            try:
+                t0 = time.perf_counter()
+                spark.range(2_000_000).selectExpr(
+                    "id", "cast(id % 97 as double) AS v"
+                ).write.mode("overwrite").parquet(os.path.join(tmp, "cal"))
+                spark.read.parquet(os.path.join(tmp, "cal")).count()
+                return round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            return None
+
+    wall["host_cal_sec"] = _host_cal_probe()
+    wall["io_cal_sec"] = _io_cal_probe()
 
     def _gc_quiesce() -> None:
         # Untimed GC so each query measures its own plan, not the
@@ -410,24 +413,32 @@ def main() -> None:
         sf = _sf_of(SF_DIR)
         total = round(sum(timed.values()), 3)
 
-        # Re-sample the host calibration at run END: the start sample
+        # Re-sample BOTH calibrations at run END: a start-only sample
         # is blind to a mid-run neighbor-load storm (r14 attempt 2
         # read host_cal 0.148 pre-storm while queries ran ~1.4-3x
-        # inflated, producing 8 false regressions).  The gate takes
-        # the LOUDER of the two samples — a storm at either endpoint
-        # widens it, and a quiet end sample can never tighten it below
-        # the start one.  Both samples are recorded for post-hoc
-        # storm-vs-plan diagnosis.
+        # inflated, producing 8 false regressions — and the book's own
+        # storm notes show IO inflating 2-3x INDEPENDENTLY of compute,
+        # so io_cal needs the same treatment: ADVICE r14).  The gate
+        # takes the LOUDER of the two samples per dimension — a storm
+        # at either endpoint widens it, and a quiet end sample can
+        # never tighten it below the start one.  All samples are
+        # recorded for post-hoc storm-vs-plan diagnosis.  `is not
+        # None` (not truthiness) so a legitimate 0.0 sample is kept.
         wall["host_cal_end_sec"] = _host_cal_probe()
-        gate_cal = max(
-            (c for c in (wall.get("host_cal_sec"),
-                         wall.get("host_cal_end_sec")) if c),
-            default=None,
-        )
+        wall["io_cal_end_sec"] = _io_cal_probe()
+
+        def _louder(*samples):
+            kept = [c for c in samples if c is not None]
+            return max(kept) if kept else None
+
+        gate_cal = _louder(wall.get("host_cal_sec"),
+                           wall.get("host_cal_end_sec"))
+        gate_io = _louder(wall.get("io_cal_sec"),
+                          wall.get("io_cal_end_sec"))
 
         baseline = _load_baseline()
         regressions, watch = classify_regressions(
-            timed, baseline, gate_cal, wall.get("io_cal_sec")
+            timed, baseline, gate_cal, gate_io
         )
 
         full = {

@@ -24,11 +24,26 @@ from the invariant):
    registration order within a cohort.
 
 ``--write`` rewrites ONLY the registration order and section
-comments; the module docstring is left in place and must still be
-updated by hand (it carries the pre-commit prose the next round
-executes).  ``--check`` exits non-zero if the current file order
-differs from the computed one — wire it into round-close to make a
-botched rotation a gate failure instead of a next-round surprise.
+comments — interleaved hand-written comments between registrations
+are DISCARDED and regenerated as the canonical section comments, so
+keep per-query annotations inside the registration call (docstring /
+``register`` kwargs), never as free-floating comments.  The module
+docstring is left in place and must still be updated by hand (it
+carries the pre-commit prose the next round executes).  ``--check``
+exits non-zero if the current file order differs from the computed
+one — wire it into round-close to make a botched rotation a gate
+failure instead of a next-round surprise.
+
+ROUND-AWARENESS (VERDICT r14 #1 / ADVICE r14): with no explicit
+round argument, ``--check`` accepts the order computed for EITHER
+round ``max(CORRECTNESS)+1`` (the rotation freshly applied for the
+round in flight) or round ``max(CORRECTNESS)`` as of the artifacts
+that existed when that rotation was applied (the order the newest
+artifact certified).  The driver drops ``CORRECTNESS_rN.json``
+BEFORE the r{N+1} rotation is applied, so a strict next-round-only
+check is red at every judging point by construction.  An explicit
+round argument keeps the strict single-round form (used at
+rotation time).
 """
 
 from __future__ import annotations
@@ -78,7 +93,15 @@ def parse_blocks(text: str) -> tuple[str, dict[str, str], list[str]]:
     while i < len(lines):
         line = lines[i]
         if line.startswith("register("):
-            name = re.match(r'register\("([^"]+)"', line).group(1)
+            m = re.match(r'register\("([^"]+)"', line)
+            if m is None:
+                raise ValueError(
+                    f"{QUERIES_PY}:{i + 1}: cannot parse registration name "
+                    f"from {line.rstrip()!r} — register() calls must open "
+                    f'with their double-quoted name on the same line '
+                    f"(a formatter may have wrapped it)"
+                )
+            name = m.group(1)
             buf = [line]
             depth = line.count("(") - line.count(")")
             i += 1
@@ -93,9 +116,15 @@ def parse_blocks(text: str) -> tuple[str, dict[str, str], list[str]]:
     return header, blocks, order
 
 
-def latest_green_rounds() -> dict[str, int]:
+def latest_green_rounds(upto: int | None = None) -> dict[str, int]:
     """Latest driver-green round per query, from every CORRECTNESS
-    artifact (same green predicate as scripts/certification_age.py)."""
+    artifact (same green predicate as scripts/certification_age.py).
+
+    ``upto`` restricts to artifacts from rounds <= upto — the
+    rotation for round N is computed from the artifacts that exist
+    when it is applied (rounds <= N-1), so a retrospective check of
+    round N's order must snapshot the same way or newer artifacts
+    re-age the inputs and the recomputation diverges."""
     from scripts.certification_age import green_row
 
     latest: dict[str, int] = {}
@@ -104,6 +133,8 @@ def latest_green_rounds() -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto is not None and rnd > upto:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -113,6 +144,45 @@ def latest_green_rounds() -> dict[str, int]:
             if green_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
+
+
+def newest_round() -> int:
+    """Round of the newest CORRECTNESS artifact (0 if none)."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds) if rounds else 0
+
+
+def rotation_for_round(order: list[str], current: int) -> list[str]:
+    """The rotation for round ``current`` as computed AT ROTATION TIME:
+    from the artifacts of rounds <= current-1 only (the rotation for N
+    is applied before CORRECTNESS_rN exists)."""
+    return compute_rotation(order, latest_green_rounds(upto=current - 1), current)
+
+
+def match_live_order(order: list[str]) -> int | None:
+    """Round-aware order check: the round whose rotation the live
+    order IS, or None.
+
+    The live order is correct at every point of the round cycle if it
+    equals the rotation for round ``newest_round()+1`` (freshly
+    applied for the round in flight — the state between rotation and
+    the next driver run) OR for round ``newest_round()`` (the order
+    the newest artifact certified — the state between the driver
+    dropping CORRECTNESS_rN and the r{N+1} rotation being applied).
+    Anything else is a botched or skipped rotation."""
+    newest = newest_round()
+    for rnd in (newest + 1, newest):
+        if rnd >= 1:
+            try:
+                if rotation_for_round(order, rnd) == order:
+                    return rnd
+            except RotationUnsatisfiable:
+                continue
+    return None
 
 
 def compute_rotation(
@@ -192,25 +262,33 @@ def main() -> int:
     if args and args[0] in {"-h", "--help"}:
         print(__doc__)
         return 2
-    if args and not args[0].startswith("--"):
+    explicit_round = bool(args and not args[0].startswith("--"))
+    if explicit_round:
         current = int(args[0])
         args = args[1:]
     else:
         # same default as scripts/certification_age.py: the round after
         # the newest CORRECTNESS artifact.
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"_r(\d+)\.json$", p))
-        ]
-        current = max(rounds) + 1 if rounds else 1
+        current = newest_round() + 1
     mode = args[0] if args else "--check"
 
     text = open(QUERIES_PY).read()
     header, blocks, order = parse_blocks(text)
-    latest = latest_green_rounds()
+
+    if not explicit_round and mode == "--check":
+        # Round-aware check (see module docstring): the live order is
+        # legitimate in two states of the round cycle, and a no-arg
+        # --check (round_close, CI) must pass in both.
+        matched = match_live_order(order)
+        if matched is not None:
+            print(f"rotation: file order is the computed r{matched} "
+                  f"rotation ({len(order)} registrations)")
+            return 0
+
     try:
-        new_order = compute_rotation(order, latest, current)
+        new_order = compute_rotation(
+            order, latest_green_rounds(upto=current - 1), current
+        )
     except RotationUnsatisfiable as exc:
         print(f"rotate_window: FAIL ({exc})")
         return 1

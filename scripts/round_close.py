@@ -65,10 +65,14 @@ def main() -> int:
         return r.returncode
 
     print("== rotation order ==", flush=True)
-    # The registration order must BE the rotation the policy computes
-    # for the current round — catches a botched hand rotation at close
-    # time instead of as a next-round invariant violation (the window
-    # arithmetic has zero slack at 170 registered).
+    # The registration order must BE a rotation the policy computes —
+    # catches a botched hand rotation at close time instead of as a
+    # next-round invariant violation (the window arithmetic has zero
+    # slack at 170 registered).  The no-arg --check is ROUND-AWARE
+    # (ADVICE r14): it accepts the order for either the round in
+    # flight (rotation freshly applied) or the round the newest
+    # CORRECTNESS artifact certified, so closing round N no longer
+    # demands round N+1's rotation be applied early.
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "rotate_window.py"),
          "--check"],
