@@ -15,35 +15,36 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-14 WINDOW (executing the front pre-committed in the r13
-docstring, per VERDICT r13 #1):
+ROUND-15 WINDOW (executing the front pre-committed in the r14
+docstring — the FIRST rotation applied mechanically via
+``scripts/rotate_window.py 15 --write``, per VERDICT r14 #2):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-14 additions land here, in-window on arrival — NONE
+2. Round-15 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r10-certified queries that turned age 4 entering
-   r14 — exactly the registrations the r13 docstring pre-committed
-   (salted_priority_revenue through forward_fill_gauge), including
-   the UDAF regression slope, grouping-sets/correlated-subquery OLAP
-   family, the curation block (tf_idf_topk through iqr_outlier_docs),
-   the §2 ETL trio (etl_meals_silver, incremental_agg_merge,
-   mfp_api_stream_rollup), and the behavior-analytics family.
-4. The oldest r11-certified queries (age 3 entering r14),
+3. The TWENTY-SIX r11-certified queries that turned age 4 entering
+   r15 — exactly the registrations the r14 docstring pre-committed
+   (mfp_api_datasource through embedding_dim_stats), including the
+   MFP custom DataSource, the format-roundtrip IO family
+   (csv/jsonl/orc + partition pruning + schema evolution), the
+   q8/q21 OLAP pair, the approximate-index family (semantic dedup
+   k++, IVF k++, CMS heavy hitters, BM25, DSIR), and the
+   chart-pixels renderer.
+4. The oldest r12-certified queries (age 3 entering r15),
    oldest-first in prior registration order, filling the remaining
-   21 slots: pq_recall_eval through etl_exercises_silver.
+   21 slots: indexed_cc_refresh through ann_topk_cosine.
 
-ROUND-15 FRONT (pre-committed so the rotation stays mechanical):
-the r11-certified remainder below the window marker — age 4 entering
-r15 — MUST lead the r15 window after the canaries; they are exactly
-the 26 registrations between the window-end marker and the
-"certified r12" comment (mfp_api_datasource through
-embedding_dim_stats).  After them, the r12-certified cohort (47
-queries, age 3 entering r15) fills the remaining 21 slots
-oldest-first; its remainder (26) fronts r16, and the r13-certified
-cohort (age 2 entering r15) rotates last.
+ROUND-16 FRONT (pre-committed so the rotation stays mechanical):
+the r12-certified remainder below the window marker — age 4 entering
+r16 — MUST lead the r16 window after the canaries; they are exactly
+the 26 registrations contiguous at the window-end marker
+(ivf_ann_topk through dedup_survivors).  After them, the
+r13-certified cohort (47 queries, age 3 entering r16) fills the
+remaining 21 slots oldest-first; its remainder (26) fronts r17, and
+the r14-certified cohort (age 2 entering r16) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -54,8 +55,8 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r12 or r13
-(age <= 2 entering r14) except the pre-committed r15 front (age 3),
+Everything outside the window was driver-certified in r13 or r14
+(age <= 2 entering r15) except the pre-committed r16 front (age 3),
 and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -91,99 +92,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Part 2: round-14 additions would land here, in-window on
-# --- arrival — none: the registry is growth-frozen at 170.
-
-# --- Part 3: the TWENTY-SIX age-4 r10-certified queries (the r14
-# --- front pre-committed by the r13 rotation docstring).
-register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
-    oq.salted_priority_revenue
-)
-register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
-register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
-register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
-register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
-    oq.large_volume_customers
-)
-register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
-register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
-    oq.correlated_latest_ship
-)
-register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
-register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
-    oq.distinct_users_per_type
-)
-register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
-register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
-register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
-register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
-register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
-register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
-    cq.error_click_window_join
-)
-register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
-register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
-register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
-register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
-    mq.incremental_agg_merge
-)
-register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-
-# --- Part 4: the oldest age-3 r11-certified queries, oldest-first
-# --- in prior registration order, filling the window.
-register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
-register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
-register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
-    tq.minhash_signature_refresh
-)
-register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
-register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
-    smp.hll_sketch_refresh
-)
-register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.bloom_decontaminated_corpus
-)
-register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
-    tq.leakage_safe_split
-)
-register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
-register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
-    sq.streaming_lsh_ingest_probe_q
-)
-register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
-    tq.incremental_cc_refresh
-)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
-register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
-    iq.cascade_delete_consistency
-)
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
-    ef.etl_mealentries_silver
-)
-register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- THE R15 FRONT (pre-committed): r11-certified queries that did
-# --- not fit the r14 window — age 4 entering r15, they MUST lead
-# --- the r15 window after the canaries.
+# --- Parts 2-4: the r15 rotating window (47 slots) —
+# --- due-for-refresh queries first, then oldest-cohort fill
+# --- (ordering computed by scripts/rotate_window.py 15).
 register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
 register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
 register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
@@ -226,9 +137,6 @@ register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitter
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
 register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
 register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-
-# -- certified r12 (age 2 entering r14): fills the r15 window after
-# -- the r15 front, oldest-first; its remainder fronts r16.
 register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
 register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
     nq.variant_props_rollup
@@ -256,6 +164,13 @@ register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
 register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
 register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- Below the marker: oldest cohort first, so the r16
+# --- front is contiguous at the window marker.
 register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
 register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
@@ -286,9 +201,6 @@ register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
     sq.streaming_cms_heavy_hitters
 )
 register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-
-# -- certified r13 (age 1 entering r14 — youngest, rotate last):
-# -- the r13 window minus the canaries, in r13 window order.
 register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
 register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
 register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
@@ -372,3 +284,80 @@ register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
 )
 register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
 register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
+    oq.salted_priority_revenue
+)
+register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
+register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
+register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
+register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
+    oq.large_volume_customers
+)
+register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
+register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
+    oq.correlated_latest_ship
+)
+register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
+register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
+    oq.distinct_users_per_type
+)
+register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
+register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
+register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
+register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
+register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
+register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
+    cq.error_click_window_join
+)
+register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
+register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
+register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
+register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
+    tq.minhash_signature_refresh
+)
+register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
+register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
+    smp.hll_sketch_refresh
+)
+register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.bloom_decontaminated_corpus
+)
+register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
+    tq.leakage_safe_split
+)
+register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
+register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
+    sq.streaming_lsh_ingest_probe_q
+)
+register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
+    tq.incremental_cc_refresh
+)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
+    ef.etl_mealentries_silver
+)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
