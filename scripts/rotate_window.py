@@ -190,8 +190,8 @@ def compute_rotation(
     latest: dict[str, int],
     current: int,
     canaries: list[str] = None,
-    max_age: int = MAX_AGE,
-    window: int = WINDOW,
+    max_age: int = None,
+    window: int = None,
 ) -> list[str]:
     """Pure ordering policy (unit-tested in tests/test_bench_book.py).
 
@@ -199,7 +199,12 @@ def compute_rotation(
     ``order`` is the PRIOR registration order (the tiebreak within a
     cohort); ``latest`` maps name -> latest green round (absent =
     never certified, treated as infinitely old)."""
+    # Module-constant fallbacks resolve at CALL time (not def time) so
+    # tests can monkeypatch the policy constants through the public
+    # entry points (rotation_for_round / match_live_order).
     canaries = canaries or CANARIES
+    max_age = MAX_AGE if max_age is None else max_age
+    window = WINDOW if window is None else window
     assert order[: len(canaries)] == canaries, (
         f"canaries must lead the prior order: {order[:3]!r}"
     )

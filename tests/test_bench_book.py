@@ -425,6 +425,67 @@ def test_compute_rotation_policy():
         )
 
 
+def test_match_live_order_accepts_both_cycle_states(monkeypatch):
+    """Synthetic coverage of BOTH acceptance branches of
+    ``match_live_order`` — the live test below only ever exercises
+    whichever state the repo happens to be in, so a refactor breaking
+    one branch would go unnoticed until the round cycle reaches it.
+
+    Cycle states, for newest CORRECTNESS artifact = round 8:
+    (a) rotation for r9 freshly applied (between rotation and the
+        next driver run) -> matched round 9;
+    (b) order still the r8 rotation, recomputed from the artifacts
+        that existed at ITS apply time (rounds <= 7 — the newest
+        artifact must be excluded or the due set collapses and the
+        recomputation diverges) -> matched round 8;
+    (c) anything else -> None."""
+    canaries = ["c1", "c2", "c3"]
+    order = canaries + [f"a{i}" for i in range(3)] + [
+        f"b{i}" for i in range(3)
+    ] + [f"n{i}" for i in range(3)]
+
+    # Per-round green history (max_age 2, window 9 -> 6 rotating
+    # slots): a* certified r5 only, b* r7, n* r6 AND r8, canaries
+    # every round.  At r8 apply time (artifacts <= 7) the due set is
+    # a* (age 3) + n* (latest 6, age 2) = 6 = slots, below = b*; at
+    # r9 (artifacts <= 8) it is a* (age 4) + b* (age 2), below = n*.
+    # The two rotations therefore differ, so acceptance of each is a
+    # real branch, not a coincidence.
+    history = {n: [5, 6, 7, 8] for n in canaries}
+    history.update({f"a{i}": [5] for i in range(3)})
+    history.update({f"b{i}": [7] for i in range(3)})
+    history.update({f"n{i}": [6, 8] for i in range(3)})
+
+    def fake_latest(upto=None):
+        return {
+            n: max(r for r in rounds if upto is None or r <= upto)
+            for n, rounds in history.items()
+            if any(upto is None or r <= upto for r in rounds)
+        }
+
+    monkeypatch.setattr(rw, "newest_round", lambda: 8)
+    monkeypatch.setattr(rw, "latest_green_rounds", fake_latest)
+    monkeypatch.setattr(rw, "CANARIES", canaries)
+    monkeypatch.setattr(rw, "MAX_AGE", 2)
+    monkeypatch.setattr(rw, "WINDOW", 9)
+
+    r9_order = rw.compute_rotation(
+        order, fake_latest(upto=8), 9, canaries=canaries, max_age=2,
+        window=9,
+    )
+    r8_order = rw.compute_rotation(
+        order, fake_latest(upto=7), 8, canaries=canaries, max_age=2,
+        window=9,
+    )
+    assert r8_order != r9_order  # the test is vacuous if they agree
+
+    assert rw.match_live_order(r9_order) == 9   # state (a)
+    assert rw.match_live_order(r8_order) == 8   # state (b)
+    garbled = canaries + list(reversed(order[3:]))
+    assert garbled not in (r8_order, r9_order)
+    assert rw.match_live_order(garbled) is None  # state (c)
+
+
 def test_live_registry_order_is_the_computed_rotation():
     """The committed plans/queries.py order must BE a rotation the
     policy computes — a botched hand rotation fails here, this round,
