@@ -15,6 +15,9 @@ import os
 import sys
 
 import pytest
+from hypothesis import given as hyp_given
+from hypothesis import settings as hyp_settings
+from hypothesis import strategies as hyp_st
 
 _spec = importlib.util.spec_from_file_location(
     "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
@@ -269,6 +272,96 @@ def test_rotation_cycle_sustains_max_age_four():
     assert worst <= 4 and not violated, (worst, violated)
     worst_over, _ = _simulate_rotation(192, range(8, 24))
     assert worst_over > 4, worst_over
+
+
+def test_real_policy_forward_satisfiable_from_committed_state():
+    """Drive the MECHANIZED policy (scripts/rotate_window.py — the one
+    --write actually applies, unlike the ad-hoc model above) forward
+    20 rounds from the repo's ACTUAL committed state: the live
+    registration order plus the real CORRECTNESS history.  Every
+    round must compute without RotationUnsatisfiable, produce an
+    order classify() never flags, remain a fixed point of its own
+    recomputation (the property the round-aware --check relies on),
+    and re-certify every query within MAX_AGE.  The rotation
+    arithmetic is zero-slack at 170 registered, so any drift in the
+    committed state that would wedge a FUTURE round fails here,
+    this round."""
+    text = open(rw.QUERIES_PY).read()
+    _, _, order = rw.parse_blocks(text)
+    latest = rw.latest_green_rounds()
+    start = rw.newest_round() + 1
+    worst_age = 0
+    for rnd in range(start, start + 20):
+        order = rw.compute_rotation(order, latest, rnd)  # must not raise
+        # fixed point: recomputing with the rotated order as prior
+        # returns it unchanged (match_live_order's acceptance basis)
+        assert rw.compute_rotation(order, latest, rnd) == order
+        _, _, _, violations = ca.classify(order, latest, current=rnd)
+        assert not violations, (rnd, violations[:3])
+        for nm in order[:rw.WINDOW]:
+            if nm in latest:
+                worst_age = max(worst_age, rnd - latest[nm])
+            latest[nm] = rnd
+    assert worst_age <= rw.MAX_AGE + 1, worst_age
+
+
+@hyp_given(
+    hyp_st.integers(4, 191).flatmap(
+        lambda n: hyp_st.tuples(
+            hyp_st.just(n),
+            hyp_st.lists(
+                # -1 encodes never-certified; 0..5 an age entering the
+                # first simulated round (5 = already past MAX_AGE).
+                hyp_st.integers(-1, 5), min_size=n - 3, max_size=n - 3
+            ),
+        )
+    )
+)
+@hyp_settings(max_examples=60, deadline=None)
+def test_policy_random_states_never_silently_violate(case):
+    """Safety property of the mechanized policy over RANDOM
+    certification states (real constants: window 50 / max_age 4):
+    compute_rotation either (a) raises RotationUnsatisfiable, and only
+    when the due set genuinely exceeds the 47 slots — a doomed state
+    refused loudly, never truncated — or (b) returns a canary-pinned
+    permutation of the registry that classify() finds violation-free,
+    and continues to do so for every subsequent round once the window
+    is certified.  Deterministic tests cover the committed state and
+    the steady-state cycle; this covers the state space between."""
+    n, raw_ages = case
+    start = 10
+    canaries = ["c0", "c1", "c2"]
+    names = canaries + [f"q{i:03d}" for i in range(n - 3)]
+    latest = {nm: start - 1 for nm in canaries}
+    for nm, a in zip(names[3:], raw_ages):
+        if a >= 0:
+            latest[nm] = start - a
+    order = list(names)
+    for rnd in range(start, start + 8):
+        try:
+            order = rw.compute_rotation(
+                order, latest, rnd, canaries=canaries
+            )
+        except rw.RotationUnsatisfiable:
+            due = [
+                nm for nm in order[3:]
+                if nm not in latest or rnd - latest[nm] >= 4
+            ]
+            # Refusal must be genuine (a doomed state — e.g. a
+            # same-age cohort wider than the 47 fill slots — can
+            # surface after several successful rounds, so refusal is
+            # legal at ANY round; what is never legal is refusing
+            # when the due set actually fits).
+            assert len(due) > 47, (rnd, len(due))
+            return
+        assert order[:3] == canaries
+        assert sorted(order) == sorted(names)
+        _, _, _, violations = ca.classify(
+            order, latest, current=rnd, max_age=4, window_size=50
+        )
+        assert not violations, (rnd, violations[:3])
+        for nm in order[:50]:
+            latest[nm] = rnd
 
 
 def test_permanent_canaries_lead_the_registry():
