@@ -253,25 +253,25 @@ Round-12 additions (sf0.1 base; 2026-08-15, quiet host)::
 Round-15 addition (sf0.1 base; 2026-08-15)::
 
     query                      K=2    K=4    K=8
-    streaming_lsh_ingest_probe 2.34s  2.26s  3.24s  (absolute seconds:
-                                             the raw 1x base reads
-                                             5.7s steady-state because
-                                             base documents.parquet is
-                                             single-split and the
-                                             simulated-prior-run store
-                                             build is scan-parallelism
-                                             -bound there — the same
-                                             few-split-base caveat
-                                             facts mode rebuilds
-                                             around, so compare WITHIN
-                                             the same-writer-layout
-                                             K series: K=2 -> K=8 is
-                                             1.38x time for 4x data.
+    streaming_lsh_ingest_probe 2.34s  2.26s  3.24s  (absolute seconds
+                                             vs a 32-split scaled
+                                             writer; K=2 -> K=8 is
+                                             1.38x time for 4x data,
+                                             and ``rebuilt`` mode
+                                             measures 0.97x at K=4
+                                             against a same-writer 1x
+                                             base, 2.70s -> 2.63s.
                                              Streaming micro-batch
                                              fixed cost dominates at
                                              this size; no collision
                                              blow-up on the K x-wider
-                                             hot bands)
+                                             hot bands.  The RAW 1x
+                                             base reads 5.7s steady-
+                                             state — single-split
+                                             documents.parquet, scan-
+                                             parallelism-bound — which
+                                             is what motivated the
+                                             ``rebuilt`` mode below)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -624,7 +624,20 @@ def main() -> None:
         rounds_probe([int(x) for x in sys.argv[2:]] or [1, 2, 4, 8])
         return
     facts_mode = len(sys.argv) > 1 and sys.argv[1] == "facts"
-    if facts_mode:
+    # ``rebuilt`` = corpus mode with the 1x side rebuilt through the
+    # same writer (like facts mode always does): the raw base
+    # documents.parquet is single-split, so store-building/scan-heavy
+    # probes are scan-parallelism-bound at 1x and ratios understate —
+    # streaming_lsh_ingest_probe even measures raw-1x SLOWER than 4x.
+    # Opt-in (not default) because every historical table in this
+    # docstring was measured against the raw base; note which mode a
+    # recorded ratio used.  Side effect to be aware of: the rebuilt
+    # base dir name embeds sf1, so scale-aware knobs see a LARGE
+    # perceived scale on BOTH sides — the comparison is then
+    # cluster-path vs cluster-path, which is what a growth claim
+    # should compare anyway.
+    rebuilt_mode = len(sys.argv) > 1 and sys.argv[1] == "rebuilt"
+    if facts_mode or rebuilt_mode:
         sys.argv.pop(1)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2:])
@@ -639,11 +652,14 @@ def main() -> None:
         probes = FACT_PROBES
         print(f"scaled facts at {scaled} ({k}x orders/lineitem, 1x side rebuilt at {base_facts})\n")
     else:
+        base_facts = build_scaled(spark, 1) if rebuilt_mode else None
         scaled = build_scaled(spark, k)
         probes = PROBES
-        print(f"scaled corpus at {scaled} ({k}x documents/embeddings)\n")
+        print(f"scaled corpus at {scaled} ({k}x documents/embeddings"
+              + (f", 1x side rebuilt at {base_facts}" if rebuilt_mode else "")
+              + ")\n")
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s}  t-ratio (data-ratio {k}.0)")
-    base_side = base_facts if facts_mode else BASE
+    base_side = base_facts if (facts_mode or rebuilt_mode) else BASE
     for name in probes:
         if only and name not in only:
             continue
