@@ -273,6 +273,20 @@ Round-15 addition (sf0.1 base; 2026-08-15)::
                                              is what motivated the
                                              ``rebuilt`` mode below)
 
+Rebuilt-base re-measurement of the refresh family (``rebuilt 4``,
+2026-08-15) — the raw-base ratios above carry the single-split-1x
+understatement, so the persisted-state protocols were re-probed
+against a same-writer 1x base; all remain well under the data ratio
+with the layout bias removed::
+
+    query                      K=4 (rebuilt base; data ratio 4.0)
+    minhash_signature_refresh 1.09x  (6.36s -> 6.96s)
+    incremental_cc_refresh    1.28x  (6.70s -> 8.57s)
+    indexed_cc_refresh        1.75x  (6.72s -> 11.74s; the growth is
+                                      the scan-linear simulated prior
+                                      run seeding the two stores —
+                                      the refresh side stays O(batch))
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
