@@ -287,6 +287,32 @@ with the layout bias removed::
                                       run seeding the two stores —
                                       the refresh side stays O(batch))
 
+Rebuilt-base broadening (``rebuilt {4,8}``, 2026-08-16) — the four
+heaviest non-refresh corpus families re-probed against a same-writer
+1x base.  The K=4 session launched quiet (load1 0.11); the K=8
+session ran on the K=4 session's residual load (load1 ~6 at launch)
+— both sides of each ratio share their session, so the RATIOS hold
+while absolute seconds are inflated::
+
+    query                        K=4    K=8   (data ratio 4.0 / 8.0)
+    semantic_dedup_kpp          1.44x  4.32x  (vs 16x/64x within-
+                                               cluster pair space;
+                                               the raw-base r6 ~10x
+                                               at K=4 carried the
+                                               single-split-1x bias
+                                               this mode removes —
+                                               with it gone the path
+                                               is UNDER the data
+                                               ratio at both sizes)
+    minhash_dedup_e2e           0.81x  3.49x  (the K=4 session's 1x
+                                               side read 7.75s vs
+                                               3.93s in the K=8
+                                               session — treat 3.49x
+                                               as the signal, still
+                                               well under 8.0)
+    minhash_jaccard_calibration 1.32x  1.77x
+    leakage_safe_split          1.44x  1.92x
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
