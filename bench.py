@@ -91,6 +91,14 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Raw per-query ratio at which a timing enters the flag pipeline: the
+# hard gate is this line host-calibrated (clamped [1,2]x wider), and
+# the watch band is everything the calibration excused above it.
+# Shared by classify_regressions and TimingBook.retry_order so the
+# pass-2 retry targeting can never drift from the gate it protects.
+RAW_WATCH_RATIO = 2.0
+
+
 def classify_regressions(
     timed: dict[str, float],
     baseline: dict,
@@ -138,7 +146,7 @@ def classify_regressions(
     watch: dict[str, dict] = {}
     for n, b in _load_baseline_queries(baseline).items():
         cur = timed.get(n)
-        if cur is None or cur <= 2.0 * b:
+        if cur is None or cur <= RAW_WATCH_RATIO * b:
             continue
         entry = {
             "baseline": b,
@@ -223,8 +231,20 @@ class BenchBook:
     def retry_order(
         self, qs: dict, baseline: dict | None = None
     ) -> list[tuple[str, object]]:
-        """Pass-2 order: largest expected RECOVERY first, errored
+        """Pass-2 order: FLAG-RISK queries first (pass-1 raw ratio at
+        or over RAW_WATCH_RATIO — the candidate regression/watch set,
+        worst ratio first), then largest expected RECOVERY, errored
         queries last (each gets one retry).
+
+        The flag-risk tier exists because recovery is measured in
+        SECONDS: a 0.24 s-floor query reading 2.8× cold offers only
+        ~0.4 s of recovery, so pure recovery ordering never retried it
+        and the cold-position artifact survived to the gate as a false
+        regression (both r15 clean runs flagged doc_fingerprint this
+        way; warm probes cleared it at 0.70× normalized).  At-risk
+        queries are almost always sub-second, so clearing the whole
+        tier costs a few seconds of budget and every flag the run
+        reports is then a steady-state number, not a cold artifact.
 
         Recovery for a query = pass-1 timing − its best-known baseline
         time: the seconds a warm rep can plausibly win back.  Plain
@@ -234,7 +254,8 @@ class BenchBook:
         unrepped — measured r5: only ~26 of 113 queries fit in the
         pass-2 budget, so targeting matters.  Queries without a
         baseline entry count their full timing as recoverable (new
-        queries get repped early).
+        queries get repped early) and carry no flag risk (no baseline,
+        no gate).
         """
         base = baseline or {}
 
@@ -244,10 +265,19 @@ class BenchBook:
                 return 0.0
             return cur - base.get(name, 0.0)
 
+        def flag_risk(name: str) -> float:
+            cur = self.timings.get(name)
+            b = base.get(name)
+            if cur is None or not b:
+                return 0.0
+            ratio = cur / b
+            return ratio if ratio >= RAW_WATCH_RATIO else 0.0
+
         return sorted(
             qs.items(),
             key=lambda kv: (
                 self.timings.get(kv[0]) is None,
+                -flag_risk(kv[0]),
                 -recovery(kv[0]),
             ),
         )

@@ -94,6 +94,39 @@ def test_retry_order_targets_largest_recovery_vs_baseline():
     assert order == ["inflated", "new", "floor"]
 
 
+def test_retry_order_flag_risk_outranks_recovery():
+    # The second r15 clean run's failure mode: a 0.24s-floor query
+    # reading 2.8x cold offers tiny absolute recovery, so recovery
+    # ordering starved it of a retry and the cold artifact reached the
+    # gate as a false regression.  At-risk entries (raw ratio >=
+    # RAW_WATCH_RATIO) must lead pass 2 regardless of recovery
+    # seconds, worst ratio first; sub-threshold queries keep the
+    # recovery ordering.
+    b = bench.BenchBook()
+    qs = {"tiny_hot": 1, "big_recovery": 2, "tiny_hotter": 3, "near": 4}
+    b.success("tiny_hot", 0.6)        # 2.5x its 0.24 floor, 0.36s rec
+    b.success("tiny_hotter", 0.9)     # 3.0x its 0.30 floor, 0.60s rec
+    b.success("big_recovery", 9.0)    # 1.5x its 6.0 floor, 3.0s rec
+    b.success("near", 0.45)           # 1.87x its 0.24 floor — under line
+    baseline = {"tiny_hot": 0.24, "tiny_hotter": 0.30,
+                "big_recovery": 6.0, "near": 0.24}
+    order = [name for name, _ in b.retry_order(qs, baseline)]
+    assert order == ["tiny_hotter", "tiny_hot", "big_recovery", "near"]
+
+
+def test_retry_order_risk_threshold_is_the_watch_line():
+    # The tier boundary must BE bench.RAW_WATCH_RATIO (the constant
+    # classify_regressions gates on), so retry targeting can never
+    # drift from the flag pipeline it protects.
+    b = bench.BenchBook()
+    qs = {"at_line": 1, "big": 2}
+    b.success("at_line", 0.24 * bench.RAW_WATCH_RATIO)  # exactly at it
+    b.success("big", 9.0)
+    baseline = {"at_line": 0.24, "big": 6.0}
+    order = [name for name, _ in b.retry_order(qs, baseline)]
+    assert order == ["at_line", "big"]
+
+
 # --- classify_regressions: hard gate vs report-only watch band ----------
 
 _BASE = {
