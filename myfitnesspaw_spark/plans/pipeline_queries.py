@@ -1731,6 +1731,20 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def bpe_encode_expr(col, merges: list[tuple[str, str]]):
+    """The bracket-delimited BPE encode as a pure Column expression:
+    char-split ``col`` into '<c>' cells, then apply each merge (a, b)
+    as one leftmost/non-overlapping string replace of '<a><b>' with
+    '<ab>'.  Parametrized over the merge table so the property test
+    (tests/test_properties.py) can drive it with RANDOM chained merge
+    lists against a token-walk Python reference — the production
+    callers pass the frozen BPE_MERGES."""
+    enc = F.regexp_replace(col, r"(.)", "<$1>")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return enc
+
+
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
     # Letter-only vocabulary: tokens() is a whitespace split, so
@@ -1745,9 +1759,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    enc = F.regexp_replace(F.col("word"), r"(.)", "<$1>")
-    for a, b in BPE_MERGES:
-        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    enc = bpe_encode_expr(F.col("word"), BPE_MERGES)
     spaced = F.expr(
         "trim(BOTH '<>' FROM replace(__enc, '><', ' '))"
     )

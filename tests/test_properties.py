@@ -928,3 +928,70 @@ def test_type_class_spark_arrow_parity_exhaustive():
     # false "match" with anything known.
     assert type_class(pa.duration("s")).startswith("other:")
     assert type_class(T.DayTimeIntervalType()).startswith("other:")
+
+
+def _py_bpe_tokens(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Classic token-walk BPE application (Sennrich et al. semantics):
+    one pass per merge, leftmost, non-overlapping, merged output not
+    rescanned within its own pass."""
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_encode_expr_matches_token_walk_reference(spark):
+    """The bracket-replace BPE encode (plans/pipeline_queries.py::
+    bpe_encode_expr — the codegen-string trick both bpe_apply_merges
+    and its DuckDB oracle build on) must equal the classic token-walk
+    application for RANDOM chained merge tables and adversarial words.
+    The equivalence claim is subtle (a replace could in principle
+    create a new same-pass match at its boundary), so it is pinned
+    empirically over a narrow alphabet where collisions are dense:
+    repeated-letter runs ('eee'), self-merges (e,e), and merges
+    consuming earlier outputs (m+er after e+r) all occur by
+    construction."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.plans.pipeline_queries import bpe_encode_expr
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        letters = "abcde"
+        # Chained merge table: each merge draws from the vocab built so
+        # far (singles + earlier merge outputs), so later merges can
+        # only fire on earlier merges' output tokens.
+        vocab = list(letters)
+        merges: list[tuple[str, str]] = []
+        for _ in range(rng.randint(1, 8)):
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            merges.append((a, b))
+            vocab.append(a + b)
+        words = ["".join(rng.choice(letters) for _ in range(rng.randint(1, 12)))
+                 for _ in range(150)]
+        # Adversarial additions: uniform runs and exact merge-pair runs.
+        words += [c * n for c in letters for n in (2, 3, 4, 5)]
+        words += [(a + b) * 3 for a, b in merges]
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id int, word string"
+        )
+        spaced = F.expr("trim(BOTH '<>' FROM replace(__enc, '><', ' '))")
+        got = {
+            r["id"]: r["toks"]
+            for r in df.withColumn("__enc", bpe_encode_expr(F.col("word"), merges))
+            .select("id", F.split(spaced, " ").alias("toks"))
+            .collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == _py_bpe_tokens(w, merges), (seed, w, merges)
