@@ -18,6 +18,10 @@ exercises exactly the branches a real big run would.
 Usage::
 
     python scripts/scale_probe.py [K] [query ...]   # default K=4
+    python scripts/scale_probe.py facts [K] ...     # orders/lineitem axis
+    python scripts/scale_probe.py rebuilt [K] ...   # corpus, same-writer 1x
+    python scripts/scale_probe.py events [K] ...    # events axis
+    python scripts/scale_probe.py rounds [K ...]    # CC rounds-vs-size
 
 Measured (sf0.1 base, local[32], 2026-08-14) — time-ratio at K=4 and
 K=8; every probe at or under its data ratio (ANN's pair space grows
@@ -313,6 +317,39 @@ while absolute seconds are inflated::
     minhash_jaccard_calibration 1.32x  1.77x
     leakage_safe_split          1.44x  1.92x
 
+Events-mode probes (``events {4,8}``, 2026-08-16) — the behavioral /
+streaming family over a K×-replicated events table (shifted
+user_id/event_id, timestamps unchanged → per-user sequences
+isomorphic, window count constant, window population K×; 1x side
+rebuilt through the same 32-split writer), the first ratios ever
+recorded on the events axis (the corpus builder symlinks events
+unchanged, so this family was previously unprobed).  Every entry is
+FLAT at both sizes — 0.73x-1.27x for 4x-8x data — i.e. the whole
+family is task-overhead-bound at this absolute size with ZERO
+super-linear leakage: keyed session/window/funnel state stays
+per-user, the stream-stream join stays keyed, the sketches stay
+fixed-size::
+
+    query                             K=4    K=8  (data 4.0 / 8.0)
+    sessionize_events                0.82x  1.03x
+    session_window_events            1.04x  1.27x
+    funnel_conversion                1.01x  1.04x
+    activity_streaks                 1.15x  1.26x
+    time_weighted_value              0.88x  1.01x
+    daily_event_sequence             0.78x  1.08x
+    latest_event_per_user            0.84x  1.02x
+    hll_union_rollup                 1.02x  1.02x
+    cms_heavy_hitters                0.78x  0.88x
+    debounce_events                  0.93x  1.08x
+    hourly_event_ohlc                0.96x  1.10x
+    variant_props_rollup             1.22x  1.16x
+    streaming_hourly_rollup          0.95x  1.05x
+    streaming_sliding_rollup         0.96x  0.91x
+    streaming_dedup_within_watermark 1.07x  0.89x
+    stream_stream_click_error        0.93x  0.73x
+    sessionize_stateful_stream       0.91x  0.93x
+    tws_user_type_rollup             0.99x  0.89x
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
@@ -475,6 +512,46 @@ FACT_PROBES = [
     "salted_priority_revenue",
 ]
 
+# Event-table probes (``python scripts/scale_probe.py events [K]``):
+# the behavioral/streaming family, whose scale axis is the events
+# table — previously UNPROBED (the corpus builder symlinks events
+# unchanged, and the book's hll note records that a ratio over
+# identical data certifies nothing).  The events builder replicates
+# with shifted user_id/event_id and UNCHANGED timestamps: per-user
+# event sequences are exactly isomorphic across replicas, so
+# sessions, streaks, funnels, argmaxes and per-user join structure
+# are replica-local and the expected growth is linear; timestamps
+# unchanged means the time axis keeps its range with K× density, so
+# windowed aggregates grow by groups (users), never by window count,
+# and watermark semantics are identical.  A super-linear ratio here
+# would mean per-user state leaked across users (a missing key in a
+# window/groupBy) or an unkeyed stream join.
+EVENT_PROBES = [
+    # batch behavioral: window functions, gaps-and-islands, argmax,
+    # traces, sketches, JSON props.
+    "sessionize_events",
+    "session_window_events",
+    "funnel_conversion",
+    "activity_streaks",
+    "time_weighted_value",
+    "daily_event_sequence",
+    "latest_event_per_user",
+    "hll_union_rollup",
+    "cms_heavy_hitters",
+    "debounce_events",
+    "hourly_event_ohlc",
+    "variant_props_rollup",
+    # streaming: windowed update-mode drain, sliding windows,
+    # watermarked dedup, stream-stream join, per-key Python state
+    # (applyInPandasWithState), TWS processor (v1 fallback path).
+    "streaming_hourly_rollup",
+    "streaming_sliding_rollup",
+    "streaming_dedup_within_watermark",
+    "stream_stream_click_error",
+    "sessionize_stateful_stream",
+    "tws_user_type_rollup",
+]
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events",
@@ -590,6 +667,50 @@ def build_scaled_facts(spark, k: int) -> str:
     return out
 
 
+def build_scaled_events(spark, k: int) -> str:
+    """K×-scaled events with shifted user_id/event_id and unchanged
+    timestamps: every other table (and the corpus) is linked
+    unchanged.  Replicas are per-user isomorphic — the same event
+    sequence under a shifted user — so keyed session/window/funnel
+    state and per-user stream-join structure must grow linearly; the
+    shared time axis (unchanged ts) keeps window COUNTS constant
+    while window populations grow K×.  The 1x side is rebuilt through
+    the same 32-split writer (same stance as facts/rebuilt modes) so
+    both sides share a split layout — which also matters for the
+    STREAMING probes, whose micro-batch structure follows the file
+    listing.  Reading through load_table normalizes ts to NTZ-µs, so
+    the rebuilt files carry TIMESTAMP(MICROS) footers — a layout both
+    the batch loader and read_events_stream sniff and accept."""
+    from myfitnesspaw_spark.sources import load_table
+
+    out = f"/tmp/scale_probe_events_sf{k}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in TABLES + ["documents", "embeddings"]:
+        if t == "events":
+            continue
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    ev = load_table(spark, BASE, "events")
+    reps = [
+        ev.select(
+            (F.col("event_id") + r * 1_000_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + r * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for r in range(k)
+    ]
+    sdf = reps[0]
+    for rdf in reps[1:]:
+        sdf = sdf.unionByName(rdf)
+    sdf.repartition(32).write.parquet(f"{out}/events.parquet")
+    return out
+
+
 def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
     import gc
 
@@ -677,13 +798,22 @@ def main() -> None:
     # cluster-path vs cluster-path, which is what a growth claim
     # should compare anyway.
     rebuilt_mode = len(sys.argv) > 1 and sys.argv[1] == "rebuilt"
-    if facts_mode or rebuilt_mode:
+    # ``events`` = the behavioral/streaming family over a K×-replicated
+    # events table (shifted users, unchanged timestamps); 1x side
+    # rebuilt through the same writer, like facts mode.
+    events_mode = len(sys.argv) > 1 and sys.argv[1] == "events"
+    if facts_mode or rebuilt_mode or events_mode:
         sys.argv.pop(1)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2:])
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
     qs = registry.queries()
-    if facts_mode:
+    if events_mode:
+        base_facts = build_scaled_events(spark, 1)
+        scaled = build_scaled_events(spark, k)
+        probes = EVENT_PROBES
+        print(f"scaled events at {scaled} ({k}x events, 1x side rebuilt at {base_facts})\n")
+    elif facts_mode:
         # The 1x side is REBUILT through the same writer (k=1) so both
         # sides have identical split layout - otherwise the few-split
         # base parquet is scan-parallelism-bound and ratios understate.
@@ -699,7 +829,9 @@ def main() -> None:
               + (f", 1x side rebuilt at {base_facts}" if rebuilt_mode else "")
               + ")\n")
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s}  t-ratio (data-ratio {k}.0)")
-    base_side = base_facts if (facts_mode or rebuilt_mode) else BASE
+    base_side = (
+        base_facts if (facts_mode or rebuilt_mode or events_mode) else BASE
+    )
     for name in probes:
         if only and name not in only:
             continue
