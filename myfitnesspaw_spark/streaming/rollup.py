@@ -23,6 +23,36 @@ from pyspark.sql import types as T
 from myfitnesspaw_spark.functions.numeric import money_cents
 from myfitnesspaw_spark.streaming.lint_hook import lint_batch_plan
 
+
+def stream_table_source(spark: SparkSession, sf_dir: str, name: str, schema):
+    """File-stream reader for ``{sf_dir}/{name}.parquet`` that works on
+    BOTH physical layouts a parquet table ships in:
+
+    * a directory of part files (every real deployment, and the scale
+      probe's rebuilt corpora) — streamed directly; a file source
+      pointed at a directory lists the files inside it;
+    * a single bare file (the driver's testdata layout) — a file source
+      cannot take a file as its path (``basePath`` must be a
+      directory), so list the PARENT with a ``pathGlobFilter`` that
+      selects just this table's file.
+
+    The two failure modes are silent in the wrong pairing: glob-on-
+    parent against a directory layout matches NOTHING (the part files
+    inside are not named ``{name}.parquet``) and the stream drains
+    zero micro-batches — which is exactly how the scale probe's
+    streaming numbers were invalidated before this helper existed (the
+    K×-scaled tables are directories).  Layout is decided with an
+    ``isdir`` check, fine for the local[?] paths this repo targets; an
+    object-store deployment always takes the directory branch.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
 def state_shuffle_partitions(spark: SparkSession) -> int:
     """Shuffle-partition count for STATEFUL streaming queries.
 
@@ -84,12 +114,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint": T.LongType(),
         "timestamp": T.TimestampType(),
     }.get(raw_ts, T.TimestampNTZType())
-    # File streaming sources list a directory; select just the events
-    # file out of the shared sf_dir with a glob filter.
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_type))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # Layout-robust source: a bare events.parquet file streams via a
+    # parent-dir glob, a directory of part files streams directly.
+    raw = stream_table_source(
+        spark, sf_dir, "events", _events_raw_schema(ts_type)
     )
     if raw_ts == "bigint":
         # Epoch-nanos BIGINT → zoned TIMESTAMP; an instant, no zone read.
@@ -503,11 +531,7 @@ def streaming_lsh_ingest_probe(
     # rename/type change must fail this plan loudly at analysis, not
     # read nulls and emit zero signatures.
     doc_schema = base.schema
-    raw = (
-        spark.readStream.schema(doc_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_table_source(spark, sf_dir, "documents", doc_schema)
     incoming = raw.where(F.col("doc_id") % 10 == 0)
     # The SAME signing chain the store builder ran (one implementation,
     # so producer and prober cannot drift); checkpoint=False is the

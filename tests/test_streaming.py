@@ -510,3 +510,39 @@ def test_inner_batch_plan_lint_hook(spark, tmp_path):
         lint_hook.BATCH_PLAN_LINT = None
         spark.sql("DROP VIEW IF EXISTS global_temp.hook_boom_state")
         spark.sql("DROP VIEW IF EXISTS global_temp.hook_ok_state")
+
+
+def test_stream_table_source_reads_both_physical_layouts(spark, sf_dir, tmp_path):
+    """stream_table_source must see every row whether the table ships
+    as a bare file (the driver's testdata layout) or as a directory of
+    part files (every real deployment, and the scale probe's rebuilt
+    corpora).  The wrong pairing fails SILENTLY — a parent-dir glob
+    against a directory layout matches nothing and the stream drains
+    zero micro-batches (exactly how the scale probe's streaming
+    numbers went invalid) — so both layouts are pinned here by
+    row-count, not just by 'no exception'."""
+    from myfitnesspaw_spark.streaming.rollup import read_events_stream
+
+    batch = load_table(spark, sf_dir, "events")
+    n = batch.count()
+    assert n > 0
+
+    def drained_rows(d: str) -> int:
+        counts: list[int] = []
+        q = (
+            read_events_stream(spark, d)
+            .writeStream.foreachBatch(lambda b, _i: counts.append(b.count()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(counts)
+
+    # Bare-file layout: the real sf_dir.
+    assert drained_rows(sf_dir) == n
+
+    # Directory layout: the same rows written as multi-split parquet.
+    scaled = tmp_path / "dir_layout"
+    scaled.mkdir()
+    batch.repartition(4).write.parquet(str(scaled / "events.parquet"))
+    assert drained_rows(str(scaled)) == n
