@@ -254,28 +254,26 @@ Round-12 additions (sf0.1 base; 2026-08-15, quiet host)::
                                              seeding the two stores,
                                              scan-linear by design)
 
-Round-15 addition (sf0.1 base; 2026-08-15)::
+Round-15 addition — REMEASURED 2026-08-16 after the layout fix: the
+numbers first recorded here (2.34s/2.26s/3.24s, rebuilt 0.97x) were
+INVALID — the stream's parent-dir glob matched nothing against the
+scaled documents.parquet DIRECTORIES, so every K-side (and both sides
+of the rebuilt pair) drained zero micro-batches and timed store-build
+plus an empty stream.  ``stream_table_source`` (streaming/rollup.py)
+now streams directory layouts directly, pinned by row-count in
+tests/test_streaming.py.  Valid rebuilt-mode numbers (same-writer 1x
+base, real ingest both sides)::
 
-    query                      K=2    K=4    K=8
-    streaming_lsh_ingest_probe 2.34s  2.26s  3.24s  (absolute seconds
-                                             vs a 32-split scaled
-                                             writer; K=2 -> K=8 is
-                                             1.38x time for 4x data,
-                                             and ``rebuilt`` mode
-                                             measures 0.97x at K=4
-                                             against a same-writer 1x
-                                             base, 2.70s -> 2.63s.
-                                             Streaming micro-batch
-                                             fixed cost dominates at
-                                             this size; no collision
-                                             blow-up on the K x-wider
-                                             hot bands.  The RAW 1x
-                                             base reads 5.7s steady-
-                                             state — single-split
-                                             documents.parquet, scan-
-                                             parallelism-bound — which
-                                             is what motivated the
-                                             ``rebuilt`` mode below)
+    query                      K=2    K=4    K=8   (data 2 / 4 / 8)
+    streaming_lsh_ingest_probe 1.00x  1.09x  1.72x (3.64s -> 3.65s,
+                                             3.37s -> 3.66s,
+                                             3.28s -> 5.65s; genuinely
+                                             sub-linear — micro-batch
+                                             fixed cost plus the scan-
+                                             linear store build
+                                             dominate, and no
+                                             collision blow-up on the
+                                             K x-wider hot bands)
 
 Rebuilt-base re-measurement of the refresh family (``rebuilt 4``,
 2026-08-15) — the raw-base ratios above carry the single-split-1x
@@ -323,12 +321,10 @@ user_id/event_id, timestamps unchanged → per-user sequences
 isomorphic, window count constant, window population K×; 1x side
 rebuilt through the same 32-split writer), the first ratios ever
 recorded on the events axis (the corpus builder symlinks events
-unchanged, so this family was previously unprobed).  Every entry is
-FLAT at both sizes — 0.73x-1.27x for 4x-8x data — i.e. the whole
-family is task-overhead-bound at this absolute size with ZERO
-super-linear leakage: keyed session/window/funnel state stays
-per-user, the stream-stream join stays keyed, the sketches stay
-fixed-size::
+unchanged, so this family was previously unprobed).  The BATCH rows
+are flat at both sizes — task-overhead-bound with zero super-linear
+leakage (keyed session/window/funnel state stays per-user, sketches
+stay fixed-size)::
 
     query                             K=4    K=8  (data 4.0 / 8.0)
     sessionize_events                0.82x  1.03x
@@ -343,12 +339,37 @@ fixed-size::
     debounce_events                  0.93x  1.08x
     hourly_event_ohlc                0.96x  1.10x
     variant_props_rollup             1.22x  1.16x
-    streaming_hourly_rollup          0.95x  1.05x
-    streaming_sliding_rollup         0.96x  0.91x
-    streaming_dedup_within_watermark 1.07x  0.89x
-    stream_stream_click_error        0.93x  0.73x
-    sessionize_stateful_stream       0.91x  0.93x
-    tws_user_type_rollup             0.99x  0.89x
+    hll_sketch_refresh               0.91x  0.90x  (the query the old
+                                             hll note recorded as
+                                             unprobeable before this
+                                             axis existed)
+    hll_distinct_users               1.15x  1.34x
+
+STREAMING events-mode rows (measured 2026-08-16 AFTER the
+stream_table_source layout fix — the first same-day attempt drained
+zero micro-batches on both sides because the parent-dir glob matched
+nothing against directory-layout tables; those empty-stream ratios
+were never folded into this table).  With real ingest on both sides,
+every mechanism lands at or under the data ratio; the only entries
+clearly above 1x are the per-key PYTHON state pair, whose cost is
+linear in user-group count by construction (grouped applyInPandas
+pays ~ms per group), i.e. sub-linear vs data at both sizes::
+
+    query                             K=4    K=8  (data 4.0 / 8.0)
+    streaming_hourly_rollup          0.88x  1.02x
+    streaming_sliding_rollup         1.05x  1.04x
+    streaming_dedup_within_watermark 1.28x  1.16x
+    stream_stream_click_error        0.99x  1.13x
+    stream_stream_click_error_outer  1.02x  1.46x
+    streaming_cms_heavy_hitters      0.79x  0.85x
+    streaming_upsert_latest_event    1.25x  1.10x
+    streaming_dedup_counts           1.08x  0.76x
+    stream_static_enrich             0.97x  0.80x
+    sessionize_stateful_stream       2.48x  4.21x  (per-user-group
+                                             Python state: linear in
+                                             groups, sub-linear in
+                                             data)
+    tws_user_type_rollup             1.94x  3.87x  (same family)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
@@ -550,6 +571,19 @@ EVENT_PROBES = [
     "stream_stream_click_error",
     "sessionize_stateful_stream",
     "tws_user_type_rollup",
+    # second wave: the persisted-HLL refresh (the query the corpus-
+    # mode hll note explicitly recorded as UNPROBEABLE before this
+    # axis existed), the exact/sketch distinct pair, the streaming
+    # CMS, the outer stream-stream join (null-row horizon), the
+    # streaming keyed upsert + dedup-count pair, and the broadcast
+    # stream-static enrich.
+    "hll_sketch_refresh",
+    "hll_distinct_users",
+    "streaming_cms_heavy_hitters",
+    "stream_stream_click_error_outer",
+    "streaming_upsert_latest_event",
+    "streaming_dedup_counts",
+    "stream_static_enrich",
 ]
 
 TABLES = [
