@@ -312,22 +312,21 @@ def streaming_cms_heavy_hitters(
     from myfitnesspaw_spark.functions.text import tokens
     from myfitnesspaw_spark.plans.sampling_queries import cms_report_from_counts
 
-    # The documents table ships as a single FILE in the testdata but as
-    # a DIRECTORY of part files when produced by a Spark write; the
-    # file-stream source accepts only directories, so stream the dir
-    # directly when it is one, else the parent dir with a leaf-name
-    # glob (which would miss part files in the directory case).
-    import os
+    # Layout-robust source (bare file vs directory of part files) —
+    # the shared helper; this site previously carried its own inline
+    # copy of the branch.
+    from myfitnesspaw_spark.streaming.rollup import stream_table_source
 
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isdir(path):
-        raw = reader.parquet(path)
-    else:
-        raw = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = stream_table_source(
+        spark,
+        sf_dir,
+        "documents",
+        schema,
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None,
+    )
 
     state_view = "cms_stream_counts"
     spark.createDataFrame([], "token string, n_true bigint").createOrReplaceGlobalTempView(

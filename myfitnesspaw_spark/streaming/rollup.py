@@ -24,7 +24,13 @@ from myfitnesspaw_spark.functions.numeric import money_cents
 from myfitnesspaw_spark.streaming.lint_hook import lint_batch_plan
 
 
-def stream_table_source(spark: SparkSession, sf_dir: str, name: str, schema):
+def stream_table_source(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    schema,
+    options: dict | None = None,
+):
     """File-stream reader for ``{sf_dir}/{name}.parquet`` that works on
     BOTH physical layouts a parquet table ships in:
 
@@ -49,6 +55,8 @@ def stream_table_source(spark: SparkSession, sf_dir: str, name: str, schema):
 
     path = f"{sf_dir}/{name}.parquet"
     reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if os.path.isdir(path):
         return reader.parquet(path)
     return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
