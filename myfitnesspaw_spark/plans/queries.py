@@ -15,36 +15,34 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-15 WINDOW (executing the front pre-committed in the r14
-docstring — the FIRST rotation applied mechanically via
-``scripts/rotate_window.py 15 --write``, per VERDICT r14 #2):
+ROUND-16 WINDOW (executing the front pre-committed in the r15
+docstring, applied mechanically via
+``scripts/rotate_window.py 16 --write``):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-15 additions land here, in-window on arrival — NONE
+2. Round-16 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r11-certified queries that turned age 4 entering
-   r15 — exactly the registrations the r14 docstring pre-committed
-   (mfp_api_datasource through embedding_dim_stats), including the
-   MFP custom DataSource, the format-roundtrip IO family
-   (csv/jsonl/orc + partition pruning + schema evolution), the
-   q8/q21 OLAP pair, the approximate-index family (semantic dedup
-   k++, IVF k++, CMS heavy hitters, BM25, DSIR), and the
-   chart-pixels renderer.
-4. The oldest r12-certified queries (age 3 entering r15),
+3. The TWENTY-SIX r12-certified queries that turned age 4 entering
+   r16 — exactly the registrations the r15 docstring pre-committed
+   (ivf_ann_topk through dedup_survivors), including the IVF ANN
+   baseline, the normalize/JSON family, the multimodal trio, and
+   the streaming sliding/CMS pair.
+4. The oldest r13-certified queries (age 3 entering r16),
    oldest-first in prior registration order, filling the remaining
-   21 slots: indexed_cc_refresh through ann_topk_cosine.
+   21 slots: delta_dedup_pairs through session_window_events.
 
-ROUND-16 FRONT (pre-committed so the rotation stays mechanical):
-the r12-certified remainder below the window marker — age 4 entering
-r16 — MUST lead the r16 window after the canaries; they are exactly
+ROUND-17 FRONT (pre-committed so the rotation stays mechanical):
+the r13-certified remainder below the window marker — age 4 entering
+r17 — MUST lead the r17 window after the canaries; they are exactly
 the 26 registrations contiguous at the window-end marker
-(ivf_ann_topk through dedup_survivors).  After them, the
-r13-certified cohort (47 queries, age 3 entering r16) fills the
-remaining 21 slots oldest-first; its remainder (26) fronts r17, and
-the r14-certified cohort (age 2 entering r16) rotates last.
+(streaming_upsert_latest_event through spend_rank_dist).  After
+them, the r14-certified cohort (47 queries, age 3 entering r17)
+fills the remaining 21 slots oldest-first; its remainder (26)
+fronts r18, and the r15-certified cohort (age 2 entering r17)
+rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -55,8 +53,8 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r13 or r14
-(age <= 2 entering r15) except the pre-committed r16 front (age 3),
+Everything outside the window was driver-certified in r14 or r15
+(age <= 2 entering r16) except the pre-committed r17 front (age 3),
 and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -92,85 +90,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Parts 2-4: the r15 rotating window (47 slots) —
+# --- Parts 2-4: the r16 rotating window (47 slots) —
 # --- due-for-refresh queries first, then oldest-cohort fill
-# --- (ordering computed by scripts/rotate_window.py 15).
-register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
-register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
-register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
-register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
-    sq.tws_user_type_rollup_q
-)
-register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
-register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.decontaminated_corpus
-)
-register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
-    tq.dedup_graph_triangles
-)
-register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
-    oq.q21_waiting_suppliers
-)
-register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
-register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
-register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
-register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
-register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
-    cq.corpus_refresh_pipeline
-)
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
-register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
-register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
-register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
-register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
-register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
-register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
-    nq.variant_props_rollup
-)
-register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
-    mq.snapshot_full_outer_diff
-)
-register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
-register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
-register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
-register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
-register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
-register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
-register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
-register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
-    core_ops.latest_event_per_user
-)
-register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
-register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
-register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
-register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
-register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
-register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
-register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
-register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
-register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
-register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- Below the marker: oldest cohort first, so the r16
-# --- front is contiguous at the window marker.
+# --- (ordering computed by scripts/rotate_window.py 16).
 register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
 register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
 register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
@@ -238,6 +160,13 @@ register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
     pq.sorted_neighborhood_pairs
 )
 register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- Below the marker: oldest cohort first, so the r17
+# --- front is contiguous at the window marker.
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
@@ -361,3 +290,72 @@ register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
     ef.etl_mealentries_silver
 )
 register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
+register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
+register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
+register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
+)
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
+)
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
+)
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
+)
+register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
+register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
+register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
+register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
+register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
+    cq.corpus_refresh_pipeline
+)
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
+register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
+register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
+register("weighted_sample", smp.WEIGHTED_SAMPLE_ORACLE)(smp.weighted_sample)
+register("embedding_dim_stats", tq.EMBEDDING_DIM_STATS_ORACLE)(tq.embedding_dim_stats)
+register("indexed_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(tq.indexed_cc_refresh)
+register("variant_props_rollup", nq.VARIANT_PROPS_ROLLUP_ORACLE)(
+    nq.variant_props_rollup
+)
+register("snapshot_full_outer_diff", mq.SNAPSHOT_FULL_OUTER_ORACLE)(
+    mq.snapshot_full_outer_diff
+)
+register("zorder_code_layout", mq.ZORDER_CODE_ORACLE)(mq.zorder_code_layout)
+register("nutrition_report", NUTRITION_ORACLE)(nutrition_report)
+register("cdc_diff", core_ops.CDC_DIFF_ORACLE)(core_ops.cdc_diff)
+register("upsert_keep_latest", core_ops.UPSERT_ORACLE)(core_ops.upsert_orders)
+register("date_spine_gaps", core_ops.DATE_SPINE_ORACLE)(core_ops.date_spine_gaps)
+register("topk_retention", core_ops.TOPK_RETENTION_ORACLE)(core_ops.topk_retention)
+register("point_lookup", core_ops.POINT_LOOKUP_ORACLE)(core_ops.point_lookup_customers)
+register("latest_event_per_user", core_ops.LATEST_EVENT_ORACLE)(
+    core_ops.latest_event_per_user
+)
+register("text_stats", tq.TEXT_STATS_ORACLE)(tq.text_stats)
+register("lang_id", tq.LANG_ID_ORACLE)(tq.lang_id)
+register("doc_fingerprint", tq.DOC_FINGERPRINT_ORACLE)(tq.doc_fingerprint)
+register("exact_dedup", tq.EXACT_DEDUP_ORACLE)(tq.exact_dedup)
+register("ngram_jaccard_pairs", tq.NGRAM_JACCARD_ORACLE)(tq.ngram_jaccard_pairs)
+register("train_val_test_split", tq.TRAIN_SPLIT_ORACLE)(tq.train_val_test_split)
+register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
+register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
+register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
+register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
