@@ -47,18 +47,35 @@ def stream_table_source(
     inside are not named ``{name}.parquet``) and the stream drains
     zero micro-batches — which is exactly how the scale probe's
     streaming numbers were invalidated before this helper existed (the
-    K×-scaled tables are directories).  Layout is decided with an
-    ``isdir`` check, fine for the local[?] paths this repo targets; an
-    object-store deployment always takes the directory branch.
+    K×-scaled tables are directories).  Layout rules:
+
+    * a non-local URI (``s3://``, ``hdfs://``, ...) takes the
+      directory branch EXPLICITLY — object-store tables are always
+      directories of part files, and ``os.path.isdir`` on such a URI
+      is meaninglessly False;
+    * a local path that exists is branched by ``isdir``;
+    * a local path that does not exist raises immediately — falling
+      into the glob branch would recreate the silent zero-ingest
+      failure this helper exists to eliminate.
     """
     import os
+    import re
 
     path = f"{sf_dir}/{name}.parquet"
     reader = spark.readStream.schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    if os.path.isdir(path):
+    has_scheme = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
+    if has_scheme and not path.startswith("file://"):
         return reader.parquet(path)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if os.path.isdir(local):
+        return reader.parquet(path)
+    if not os.path.exists(local):
+        raise FileNotFoundError(
+            f"stream_table_source: {path} is neither a file nor a directory; "
+            "refusing the pathGlobFilter branch (it would silently ingest zero rows)"
+        )
     return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
 
 def state_shuffle_partitions(spark: SparkSession) -> int:
