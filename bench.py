@@ -158,7 +158,7 @@ def classify_regressions(
             entry["io_factor"] = io_factor
         if n in comments:
             entry["comment"] = comments[n]
-        if cur > 2.0 * b * factor:
+        if cur > RAW_WATCH_RATIO * b * factor:
             regressions[n] = entry
         else:
             watch[n] = entry
@@ -235,6 +235,13 @@ class BenchBook:
         or over RAW_WATCH_RATIO — the candidate regression/watch set,
         worst ratio first), then largest expected RECOVERY, errored
         queries last (each gets one retry).
+
+        The flag-risk boundary is INTENTIONALLY inclusive (>=) while
+        classify_regressions flags only strictly above the line: a
+        query sitting exactly AT the ratio is one timing jitter away
+        from flagging, so it earns the priority retry even though the
+        gate would pass it as-is.  Conservative by design; pinned in
+        tests/test_bench_book.py.
 
         The flag-risk tier exists because recovery is measured in
         SECONDS: a 0.24 s-floor query reading 2.8× cold offers only

@@ -366,6 +366,12 @@ SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
 
 
 def incremental_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-store CC refresh whose probe index is rebuilt by
+    re-shingling the FULL corpus each refresh — a deliberate 100×
+    caveat kept as the contrast half of a pair: ``indexed_cc_refresh``
+    below is the scale-safe successor (stored shingle index, O(batch)
+    refresh compute) and is what a production deployment should copy.
+    """
     from myfitnesspaw_spark.operators.dedup import (
         connected_components,
         jaccard_pairs_delta,

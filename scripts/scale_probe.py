@@ -691,6 +691,9 @@ def build_scaled_facts(spark, k: int) -> str:
     shift = 1_000_000_000
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         df = spark.read.parquet(f"{BASE}/{table}.parquet")
+        # Same collision guard as build_scaled_events (ADVICE r15 #4).
+        mx = df.agg(F.max(key).alias("m")).collect()[0]["m"]
+        assert mx < shift, f"{table}.{key} max {mx} >= replica shift"
         reps = [
             df.withColumn(key, F.col(key) + F.lit(r * shift)) for r in range(k)
         ]
@@ -727,6 +730,15 @@ def build_scaled_events(spark, k: int) -> str:
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
     ev = load_table(spark, BASE, "events")
+    # Replica shifts must clear the base ID ranges or replica keys
+    # silently collide and the per-user-isomorphism assumption behind
+    # the probe's linearity claims breaks (ADVICE r15 #4; same latent
+    # pattern as build_scaled_facts).
+    mx = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).collect()[0]
+    assert mx["e"] < 1_000_000_000, f"event_id {mx['e']} >= replica shift"
+    assert mx["u"] < 10_000_000, f"user_id {mx['u']} >= replica shift"
     reps = [
         ev.select(
             (F.col("event_id") + r * 1_000_000_000).alias("event_id"),
