@@ -289,6 +289,25 @@ with the layout bias removed::
                                       run seeding the two stores —
                                       the refresh side stays O(batch))
 
+K=16 octave for the two refresh capstones (``rebuilt 16``,
+2026-08-16, VERDICT r15 #7) — launched quiet (load1 0.04 one minute
+before; the session's own 32-core work drives load to ~8 mid-run,
+shared by both sides so the ratios hold)::
+
+    query                      K=16 (rebuilt base; data ratio 16.0)
+    minhash_signature_refresh 2.08x  (4.83s -> 10.03s)
+    indexed_cc_refresh        4.99x  (6.70s -> 33.45s)
+
+Both stay well under the data ratio two octaves past the first
+probe.  The divergence between the two curves is the designed one:
+minhash_signature_refresh's timed query re-reads a SIGNATURE store
+(rows ~ docs, narrow) while indexed_cc_refresh's prior-run simulation
+scan-builds an exploded SHINGLE store (rows ~ docs x shingles) — so
+its in-query seeding term is the larger linear component and
+dominates by K=16.  The refresh sides themselves remain
+O(store read + batch compute); the capstone numbers bound the WHOLE
+protocol (seed + persist + read-back + refresh) honestly.
+
 Rebuilt-base broadening (``rebuilt {4,8}``, 2026-08-16) — the four
 heaviest non-refresh corpus families re-probed against a same-writer
 1x base.  The K=4 session launched quiet (load1 0.11); the K=8
