@@ -423,6 +423,7 @@ def main() -> None:
             return
         book.success(name, time.perf_counter() - t0)
 
+    pass1_flagged: list[str] = []
     try:
         for name, fn in qs.items():  # pass 1: every query once
             if time.monotonic() - start > hard_deadline:
@@ -435,6 +436,20 @@ def main() -> None:
         # so spending the soft budget there first maximizes how much
         # of the suite reaches a warm MIN before the budget runs out.
         wall["pass1_wall_sec"] = round(time.monotonic() - start, 1)
+        # Snapshot which queries sit at flag risk AFTER pass 1 (raw
+        # ratio >= RAW_WATCH_RATIO vs baseline): the final board can't
+        # show whether the flag-risk retry tier fired or was simply
+        # not needed — pass-2 successes overwrite pass-1 timings — so
+        # persist the tier's input for post-hoc validation of the
+        # mechanism's track record (VERDICT r15 #4).
+        _b1 = _load_baseline_queries()
+        pass1_flagged[:] = sorted(
+            n
+            for n, t in book.timings.items()
+            if t is not None
+            and _b1.get(n)
+            and t / _b1[n] >= RAW_WATCH_RATIO
+        )
         # Errored queries sort last and get one retry (a transient
         # fault must not permanently exclude a query — ADVICE r3).
         for name, fn in book.retry_order(qs, _load_baseline_queries()):
@@ -490,6 +505,7 @@ def main() -> None:
             "n_queries": len(qs),
             "n_timed": len(timed),
             "sf": sf,
+            "pass1_flagged": pass1_flagged,
             "wall": {**wall, "total_wall_sec": round(time.monotonic() - start, 1)},
         }
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
