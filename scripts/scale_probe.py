@@ -273,7 +273,15 @@ base, real ingest both sides)::
                                              linear store build
                                              dominate, and no
                                              collision blow-up on the
-                                             K x-wider hot bands)
+                                             K x-wider hot bands;
+                                             r16 K=16 octave: 1.73x
+                                             (3.20s -> 5.54s), flat
+                                             from the K=8 ratio at
+                                             double the data — the
+                                             ingest path's growth term
+                                             stays bounded by the
+                                             watermark-trimmed state,
+                                             not the corpus)
 
 Rebuilt-base re-measurement of the refresh family (``rebuilt 4``,
 2026-08-15) — the raw-base ratios above carry the single-split-1x
