@@ -305,6 +305,20 @@ shared by both sides so the ratios hold)::
     query                      K=16 (rebuilt base; data ratio 16.0)
     minhash_signature_refresh 2.08x  (4.83s -> 10.03s)
     indexed_cc_refresh        4.99x  (6.70s -> 33.45s)
+    incremental_cc_refresh    3.02x  (6.35s -> 19.20s; separate quiet
+                                      session, same day)
+
+Read the CC contrast pair carefully: incremental's LOWER capstone
+ratio does NOT make the caveat query the better scale bet.  The
+capstone times one seed + one refresh, so indexed is charged for
+WRITING the exploded shingle store (docs x shingles rows, the
+dominant 16x-linear IO term) while incremental re-shingles in
+memory with no store write.  But the store write is the ONE-TIME
+half a real deployment amortizes across every subsequent refresh,
+whereas incremental's full-corpus re-shingle is compute it pays on
+EVERY refresh — at 100 TB the amortized per-refresh costs are
+O(batch) for indexed vs O(corpus) for incremental, exactly the
+contrast the pair exists to teach.
 
 Both stay well under the data ratio two octaves past the first
 probe.  The divergence between the two curves is the designed one:
