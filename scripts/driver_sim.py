@@ -54,6 +54,14 @@ def main() -> int:
     ]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
+    # The driver's t1 smoke: entry() on sf0.001 must run on THIS
+    # vanilla session and return >= 0 rows with a stable schema.  The
+    # sim previously skipped it, leaving one of the contract's three
+    # functions covered only by the manual skill snippet.
+    smoke = entrymod.entry(spark)
+    print(f"smoke: entry() {smoke.count()} rows, "
+          f"{len(smoke.schema.fields)} columns")
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
