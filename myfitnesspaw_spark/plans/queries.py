@@ -15,34 +15,33 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-16 WINDOW (executing the front pre-committed in the r15
+ROUND-17 WINDOW (executing the front pre-committed in the r16
 docstring, applied mechanically via
-``scripts/rotate_window.py 16 --write``):
+``scripts/rotate_window.py 17 --write``):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-16 additions land here, in-window on arrival — NONE
+2. Round-17 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r12-certified queries that turned age 4 entering
-   r16 — exactly the registrations the r15 docstring pre-committed
-   (ivf_ann_topk through dedup_survivors), including the IVF ANN
-   baseline, the normalize/JSON family, the multimodal trio, and
-   the streaming sliding/CMS pair.
-4. The oldest r13-certified queries (age 3 entering r16),
+3. The TWENTY-SIX r13-certified queries that turned age 4 entering
+   r17 — exactly the registrations the r16 docstring pre-committed
+   (streaming_upsert_latest_event through spend_rank_dist),
+   including the streaming upsert/sessionize/TWS family, the dedup
+   e2e capstones, the recall contracts, and the r13 OLAP cohort.
+4. The oldest r14-certified queries (age 3 entering r17),
    oldest-first in prior registration order, filling the remaining
-   21 slots: delta_dedup_pairs through session_window_events.
+   21 slots: salted_priority_revenue through mfp_api_stream_rollup.
 
-ROUND-17 FRONT (pre-committed so the rotation stays mechanical):
-the r13-certified remainder below the window marker — age 4 entering
-r17 — MUST lead the r17 window after the canaries; they are exactly
+ROUND-18 FRONT (pre-committed so the rotation stays mechanical):
+the r14-certified remainder below the window marker — age 4 entering
+r18 — MUST lead the r18 window after the canaries; they are exactly
 the 26 registrations contiguous at the window-end marker
-(streaming_upsert_latest_event through spend_rank_dist).  After
-them, the r14-certified cohort (47 queries, age 3 entering r17)
-fills the remaining 21 slots oldest-first; its remainder (26)
-fronts r18, and the r15-certified cohort (age 2 entering r17)
-rotates last.
+(funnel_conversion through etl_exercises_silver).  After them, the
+r15-certified cohort (47 queries, age 3 entering r18) fills the
+remaining 21 slots oldest-first; its remainder (26) fronts r19, and
+the r16-certified cohort (age 2 entering r18) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -53,8 +52,8 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r14 or r15
-(age <= 2 entering r16) except the pre-committed r17 front (age 3),
+Everything outside the window was driver-certified in r15 or r16
+(age <= 2 entering r17) except the pre-committed r18 front (age 3),
 and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -90,83 +89,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Parts 2-4: the r16 rotating window (47 slots) —
+# --- Parts 2-4: the r17 rotating window (47 slots) —
 # --- due-for-refresh queries first, then oldest-cohort fill
-# --- (ordering computed by scripts/rotate_window.py 16).
-register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
-register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
-register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
-register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
-register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
-register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
-register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
-register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
-register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
-register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
-register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
-register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
-register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
-register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
-register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
-register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
-register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
-register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
-register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
-register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
-register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
-register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
-    bq.recursive_user_spine
-)
-register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
-register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
-register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
-    sq.streaming_cms_heavy_hitters
-)
-register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
-register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
-register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
-register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
-register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
-register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
-register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
-    sq.stream_static_enrich_q
-)
-register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
-    pq.quality_classifier_score
-)
-register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
-    sq.streaming_dedup_within_watermark
-)
-register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
-    sq.stream_stream_click_error_outer_q
-)
-register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
-register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
-register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
-register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
-    pq.random_negative_sampling
-)
-register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
-register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
-register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
-register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
-    oq.q17_small_quantity_revenue
-)
-register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
-    oq.q19_disjunctive_brackets
-)
-register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
-register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
-    pq.sorted_neighborhood_pairs
-)
-register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- Below the marker: oldest cohort first, so the r17
-# --- front is contiguous at the window marker.
+# --- (ordering computed by scripts/rotate_window.py 17).
 register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
     sq.streaming_upsert_latest_event
 )
@@ -246,6 +171,13 @@ register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )
 register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- Below the marker: oldest cohort first, so the r18
+# --- front is contiguous at the window marker.
 register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
 register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
 register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
@@ -359,3 +291,70 @@ register("sentence_split", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split)
 register("minhash_lsh_pairs", tq.MINHASH_LSH_ORACLE)(tq.minhash_lsh_pairs_q)
 register("simhash_pairs", tq.SIMHASH_ORACLE)(tq.simhash_pairs_q)
 register("ann_topk_cosine", tq.ANN_TOPK_ORACLE)(tq.ann_topk_cosine)
+register("ivf_ann_topk", tq.IVF_ANN_ORACLE)(tq.ivf_ann_topk)
+register("kmeans_clusters", tq.KMEANS_ORACLE)(tq.kmeans_clusters)
+register("nest_explode_lineitems", nq.NEST_EXPLODE_ORACLE)(nq.nest_explode_lineitems)
+register("multi_format_dates", nq.MULTI_FORMAT_DATES_ORACLE)(nq.multi_format_dates)
+register("sessionize_events", sq.SESSIONIZE_ORACLE)(sq.sessionize_events)
+register("dedup_clusters_star", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters_star)
+register("sentence_split_udtf", tq.SENTENCE_SPLIT_ORACLE)(tq.sentence_split_udtf)
+register("notes_filter", nq.NOTES_FILTER_ORACLE)(nq.notes_filter)
+register("goals_map_projection", nq.GOALS_MAP_ORACLE)(nq.goals_map_projection)
+register("measures_unpivot", nq.MEASURES_UNPIVOT_ORACLE)(nq.measures_unpivot)
+register("json_roundtrip", nq.JSON_ROUNDTRIP_ORACLE)(nq.json_roundtrip)
+register("header_union_report", nq.HEADER_UNION_ORACLE)(nq.header_union_report)
+register("two_level_explode", nq.TWO_LEVEL_EXPLODE_ORACLE)(nq.two_level_explode)
+register("json_extract_props", nq.JSON_EXTRACT_ORACLE)(nq.json_extract_props)
+register("url_dedup", tq.URL_DEDUP_ORACLE)(tq.url_dedup)
+register("backup_rotation_plan", mq.BACKUP_ROTATION_ORACLE)(mq.backup_rotation_plan)
+register("multimodal_decode", sq.MULTIMODAL_DECODE_ORACLE)(sq.multimodal_decode)
+register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
+register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
+register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
+register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
+    bq.recursive_user_spine
+)
+register("sequence_packing", cq.SEQUENCE_PACKING_ORACLE)(cq.sequence_packing)
+register("inverted_index_build", cq.INVERTED_INDEX_ORACLE)(cq.inverted_index_build)
+register("streaming_cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(
+    sq.streaming_cms_heavy_hitters
+)
+register("dedup_survivors", tq.DEDUP_SURVIVORS_ORACLE)(tq.dedup_survivors)
+register("delta_dedup_pairs", tq.DELTA_DEDUP_ORACLE)(tq.delta_dedup_pairs)
+register("doc_chunk_overlap", pq.DOC_CHUNK_ORACLE)(pq.doc_chunk_overlap)
+register("mixture_sample", pq.MIXTURE_SAMPLE_ORACLE)(pq.mixture_sample)
+register("semantic_dedup", pq.SEMDEDUP_ORACLE)(pq.semantic_dedup)
+register("srp_lsh_pairs", pq.SRP_LSH_ORACLE)(pq.srp_lsh_pairs_q)
+register("stream_static_enrich", sq.STREAM_STATIC_ENRICH_ORACLE)(
+    sq.stream_static_enrich_q
+)
+register("quality_classifier_score", pq.QUALITY_CLASSIFIER_ORACLE)(
+    pq.quality_classifier_score
+)
+register("streaming_dedup_within_watermark", sq.STREAMING_DEDUP_ORACLE)(
+    sq.streaming_dedup_within_watermark
+)
+register("stream_stream_click_error_outer", sq.STREAM_STREAM_OUTER_ORACLE)(
+    sq.stream_stream_click_error_outer_q
+)
+register("pagerank_dedup_graph", pq.PAGERANK_ORACLE)(pq.pagerank_dedup_graph)
+register("pq_ann_topk", pq.PQ_ANN_ORACLE)(pq.pq_ann_topk_q)
+register("hard_negative_mining", pq.HARD_NEGATIVE_ORACLE)(pq.hard_negative_mining)
+register("random_negative_sampling", pq.RANDOM_NEGATIVE_ORACLE)(
+    pq.random_negative_sampling
+)
+register("corpus_build_pipeline", pq.CORPUS_BUILD_ORACLE)(pq.corpus_build_pipeline)
+register("bpe_merge_candidates", pq.BPE_MERGE_ORACLE)(pq.bpe_merge_candidates)
+register("q7_volume_shipping", oq.Q7_VOLUME_ORACLE)(oq.q7_volume_shipping)
+register("q17_small_quantity_revenue", oq.Q17_SMALL_QTY_ORACLE)(
+    oq.q17_small_quantity_revenue
+)
+register("q19_disjunctive_brackets", oq.Q19_BRACKETS_ORACLE)(
+    oq.q19_disjunctive_brackets
+)
+register("q22_dormant_customers", oq.Q22_DORMANT_ORACLE)(oq.q22_dormant_customers)
+register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
+    pq.sorted_neighborhood_pairs
+)
+register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
