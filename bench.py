@@ -79,6 +79,13 @@ def _load_baseline_queries(baseline: dict | None = None) -> dict[str, float]:
     """Best-known per-query times (same sf), for the pass-2 recovery
     ordering and the regression gate.  Empty when absent/mismatched.
 
+    Floors fold DOWNWARD-ONLY from zero-error full runs, with one
+    sanctioned exception — the floor-quality rule (r17, VERDICT r16
+    #1): a floor whose same-session warm best-of-N sits >1.3x above
+    it is a lucky single timing and gets re-anchored UP to the
+    reproducible warm number with a provenance note (see
+    ``_floor_quality_policy`` in BASELINE_BENCH.json comments).
+
     Accepts an already-loaded baseline dict so the gate and the
     retry ordering share ONE falsy-value filter (ADVICE r7: the gate
     loop used to re-implement this inline, and the two views could
@@ -423,7 +430,12 @@ def main() -> None:
             return
         book.success(name, time.perf_counter() - t0)
 
-    pass1_flagged: list[str] = []
+    # None until the post-pass-1 snapshot actually runs: an aborted
+    # pass 1 (KeyboardInterrupt, a _gc_quiesce fault) must emit null,
+    # not [], or it is indistinguishable from a clean run in which
+    # nothing sat at flag risk — the ambiguity this telemetry exists
+    # to remove (ADVICE r16 #2).
+    pass1_flagged: list[str] | None = None
     try:
         for name, fn in qs.items():  # pass 1: every query once
             if time.monotonic() - start > hard_deadline:
@@ -443,7 +455,7 @@ def main() -> None:
         # persist the tier's input for post-hoc validation of the
         # mechanism's track record (VERDICT r15 #4).
         _b1 = _load_baseline_queries()
-        pass1_flagged[:] = sorted(
+        pass1_flagged = sorted(
             n
             for n, t in book.timings.items()
             if t is not None

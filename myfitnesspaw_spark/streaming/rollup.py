@@ -59,16 +59,27 @@ def stream_table_source(
       failure this helper exists to eliminate.
     """
     import os
-    import re
+    from urllib.parse import unquote, urlparse
 
     path = f"{sf_dir}/{name}.parquet"
     reader = spark.readStream.schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    has_scheme = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
-    if has_scheme and not path.startswith("file://"):
+    # Scheme detection must accept Hadoop-style single-slash URIs
+    # (``file:/tmp/x``) as well as RFC ``file:///`` and authority
+    # forms (``file://host/path``) — urlparse handles all three and
+    # hands back the path component, where the naive
+    # ``path[len("file://"):]`` slice mangled the authority form and
+    # missed the single-slash form entirely (ADVICE r16 #1).
+    parsed = urlparse(path)
+    if parsed.scheme and parsed.scheme != "file":
         return reader.parquet(path)
-    local = path[len("file://"):] if path.startswith("file://") else path
+    local = unquote(parsed.path) if parsed.scheme == "file" else path
+    if parsed.scheme == "file" and parsed.netloc not in ("", "localhost"):
+        raise FileNotFoundError(
+            f"stream_table_source: {path} has a non-local file:// authority "
+            f"({parsed.netloc!r}); cannot check the path on this host"
+        )
     if os.path.isdir(local):
         return reader.parquet(path)
     if not os.path.exists(local):

@@ -734,7 +734,10 @@ def build_scaled_facts(spark, k: int) -> str:
         df = spark.read.parquet(f"{BASE}/{table}.parquet")
         # Same collision guard as build_scaled_events (ADVICE r15 #4).
         mx = df.agg(F.max(key).alias("m")).collect()[0]["m"]
-        assert mx < shift, f"{table}.{key} max {mx} >= replica shift"
+        # Explicit raise, not assert: `python -O` strips asserts and
+        # would silently disable this collision guard (ADVICE r16 #3).
+        if mx >= shift:
+            raise ValueError(f"{table}.{key} max {mx} >= replica shift")
         reps = [
             df.withColumn(key, F.col(key) + F.lit(r * shift)) for r in range(k)
         ]
@@ -778,8 +781,12 @@ def build_scaled_events(spark, k: int) -> str:
     mx = ev.agg(
         F.max("event_id").alias("e"), F.max("user_id").alias("u")
     ).collect()[0]
-    assert mx["e"] < 1_000_000_000, f"event_id {mx['e']} >= replica shift"
-    assert mx["u"] < 10_000_000, f"user_id {mx['u']} >= replica shift"
+    # Explicit raises, not asserts: `python -O` strips asserts and
+    # would silently disable these collision guards (ADVICE r16 #3).
+    if mx["e"] >= 1_000_000_000:
+        raise ValueError(f"event_id {mx['e']} >= replica shift")
+    if mx["u"] >= 10_000_000:
+        raise ValueError(f"user_id {mx['u']} >= replica shift")
     reps = [
         ev.select(
             (F.col("event_id") + r * 1_000_000_000).alias("event_id"),

@@ -614,3 +614,48 @@ def test_stream_table_source_scheme_and_missing_path_branches(tmp_path):
     stream_table_source(fake, str(bare), "nation", "ignored")
     assert fake.readStream.path == str(bare)
     assert fake.readStream.options["pathGlobFilter"] == "nation.parquet"
+
+
+def test_stream_table_source_file_uri_forms(tmp_path):
+    """ADVICE r16 #1: the file: scheme must be recognized in all three
+    legal spellings and the LOCAL PATH COMPONENT (not a naive slice of
+    the URI string) must drive the exists/isdir checks:
+
+    * Hadoop-style single-slash ``file:/abs/path`` (no ``://``, so a
+      scheme regex keyed on ``://`` missed it and ran the local checks
+      on the literal ``file:/...`` string — spuriously raising for a
+      valid directory table);
+    * RFC empty-authority ``file:///abs/path``;
+    * authority form ``file://host/abs/path`` — the old
+      ``path[len('file://'):]`` slice turned this into the relative
+      path ``host/abs/path``; a non-local authority is now an explicit
+      refusal, not a wrong-path check."""
+    import pytest as _pytest
+
+    from myfitnesspaw_spark.streaming.rollup import stream_table_source
+
+    (tmp_path / "events.parquet").mkdir()
+
+    # Hadoop single-slash form: must resolve to the directory branch.
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, f"file:{tmp_path}", "events", "ignored")
+    assert fake.readStream.path == f"file:{tmp_path}/events.parquet"
+    assert "pathGlobFilter" not in fake.readStream.options
+
+    # RFC triple-slash form (empty authority).
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, f"file://{tmp_path}", "events", "ignored")
+    assert fake.readStream.path == f"file://{tmp_path}/events.parquet"
+
+    # localhost authority is local by definition.
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, f"file://localhost{tmp_path}", "events", "ignored")
+    assert fake.readStream.path == f"file://localhost{tmp_path}/events.parquet"
+
+    # Non-local authority: refuse explicitly instead of checking
+    # a mangled relative path on the wrong host.
+    fake = _FakeSparkForSource()
+    with _pytest.raises(FileNotFoundError, match="authority"):
+        stream_table_source(
+            fake, f"file://otherhost{tmp_path}", "events", "ignored"
+        )
