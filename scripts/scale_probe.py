@@ -330,6 +330,26 @@ dominates by K=16.  The refresh sides themselves remain
 O(store read + batch compute); the capstone numbers bound the WHOLE
 protocol (seed + persist + read-back + refresh) honestly.
 
+K=16 octave for the two heavy non-refresh families (``rebuilt 16``,
+2026-08-16, VERDICT r16 #5) — completes the evidence depth the
+refresh capstones already have.  Session context: the host ran
+continuously loud all day (same-day bench host_cal 0.179–0.437 vs
+the 0.14 ref, neighbor load invisible to this VM's loadavg), so
+absolute seconds are inflated ~2x on BOTH sides of each ratio; the
+1x/K× sides share the session, so the ratios hold::
+
+    query                      K=16 (rebuilt base; data ratio 16.0)
+    minhash_dedup_e2e          3.79x  (5.43s -> 20.54s; was 3.49x at
+                                       K=8 — banded LSH candidates +
+                                       CC stay far under linear)
+    semantic_dedup_kpp        13.25x  (11.00s -> 145.77s; vs the K²
+                                       within-cluster pair space =
+                                       256x — and still UNDER the
+                                       16x linear data ratio: the
+                                       kpp-seeded coarse partition
+                                       keeps Σ cluster² bounded as
+                                       populations grow K×)
+
 Rebuilt-base broadening (``rebuilt {4,8}``, 2026-08-16) — the four
 heaviest non-refresh corpus families re-probed against a same-writer
 1x base.  The K=4 session launched quiet (load1 0.11); the K=8
