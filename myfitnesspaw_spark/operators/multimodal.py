@@ -312,7 +312,14 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for c in range(out_w)
             )
             w2, h2, rt = png_decode_gray(png_encode_gray(small, out_w, out_h))
-            assert (w2, h2, rt) == (out_w, out_h, small), "codec round trip"
+            # Explicit raise, not assert: this round-trip check is the
+            # property the resize query certifies, and `python -O`
+            # strips asserts (same hazard as the scale-probe guards).
+            if (w2, h2, rt) != (out_w, out_h, small):
+                raise ValueError(
+                    f"codec round trip failed for doc {doc_id}: "
+                    f"{(w2, h2)} != {(out_w, out_h)} or payload differs"
+                )
             ids.append(doc_id)
             ws.append(out_w)
             hs.append(out_h)

@@ -205,9 +205,13 @@ def compute_rotation(
     canaries = canaries or CANARIES
     max_age = MAX_AGE if max_age is None else max_age
     window = WINDOW if window is None else window
-    assert order[: len(canaries)] == canaries, (
-        f"canaries must lead the prior order: {order[:3]!r}"
-    )
+    # Explicit raise, not assert: `python -O` strips asserts, and a
+    # mangled prior order slipping through here would mis-rotate the
+    # whole certification window.
+    if order[: len(canaries)] != canaries:
+        raise ValueError(
+            f"canaries must lead the prior order: {order[:3]!r}"
+        )
     rest = [n for n in order if n not in canaries]
     prior_pos = {n: i for i, n in enumerate(order)}
 
