@@ -350,6 +350,27 @@ absolute seconds are inflated ~2x on BOTH sides of each ratio; the
                                        keeps Σ cluster² bounded as
                                        populations grow K×)
 
+K=16 broadening of the five remaining heavy K=8-only families
+(``rebuilt 16``, 2026-08-16) — same loud-day session context as the
+capstone octave above (both sides share the session; ratios hold)::
+
+    query                      K=16 (rebuilt base; data ratio 16.0)
+    ngram_jaccard_pairs        3.83x  (2.50s ->  9.57s; PPJoin prefix
+                                       filter keeps candidates linear)
+    dedup_clusters_star        3.14x  (4.34s -> 13.61s; large/small-
+                                       star rounds grow with log of
+                                       component size, not row count)
+    embedding_near_dup         6.22x  (1.25s ->  7.76s; salted scale
+                                       path active, same 6.2x it
+                                       showed at K=8 raw base —
+                                       flat across the octave)
+    srp_lsh_pairs              6.43x  (2.31s -> 14.87s; 8-bit bands,
+                                       random-collision pair space
+                                       grows ~K² = 256x and the time
+                                       ratio stays 2.5% of it)
+    pagerank_dedup_graph       4.07x  (2.48s -> 10.09s; edge-count-
+                                       sized shuffle width per round)
+
 Rebuilt-base broadening (``rebuilt {4,8}``, 2026-08-16) — the four
 heaviest non-refresh corpus families re-probed against a same-writer
 1x base.  The K=4 session launched quiet (load1 0.11); the K=8
