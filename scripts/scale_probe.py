@@ -453,6 +453,26 @@ pays ~ms per group), i.e. sub-linear vs data at both sizes::
                                              data)
     tws_user_type_rollup             1.94x  3.87x  (same family)
 
+Events-axis K=16 octave (``events 16``, 2026-08-16, extending the
+r16 rows above; same loud-day session as the corpus octaves — both
+sides share the session, ratios hold).  Batch and JVM-state
+streaming rows stay FLAT a full octave further; the per-key Python
+state pair continues its linear-in-user-groups curve (16x groups ->
+5.6-5.7x time: the ~ms-per-group applyInPandas overhead amortizing,
+still 3x under the data ratio)::
+
+    query                             K=16  (data ratio 16.0)
+    sessionize_events                1.58x
+    funnel_conversion                1.09x
+    hll_union_rollup                 0.96x
+    cms_heavy_hitters                0.97x
+    streaming_hourly_rollup          0.87x
+    streaming_sliding_rollup         1.13x
+    streaming_dedup_within_watermark 1.21x
+    stream_stream_click_error        0.97x
+    sessionize_stateful_stream       5.61x  (2.72s -> 15.27s)
+    tws_user_type_rollup             5.71x  (3.78s -> 21.58s)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
