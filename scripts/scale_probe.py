@@ -106,6 +106,25 @@ isomorphic) for the Q21 semi+anti chain::
     claim is the ABSENCE of super-linear blow-up (a per-row re-scan
     or unkeyed join would show >> K), not the constant.
 
+Facts-axis K=16 octave (``facts 16``, 2026-08-16) — the OLAP chains
+a full octave past the r8 rows; every chain remains an order of
+magnitude under the 16.0 data ratio (shuffle-per-row costs amortize;
+the flagship report pipelines stay report-window-bounded)::
+
+    query                      K=16  (data ratio 16.0)
+    q21_waiting_suppliers     1.93x  (2.08s -> 4.03s)
+    top_unshipped_orders      1.46x
+    unreturned_orders         1.88x
+    q7_volume_shipping        2.20x
+    q8_market_share           1.73x
+    q19_disjunctive_brackets    see r8 row (0.76x at K=8)
+    progress_report           1.29x
+    nutrition_report          1.71x
+    salted_priority_revenue   1.77x  (the r8 K=8 4.09x was fixed
+                                      overhead amortizing; at K=16
+                                      the per-row term dominates and
+                                      the curve flattens to ~1.8x)
+
 Round-7 new ops (same base)::
 
     query                      K=4    K=8   (data ratio 4.0 / 8.0)
