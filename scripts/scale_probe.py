@@ -503,6 +503,9 @@ so diameter is constant by construction)::
     2     512      2           2
     4    1024      2           2
     8    2048      2           2
+   16    4096      2           2   (r17: still flat at the K=16
+                                    octave, matching the corpus/
+                                    events/facts probes' depth)
 """
 
 from __future__ import annotations
