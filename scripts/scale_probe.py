@@ -369,6 +369,21 @@ absolute seconds are inflated ~2x on BOTH sides of each ratio; the
                                        keeps Σ cluster² bounded as
                                        populations grow K×)
 
+K=32 third octave for the original dedup/text probes (``rebuilt
+32``, 2026-08-16) — the first K=32 rows in the book; at 32x data the
+corpus is ~2M docs and every path stays 4x+ under the data ratio
+(the banded-candidate and scan-local growth stories hold across
+THREE octaves)::
+
+    query                  K=32 (rebuilt base; data ratio 32.0)
+    exact_dedup           1.02x  (hash-groupBy: still task-overhead-
+                                  bound at 2M docs)
+    minhash_lsh_pairs     7.49x  (3.33s -> 24.93s)
+    simhash_pairs         7.16x  (2.64s -> 18.92s)
+    lang_id               6.53x  (scan-local n-gram features)
+    sequence_packing      0.88x
+    inverted_index_build  1.58x
+
 K=16 broadening of the five remaining heavy K=8-only families
 (``rebuilt 16``, 2026-08-16) — same loud-day session context as the
 capstone octave above (both sides share the session; ratios hold)::
