@@ -15,33 +15,33 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-17 WINDOW (executing the front pre-committed in the r16
+ROUND-18 WINDOW (executing the front pre-committed in the r17
 docstring, applied mechanically via
-``scripts/rotate_window.py 17 --write``):
+``scripts/rotate_window.py 18 --write``):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-17 additions land here, in-window on arrival — NONE
+2. Round-18 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r13-certified queries that turned age 4 entering
-   r17 — exactly the registrations the r16 docstring pre-committed
-   (streaming_upsert_latest_event through spend_rank_dist),
-   including the streaming upsert/sessionize/TWS family, the dedup
-   e2e capstones, the recall contracts, and the r13 OLAP cohort.
-4. The oldest r14-certified queries (age 3 entering r17),
+3. The TWENTY-SIX r14-certified queries that turned age 4 entering
+   r18 — exactly the registrations the r17 docstring pre-committed
+   (funnel_conversion through etl_exercises_silver), including the
+   behavioral/window family, the BPE tokenizer family, the refresh
+   capstones, and the ETL/integrity cohort.
+4. The oldest r15-certified queries (age 3 entering r18),
    oldest-first in prior registration order, filling the remaining
-   21 slots: salted_priority_revenue through mfp_api_stream_rollup.
+   21 slots: mfp_api_datasource through unreturned_orders.
 
-ROUND-18 FRONT (pre-committed so the rotation stays mechanical):
-the r14-certified remainder below the window marker — age 4 entering
-r18 — MUST lead the r18 window after the canaries; they are exactly
+ROUND-19 FRONT (pre-committed so the rotation stays mechanical):
+the r15-certified remainder below the window marker — age 4 entering
+r19 — MUST lead the r19 window after the canaries; they are exactly
 the 26 registrations contiguous at the window-end marker
-(funnel_conversion through etl_exercises_silver).  After them, the
-r15-certified cohort (47 queries, age 3 entering r18) fills the
-remaining 21 slots oldest-first; its remainder (26) fronts r19, and
-the r16-certified cohort (age 2 entering r18) rotates last.
+(debounce_events through ann_topk_cosine).  After them, the
+r16-certified cohort (47 queries, age 3 entering r19) fills the
+remaining 21 slots oldest-first; its remainder (26) fronts r20, and
+the r17-certified cohort (age 2 entering r19) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -52,8 +52,8 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r15 or r16
-(age <= 2 entering r17) except the pre-committed r18 front (age 3),
+Everything outside the window was driver-certified in r16 or r17
+(age <= 2 entering r18) except the pre-committed r19 front (age 3),
 and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -89,95 +89,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Parts 2-4: the r17 rotating window (47 slots) —
+# --- Parts 2-4: the r18 rotating window (47 slots) —
 # --- due-for-refresh queries first, then oldest-cohort fill
-# --- (ordering computed by scripts/rotate_window.py 17).
-register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
-    sq.streaming_upsert_latest_event
-)
-register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
-register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
-register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
-register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
-register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
-register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
-register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
-register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
-register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
-register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
-register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
-    sq.stream_stream_click_error_q
-)
-register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
-    sq.sessionize_stateful_stream
-)
-register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
-register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
-register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
-    cq.exact_substring_removal
-)
-register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
-    tq.neardup_refresh_pipeline
-)
-register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
-    cq.quality_filter_cascade
-)
-register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
-    tq.minhash_jaccard_calibration
-)
-register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
-register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
-    oq.brand_nation_revenue
-)
-register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
-    oq.approx_quantiles_contract
-)
-register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
-register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
-    oq.cust_order_distribution
-)
-register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
-register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
-register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
-    oq.salted_priority_revenue
-)
-register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
-register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
-register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
-register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
-    oq.large_volume_customers
-)
-register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
-register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
-    oq.correlated_latest_ship
-)
-register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
-register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
-    oq.distinct_users_per_type
-)
-register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
-register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
-register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
-register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
-register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
-register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
-    cq.error_click_window_join
-)
-register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
-register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
-register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
-register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
-register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
-    mq.incremental_agg_merge
-)
-register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- Below the marker: oldest cohort first, so the r18
-# --- front is contiguous at the window marker.
+# --- (ordering computed by scripts/rotate_window.py 18).
 register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
 register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
 register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
@@ -259,6 +173,13 @@ register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
 )
 register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
 register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- Below the marker: oldest cohort first, so the r19
+# --- front is contiguous at the window marker.
 register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
 register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
@@ -358,3 +279,82 @@ register("sorted_neighborhood_pairs", pq.SNM_PAIRS_ORACLE)(
     pq.sorted_neighborhood_pairs
 )
 register("session_window_events", sq.SESSION_WINDOW_ORACLE)(sq.session_window_events)
+register("streaming_upsert_latest_event", sq.STREAMING_UPSERT_ORACLE)(
+    sq.streaming_upsert_latest_event
+)
+register("streaming_dedup_counts", sq.STREAMING_DEDUP_ORACLE)(sq.streaming_dedup)
+register("asof_click_error", oq.ASOF_CLICK_ERROR_ORACLE)(oq.asof_click_error)
+register("rollup_sales", oq.ROLLUP_SALES_ORACLE)(oq.rollup_sales)
+register("cube_sales", oq.CUBE_SALES_ORACLE)(oq.cube_sales)
+register("median_order_value", oq.MEDIAN_ORDER_ORACLE)(oq.median_order_value)
+register("trailing_7d_spend", oq.TRAILING_7D_ORACLE)(oq.trailing_7d_spend)
+register("order_cadence", oq.ORDER_CADENCE_ORACLE)(oq.order_cadence)
+register("pivot_status_priority", oq.PIVOT_ORACLE)(oq.pivot_status_priority)
+register("snapshot_set_ops", oq.SET_OPS_ORACLE)(oq.snapshot_set_ops)
+register("regional_revenue", oq.REGIONAL_REVENUE_ORACLE)(oq.regional_revenue)
+register("stream_stream_click_error", sq.STREAM_STREAM_JOIN_ORACLE)(
+    sq.stream_stream_click_error_q
+)
+register("sessionize_stateful_stream", sq.SESSIONIZE_CLOSED_ORACLE)(
+    sq.sessionize_stateful_stream
+)
+register("top_unshipped_orders", oq.TOP_UNSHIPPED_ORACLE)(oq.top_unshipped_orders)
+register("minhash_dedup_e2e", tq.MINHASH_DEDUP_E2E_ORACLE)(tq.minhash_dedup_e2e)
+register("exact_substring_removal", cq.EXACT_SUBSTRING_REMOVAL_ORACLE)(
+    cq.exact_substring_removal
+)
+register("neardup_refresh_pipeline", tq.NEARDUP_REFRESH_ORACLE)(
+    tq.neardup_refresh_pipeline
+)
+register("quality_filter_cascade", cq.QUALITY_FILTER_CASCADE_ORACLE)(
+    cq.quality_filter_cascade
+)
+register("minhash_jaccard_calibration", tq.MINHASH_CALIBRATION_ORACLE)(
+    tq.minhash_jaccard_calibration
+)
+register("ivf_recall_eval", tq.IVF_RECALL_ORACLE)(tq.ivf_recall_eval)
+register("brand_nation_revenue", oq.BRAND_NATION_REVENUE_ORACLE)(
+    oq.brand_nation_revenue
+)
+register("approx_quantiles_contract", oq.APPROX_QUANTILES_ORACLE)(
+    oq.approx_quantiles_contract
+)
+register("late_ship_priority", oq.LATE_SHIP_PRIORITY_ORACLE)(oq.late_ship_priority)
+register("cust_order_distribution", oq.CUST_ORDER_DIST_ORACLE)(
+    oq.cust_order_distribution
+)
+register("lineitem_unpivot", oq.LINEITEM_UNPIVOT_ORACLE)(oq.lineitem_unpivot)
+register("spend_rank_dist", oq.SPEND_RANK_DIST_ORACLE)(oq.spend_rank_dist)
+register("salted_priority_revenue", oq.SALTED_PRIORITY_REVENUE_ORACLE)(
+    oq.salted_priority_revenue
+)
+register("order_trend_slope", uq.ORDER_TREND_SLOPE_ORACLE)(uq.order_trend_slope)
+register("hourly_event_ohlc", oq.HOURLY_OHLC_ORACLE)(oq.hourly_event_ohlc)
+register("promo_revenue_share", oq.PROMO_REVENUE_SHARE_ORACLE)(oq.promo_revenue_share)
+register("large_volume_customers", oq.LARGE_VOLUME_CUSTOMERS_ORACLE)(
+    oq.large_volume_customers
+)
+register("grouping_sets_sales", oq.GROUPING_SETS_ORACLE)(oq.grouping_sets_sales)
+register("correlated_latest_ship", oq.CORRELATED_LATEST_SHIP_ORACLE)(
+    oq.correlated_latest_ship
+)
+register("price_band_join", oq.PRICE_BAND_JOIN_ORACLE)(oq.price_band_join)
+register("distinct_users_per_type", oq.DISTINCT_USERS_ORACLE)(
+    oq.distinct_users_per_type
+)
+register("tf_idf_topk", cq.TF_IDF_ORACLE)(cq.tf_idf_topk)
+register("ngram_contamination", cq.NGRAM_CONTAMINATION_ORACLE)(cq.ngram_contamination)
+register("repetition_quality", cq.REPETITION_ORACLE)(cq.repetition_quality)
+register("pii_redact", cq.PII_REDACT_ORACLE)(cq.pii_redact)
+register("scd2_user_state", cq.SCD2_ORACLE)(cq.scd2_user_state)
+register("error_click_window_join", cq.ERROR_CLICK_WINDOW_ORACLE)(
+    cq.error_click_window_join
+)
+register("price_histogram", cq.PRICE_HISTOGRAM_ORACLE)(cq.price_histogram)
+register("hll_distinct_users", cq.HLL_DISTINCT_ORACLE)(cq.hll_distinct_users)
+register("iqr_outlier_docs", cq.IQR_OUTLIER_ORACLE)(cq.iqr_outlier_docs)
+register("etl_meals_silver", ef.ETL_MEALS_ORACLE)(ef.etl_meals_silver)
+register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
+    mq.incremental_agg_merge
+)
+register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
