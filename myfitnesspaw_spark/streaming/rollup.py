@@ -71,15 +71,42 @@ def stream_table_source(
     # hands back the path component, where the naive
     # ``path[len("file://"):]`` slice mangled the authority form and
     # missed the single-slash form entirely (ADVICE r16 #1).
+    #
+    # A bare urlparse scheme is NOT enough to call a path remote: a
+    # relative local sf_dir whose first segment contains a colon
+    # (``data:sf1``) parses with scheme="data", and the old check sent
+    # it down the remote branch, skipping the existence/layout guards
+    # entirely (ADVICE r17 #1).  A non-file scheme is treated as
+    # remote only when the path is an authority-form URI
+    # (``scheme://...``); anything else is a local path.  ``file:`` is
+    # special-cased because Hadoop's single-slash form is legal
+    # without ``//`` — but only with an absolute path component.
+    # Literal ``?``/``#`` in a ``file:`` URI must be RFC-encoded
+    # (%3F/%23); an unencoded one parses as a query/fragment and is
+    # rejected loudly below instead of silently truncating the path.
     parsed = urlparse(path)
-    if parsed.scheme and parsed.scheme != "file":
-        return reader.parquet(path)
-    local = unquote(parsed.path) if parsed.scheme == "file" else path
-    if parsed.scheme == "file" and parsed.netloc not in ("", "localhost"):
-        raise FileNotFoundError(
-            f"stream_table_source: {path} has a non-local file:// authority "
-            f"({parsed.netloc!r}); cannot check the path on this host"
-        )
+    is_file_uri = parsed.scheme == "file" and (
+        path.startswith("file://") or parsed.path.startswith("/")
+    )
+    if parsed.scheme and not is_file_uri:
+        if path.startswith(f"{parsed.scheme}://"):
+            return reader.parquet(path)
+        parsed = None  # colon in a local segment, not a URI scheme
+    local = path
+    if parsed is not None and is_file_uri:
+        if parsed.query or parsed.fragment:
+            raise FileNotFoundError(
+                f"stream_table_source: {path} parses with a query/fragment "
+                "component; file: URIs have neither, so this is almost "
+                "certainly an unencoded '?' or '#' in the directory name — "
+                "RFC-encode it (%3F/%23) instead"
+            )
+        if parsed.netloc not in ("", "localhost"):
+            raise FileNotFoundError(
+                f"stream_table_source: {path} has a non-local file:// authority "
+                f"({parsed.netloc!r}); cannot check the path on this host"
+            )
+        local = unquote(parsed.path)
     if os.path.isdir(local):
         return reader.parquet(path)
     if not os.path.exists(local):

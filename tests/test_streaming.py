@@ -659,3 +659,81 @@ def test_stream_table_source_file_uri_forms(tmp_path):
         stream_table_source(
             fake, f"file://otherhost{tmp_path}", "events", "ignored"
         )
+
+
+def test_stream_table_source_colon_segment_is_local(tmp_path):
+    """ADVICE r17 #1: a RELATIVE local path whose first segment
+    contains a colon (``data:sf1``) parses with urlparse scheme
+    "data"; the bare-scheme check sent it down the remote branch,
+    skipping the existence/layout guards.  A non-file scheme is remote
+    only in authority form (``scheme://``); a colon segment is local
+    and gets the full local branch policy (isdir / glob / refuse)."""
+    import os
+
+    import pytest as _pytest
+
+    from myfitnesspaw_spark.streaming.rollup import stream_table_source
+
+    colon_dir = tmp_path / "data:sf1"
+    (colon_dir / "events.parquet").mkdir(parents=True)
+
+    # Relative colon path over a real directory: directory branch,
+    # not a blind "data:" remote read.
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        fake = _FakeSparkForSource()
+        stream_table_source(fake, "data:sf1", "events", "ignored")
+        assert fake.readStream.path == "data:sf1/events.parquet"
+        assert "pathGlobFilter" not in fake.readStream.options
+
+        # Missing colon path: refuse (old code silently "read" it remotely).
+        fake = _FakeSparkForSource()
+        with _pytest.raises(FileNotFoundError, match="zero rows"):
+            stream_table_source(fake, "data:absent", "events", "ignored")
+    finally:
+        os.chdir(cwd)
+
+    # Absolute path with a colon in a later segment never had a scheme;
+    # still the directory branch.
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, str(colon_dir), "events", "ignored")
+    assert fake.readStream.path == f"{colon_dir}/events.parquet"
+
+    # A real authority-form remote URI still takes the remote branch.
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, "hdfs://nn:8020/corpus", "events", "ignored")
+    assert fake.readStream.path == "hdfs://nn:8020/corpus/events.parquet"
+
+
+def test_stream_table_source_file_uri_query_fragment_rejected(tmp_path):
+    """ADVICE r17 #1 (second half): an unencoded ``?`` or ``#`` in a
+    ``file:`` URI parses as a query/fragment and the old code silently
+    TRUNCATED the path there before the local check.  file: URIs have
+    no query/fragment semantics, so a non-empty one is rejected loudly
+    with the RFC-encoding hint; the %-encoded spelling resolves to the
+    literal directory name and works."""
+    import pytest as _pytest
+
+    from myfitnesspaw_spark.streaming.rollup import stream_table_source
+
+    qdir = tmp_path / "sf?v=1"
+    (qdir / "events.parquet").mkdir(parents=True)
+
+    # Unencoded '?': loud refusal, not silent truncation to .../sf.
+    fake = _FakeSparkForSource()
+    with _pytest.raises(FileNotFoundError, match="RFC-encode"):
+        stream_table_source(fake, f"file://{tmp_path}/sf?v=1", "events", "ignored")
+
+    # Unencoded '#': same.
+    fake = _FakeSparkForSource()
+    with _pytest.raises(FileNotFoundError, match="RFC-encode"):
+        stream_table_source(fake, f"file://{tmp_path}/sf#frag", "events", "ignored")
+
+    # RFC-encoded spelling: resolves to the literal name, directory branch.
+    fake = _FakeSparkForSource()
+    stream_table_source(
+        fake, f"file://{tmp_path}/sf%3Fv=1", "events", "ignored"
+    )
+    assert fake.readStream.path == f"file://{tmp_path}/sf%3Fv=1/events.parquet"
+    assert "pathGlobFilter" not in fake.readStream.options
