@@ -369,6 +369,24 @@ absolute seconds are inflated ~2x on BOTH sides of each ratio; the
                                        keeps Σ cluster² bounded as
                                        populations grow K×)
 
+K=32 fourth octave for the heavy refresh/streaming capstones
+(``rebuilt 32``, 2026-08-16, VERDICT r17 #6) — extends the K=16
+rows above one more doubling, to ~2M docs; session context: launched
+on the same loud-calibration day (host_cal 0.287-0.317 across the
+day's probe sessions), both sides share the session so the ratios
+hold.  All three stay 7x+ UNDER the 32x data ratio, and
+indexed_cc_refresh's ratio is FLAT across the octave (4.99x at K=16
+-> 4.50x at K=32): the capstone's linear term (the simulated prior
+run scan-building the exploded shingle store) has saturated the
+curve and the refresh side's O(store read + batch compute) story
+holds at 2M docs.  The streaming ingest path's 2.17x at 32x data
+confirms no collision blow-up on the 32x-wider hot bands::
+
+    query                      K=32 (rebuilt base; data ratio 32.0)
+    minhash_signature_refresh  2.80x  (4.91s -> 13.75s; 2.08x at K=16)
+    indexed_cc_refresh         4.50x  (6.35s -> 28.54s; 4.99x at K=16)
+    streaming_lsh_ingest_probe 2.17x  (3.42s ->  7.42s; 1.73x at K=16)
+
 K=32 third octave for the original dedup/text probes (``rebuilt
 32``, 2026-08-16) — the first K=32 rows in the book; at 32x data the
 corpus is ~2M docs and every path stays 4x+ under the data ratio
