@@ -125,6 +125,20 @@ the flagship report pipelines stay report-window-bounded)::
                                       the per-row term dominates and
                                       the curve flattens to ~1.8x)
 
+Facts-axis K=32 octave (``facts 32``, 2026-08-16) — third octave
+for the heaviest OLAP chains; every chain stays 7x+ under the 32.0
+data ratio (the per-row shuffle terms grow linearly while the
+report-window-bounded flagships barely move)::
+
+    query                      K=32  (data ratio 32.0)
+    q21_waiting_suppliers     4.58x  (1.66s -> 7.60s)
+    unreturned_orders         2.78x
+    q7_volume_shipping        2.90x
+    q8_market_share           1.59x
+    progress_report           2.09x
+    nutrition_report          1.31x
+    salted_priority_revenue   3.91x
+
 Round-7 new ops (same base)::
 
     query                      K=4    K=8   (data ratio 4.0 / 8.0)
@@ -524,6 +538,30 @@ still 3x under the data ratio)::
     stream_stream_click_error        0.97x
     sessionize_stateful_stream       5.61x  (2.72s -> 15.27s)
     tws_user_type_rollup             5.71x  (3.78s -> 21.58s)
+
+Events-axis K=32 octave (``events 32``, 2026-08-16) — third octave.
+Batch and JVM-state streaming rows stay FLAT at 32x events
+(funnel_conversion 1.50x, hll_union_rollup 1.20x,
+streaming_hourly_rollup 0.82x, stream_stream_click_error 1.44x).
+The per-key PYTHON state pair continues exactly its designed
+linear-in-groups curve: read the K-side absolute step, not the
+cross-session ratio (this session's rebuilt 1x sides ran faster
+than the K=16 session's) — sessionize_stateful_stream 15.27s at
+K=16 -> 34.22s at K=32 (2.24x per 2x data), tws_user_type_rollup
+21.58s -> 39.38s (1.82x per 2x data); the ~ms-per-group
+applyInPandas constant dominates and both remain under the 32.0
+data ratio (21.55x / 12.23x vs their same-session 1x sides).  At
+real scale the pair's cost is bounded by user-group count, which is
+the documented reason the JVM-state paths (window/dedup/
+stream-stream) exist for volume-proportional state::
+
+    query                             K=32  (data ratio 32.0)
+    funnel_conversion                1.50x
+    hll_union_rollup                 1.20x
+    streaming_hourly_rollup          0.82x
+    stream_stream_click_error        1.44x
+    sessionize_stateful_stream      21.55x  (1.59s -> 34.22s)
+    tws_user_type_rollup            12.23x  (3.22s -> 39.38s)
 
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
