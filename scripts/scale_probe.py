@@ -577,6 +577,10 @@ so diameter is constant by construction)::
    16    4096      2           2   (r17: still flat at the K=16
                                     octave, matching the corpus/
                                     events/facts probes' depth)
+   32    8192      2           2   (r18: flat at K=32 — all four
+                                    probe tables now reach ~2M-doc/
+                                    32x depth; contraction remains
+                                    diameter-bounded by construction)
 """
 
 from __future__ import annotations
