@@ -401,6 +401,23 @@ confirms no collision blow-up on the 32x-wider hot bands::
     indexed_cc_refresh         4.50x  (6.35s -> 28.54s; 4.99x at K=16)
     streaming_lsh_ingest_probe 2.17x  (3.42s ->  7.42s; 1.73x at K=16)
 
+K=64 FOURTH octave for the core dedup/text paths (``rebuilt 64``,
+2026-08-16) — ~4M docs, the deepest probe in the book.  Every path
+stays 5x+ under the 64.0 data ratio; the banded pair paths'
+octave-over-octave K-side steps are strongly sub-linear
+(minhash_lsh_pairs 24.93s at K=32 -> 30.42s at K=64 = 1.22x per 2x
+data; simhash_pairs' RATIO even fell, 7.16x -> 4.73x, as its fixed
+costs amortize).  The scan-local paths (exact_dedup,
+sequence_packing) remain task-overhead-bound even at 4M docs::
+
+    query                  K=64 (rebuilt base; data ratio 64.0)
+    exact_dedup            1.78x  (0.77s ->  1.37s)
+    minhash_lsh_pairs     12.05x  (2.53s -> 30.42s)
+    simhash_pairs          4.73x  (3.35s -> 15.84s)
+    lang_id               11.49x  (1.92s -> 22.01s)
+    sequence_packing       1.65x  (0.83s ->  1.37s)
+    inverted_index_build   2.79x  (1.32s ->  3.70s)
+
 K=32 third octave for the original dedup/text probes (``rebuilt
 32``, 2026-08-16) — the first K=32 rows in the book; at 32x data the
 corpus is ~2M docs and every path stays 4x+ under the data ratio
