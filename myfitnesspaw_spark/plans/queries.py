@@ -15,33 +15,35 @@ sits in the CURRENT window awaiting refresh, and no query may sit
 never-certified outside the window.  scripts/certification_age.py
 enforces the invariant and exits non-zero on violation.
 
-ROUND-18 WINDOW (executing the front pre-committed in the r17
+ROUND-19 WINDOW (executing the front pre-committed in the r18
 docstring, applied mechanically via
-``scripts/rotate_window.py 18 --write``):
+``scripts/rotate_window.py 19 --write``):
 
 1. The three PERMANENT canaries (flagship, one streaming path, one
    dedup path) — pinned so a loader or session regression can never
    hide behind the rotation.
-2. Round-18 additions land here, in-window on arrival — NONE
+2. Round-19 additions land here, in-window on arrival — NONE
    expected: the registry is growth-frozen at 170 (VERDICT r11 #3;
    tests/test_bench_book.py asserts <= 191).
-3. The TWENTY-SIX r14-certified queries that turned age 4 entering
-   r18 — exactly the registrations the r17 docstring pre-committed
-   (funnel_conversion through etl_exercises_silver), including the
-   behavioral/window family, the BPE tokenizer family, the refresh
-   capstones, and the ETL/integrity cohort.
-4. The oldest r15-certified queries (age 3 entering r18),
+3. The TWENTY-SIX r15-certified queries that turned age 4 entering
+   r19 — exactly the registrations the r18 docstring pre-committed
+   (debounce_events through ann_topk_cosine), including the
+   sketch/sampling family (cms_heavy_hitters, weighted_sample), the
+   incremental core (cdc_diff, upsert_keep_latest, point_lookup),
+   the text/dedup cohort (text_stats through simhash_pairs), and
+   the indexed_cc_refresh capstone.
+4. The oldest r16-certified queries (age 3 entering r19),
    oldest-first in prior registration order, filling the remaining
-   21 slots: mfp_api_datasource through unreturned_orders.
+   21 slots: ivf_ann_topk through streaming_sliding_rollup.
 
-ROUND-19 FRONT (pre-committed so the rotation stays mechanical):
-the r15-certified remainder below the window marker — age 4 entering
-r19 — MUST lead the r19 window after the canaries; they are exactly
+ROUND-20 FRONT (pre-committed so the rotation stays mechanical):
+the r16-certified remainder below the window marker — age 4 entering
+r20 — MUST lead the r20 window after the canaries; they are exactly
 the 26 registrations contiguous at the window-end marker
-(debounce_events through ann_topk_cosine).  After them, the
-r16-certified cohort (47 queries, age 3 entering r19) fills the
-remaining 21 slots oldest-first; its remainder (26) fronts r20, and
-the r17-certified cohort (age 2 entering r19) rotates last.
+(recursive_user_spine through session_window_events).  After them,
+the r17-certified cohort (47 queries, age 3 entering r20) fills the
+remaining 21 slots oldest-first; its remainder (26) fronts r21, and
+the r18-certified cohort (age 2 entering r20) rotates last.
 
 GROWTH FREEZE (VERDICT r11 #3): the registry is feature-complete at
 170.  MAX_AGE = 4 with 47 effective slots/round is satisfiable only
@@ -52,8 +54,8 @@ failure, not a surprise violation.  (The exact invariant — age 5 is
 legal in-window — would allow 3 + 5*47 = 238, but the conservative
 bound keeps one full round of slack for a lost round like r10.)
 
-Everything outside the window was driver-certified in r16 or r17
-(age <= 2 entering r18) except the pre-committed r19 front (age 3),
+Everything outside the window was driver-certified in r17 or r18
+(age <= 2 entering r19) except the pre-committed r20 front (age 3),
 and stays guarded by tests/test_registry_oracle.py at every sf.
 """
 from __future__ import annotations
@@ -89,97 +91,9 @@ register("progress_report", PROGRESS_ORACLE)(progress_report)
 register("streaming_hourly_rollup", sq.STREAMING_ROLLUP_ORACLE)(sq.streaming_rollup)
 register("dedup_clusters", tq.DEDUP_CLUSTERS_ORACLE)(tq.dedup_clusters)
 
-# --- Parts 2-4: the r18 rotating window (47 slots) —
+# --- Parts 2-4: the r19 rotating window (47 slots) —
 # --- due-for-refresh queries first, then oldest-cohort fill
-# --- (ordering computed by scripts/rotate_window.py 18).
-register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
-register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
-register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
-register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
-register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
-register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
-register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
-register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
-    tq.minhash_signature_refresh
-)
-register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
-register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
-    smp.hll_sketch_refresh
-)
-register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.bloom_decontaminated_corpus
-)
-register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
-    tq.leakage_safe_split
-)
-register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
-register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
-    sq.streaming_lsh_ingest_probe_q
-)
-register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
-    tq.incremental_cc_refresh
-)
-register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
-register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
-    bq.daily_event_sequence
-)
-register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
-register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
-register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
-register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
-register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
-register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
-register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
-    iq.cascade_delete_consistency
-)
-register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
-    ef.etl_mealentries_silver
-)
-register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
-register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
-register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
-register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
-register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
-register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
-    sq.tws_user_type_rollup_q
-)
-register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
-register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
-    cq.decontaminated_corpus
-)
-register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
-    tq.dedup_graph_triangles
-)
-register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
-    oq.q21_waiting_suppliers
-)
-register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
-register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
-register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
-register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
-register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
-    cq.corpus_refresh_pipeline
-)
-register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
-register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
-    ioq.jsonl_roundtrip_purchases
-)
-register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
-register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
-    ioq.partitioned_orders_prune
-)
-register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
-    ioq.schema_evolution_merge
-)
-register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
-register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
-
-# ---------------------------------------------------------------
-# --- The 50-query driver window ends here.
-# ---------------------------------------------------------------
-
-# --- Below the marker: oldest cohort first, so the r19
-# --- front is contiguous at the window marker.
+# --- (ordering computed by scripts/rotate_window.py 19).
 register("debounce_events", oq.DEBOUNCE_EVENTS_ORACLE)(oq.debounce_events)
 register("cms_heavy_hitters", smp.CMS_HEAVY_HITTERS_ORACLE)(smp.cms_heavy_hitters)
 register("bm25_rank", cq.BM25_ORACLE)(cq.bm25_rank)
@@ -233,6 +147,13 @@ register("multimodal_frames", sq.MULTIMODAL_FRAMES_ORACLE)(sq.multimodal_frames)
 register("multimodal_resize", sq.MULTIMODAL_RESIZE_ORACLE)(sq.multimodal_resize)
 register("embedding_near_dup", tq.EMBEDDING_NEAR_DUP_ORACLE)(tq.embedding_near_dup)
 register("streaming_sliding_rollup", sq.STREAMING_SLIDING_ORACLE)(sq.streaming_sliding)
+
+# ---------------------------------------------------------------
+# --- The 50-query driver window ends here.
+# ---------------------------------------------------------------
+
+# --- Below the marker: oldest cohort first, so the r20
+# --- front is contiguous at the window marker.
 register("recursive_user_spine", bq.RECURSIVE_USER_SPINE_ORACLE)(
     bq.recursive_user_spine
 )
@@ -358,3 +279,84 @@ register("incremental_agg_merge", mq.INCREMENTAL_AGG_MERGE_ORACLE)(
     mq.incremental_agg_merge
 )
 register("mfp_api_stream_rollup", ef.MFP_API_STREAM_ORACLE)(ef.mfp_api_stream_rollup)
+register("funnel_conversion", bq.FUNNEL_CONVERSION_ORACLE)(bq.funnel_conversion)
+register("cohort_retention", bq.COHORT_RETENTION_ORACLE)(bq.cohort_retention)
+register("activity_streaks", bq.ACTIVITY_STREAKS_ORACLE)(bq.activity_streaks)
+register("time_weighted_value", bq.TIME_WEIGHTED_VALUE_ORACLE)(bq.time_weighted_value)
+register("forward_fill_gauge", bq.FORWARD_FILL_ORACLE)(bq.forward_fill_gauge)
+register("pq_recall_eval", pq.PQ_RECALL_ORACLE)(pq.pq_recall_eval)
+register("bpe_apply_merges", pq.BPE_APPLY_ORACLE)(pq.bpe_apply_merges)
+register("minhash_signature_refresh", tq.MINHASH_SIG_REFRESH_ORACLE)(
+    tq.minhash_signature_refresh
+)
+register("bpe_doc_token_counts", pq.BPE_DOC_COUNTS_ORACLE)(pq.bpe_doc_token_counts)
+register("hll_sketch_refresh", smp.HLL_SKETCH_REFRESH_ORACLE)(
+    smp.hll_sketch_refresh
+)
+register("bloom_decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.bloom_decontaminated_corpus
+)
+register("leakage_safe_split", tq.LEAKAGE_SAFE_SPLIT_ORACLE)(
+    tq.leakage_safe_split
+)
+register("mmr_rerank", pq.MMR_RERANK_ORACLE)(pq.mmr_rerank)
+register("streaming_lsh_ingest_probe", sq.STREAMING_LSH_INGEST_ORACLE)(
+    sq.streaming_lsh_ingest_probe_q
+)
+register("incremental_cc_refresh", tq.DEDUP_CLUSTERS_ORACLE)(
+    tq.incremental_cc_refresh
+)
+register("daily_type_share", bq.DAILY_TYPE_SHARE_ORACLE)(bq.daily_type_share)
+register("daily_event_sequence", bq.DAILY_EVENT_SEQUENCE_ORACLE)(
+    bq.daily_event_sequence
+)
+register("hll_union_rollup", smp.HLL_UNION_ROLLUP_ORACLE)(smp.hll_union_rollup)
+register("column_profile", mq.COLUMN_PROFILE_ORACLE)(mq.column_profile)
+register("stratified_sample", smp.STRATIFIED_SAMPLE_ORACLE)(smp.stratified_sample)
+register("passage_dedup", smp.PASSAGE_DEDUP_ORACLE)(smp.passage_dedup)
+register("fixed_size_sample", smp.FIXED_SIZE_SAMPLE_ORACLE)(smp.fixed_size_sample)
+register("fk_orphan_audit", iq.FK_ORPHAN_AUDIT_ORACLE)(iq.fk_orphan_audit)
+register("cascade_delete_consistency", iq.CASCADE_DELETE_ORACLE)(
+    iq.cascade_delete_consistency
+)
+register("etl_mealentries_silver", ef.ETL_MEALENTRIES_ORACLE)(
+    ef.etl_mealentries_silver
+)
+register("etl_exercises_silver", ef.ETL_EXERCISES_ORACLE)(ef.etl_exercises_silver)
+register("mfp_api_datasource", ef.MFP_API_DS_ORACLE)(ef.mfp_api_datasource)
+register("q8_market_share", oq.Q8_MARKET_SHARE_ORACLE)(oq.q8_market_share)
+register("bigram_lm_score", pq.BIGRAM_LM_ORACLE)(pq.bigram_lm_score)
+register("semantic_dedup_kpp", pq.SEMDEDUP_KPP_ORACLE)(pq.semantic_dedup_kpp)
+register("tws_user_type_rollup", sq.TWS_USER_TYPE_ROLLUP_ORACLE)(
+    sq.tws_user_type_rollup_q
+)
+register("ivf_ann_topk_kpp", pq.IVF_KPP_ORACLE)(pq.ivf_ann_topk_kpp)
+register("decontaminated_corpus", cq.DECONTAMINATED_CORPUS_ORACLE)(
+    cq.decontaminated_corpus
+)
+register("dedup_graph_triangles", tq.DEDUP_TRIANGLES_ORACLE)(
+    tq.dedup_graph_triangles
+)
+register("q21_waiting_suppliers", oq.Q21_WAITING_ORACLE)(
+    oq.q21_waiting_suppliers
+)
+register("chart_render_pixels", CHART_RENDER_ORACLE)(chart_render_pixels)
+register("dsir_selection", pq.DSIR_SELECTION_ORACLE)(pq.dsir_selection)
+register("repeated_ngram_spans", cq.REPEATED_SPANS_ORACLE)(cq.repeated_ngram_spans)
+register("corrupt_record_audit", ioq.CORRUPT_RECORD_ORACLE)(ioq.corrupt_record_audit)
+register("corpus_refresh_pipeline", cq.CORPUS_REFRESH_ORACLE)(
+    cq.corpus_refresh_pipeline
+)
+register("csv_roundtrip_nation", ioq.CSV_ROUNDTRIP_ORACLE)(ioq.csv_roundtrip_nation)
+register("jsonl_roundtrip_purchases", ioq.JSONL_ROUNDTRIP_ORACLE)(
+    ioq.jsonl_roundtrip_purchases
+)
+register("orc_roundtrip_part", ioq.ORC_ROUNDTRIP_ORACLE)(ioq.orc_roundtrip_part)
+register("partitioned_orders_prune", ioq.PARTITIONED_PRUNE_ORACLE)(
+    ioq.partitioned_orders_prune
+)
+register("schema_evolution_merge", ioq.SCHEMA_EVOLUTION_ORACLE)(
+    ioq.schema_evolution_merge
+)
+register("lateral_topk_customers", oq.LATERAL_TOPK_ORACLE)(oq.lateral_topk_customers)
+register("unreturned_orders", oq.UNRETURNED_ORDERS_ORACLE)(oq.unreturned_orders)
