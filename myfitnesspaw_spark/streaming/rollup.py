@@ -49,10 +49,14 @@ def stream_table_source(
     streaming numbers were invalidated before this helper existed (the
     K×-scaled tables are directories).  Layout rules:
 
-    * a non-local URI (``s3://``, ``hdfs://``, ...) takes the
-      directory branch EXPLICITLY — object-store tables are always
-      directories of part files, and ``os.path.isdir`` on such a URI
-      is meaninglessly False;
+    * a non-local URI (``s3://``, ``hdfs://``, ..., any scheme case —
+      RFC 3986 schemes are case-insensitive) takes the directory
+      branch EXPLICITLY — object-store tables are always directories
+      of part files, and ``os.path.isdir`` on such a URI is
+      meaninglessly False.  Only the AUTHORITY form (``scheme://``) is
+      remote: Hadoop's single-slash default-FS form (``hdfs:/path``)
+      is classified local by policy and refused if absent, with the
+      refusal naming the ``scheme://`` spelling;
     * a local path that exists is branched by ``isdir``;
     * a local path that does not exist raises immediately — falling
       into the glob branch would recreate the silent zero-ingest
@@ -84,13 +88,27 @@ def stream_table_source(
     # Literal ``?``/``#`` in a ``file:`` URI must be RFC-encoded
     # (%3F/%23); an unencoded one parses as a query/fragment and is
     # rejected loudly below instead of silently truncating the path.
+    # RFC 3986 schemes are case-insensitive (urlparse lowercases
+    # .scheme, and Hadoop accepts ``HDFS://`` spellings), so the
+    # raw-string prefix checks below compare a lowercased slice — a
+    # plain startswith misrouted ``HDFS://nn/path`` to the local
+    # branch (ADVICE r18 #1).
     parsed = urlparse(path)
     is_file_uri = parsed.scheme == "file" and (
-        path.startswith("file://") or parsed.path.startswith("/")
+        path[:7].lower() == "file://" or parsed.path.startswith("/")
     )
+    single_slash_scheme = None
+    colon_segment = False
     if parsed.scheme and not is_file_uri:
-        if path.startswith(f"{parsed.scheme}://"):
+        if path[: len(parsed.scheme) + 3].lower() == f"{parsed.scheme}://":
             return reader.parquet(path)
+        # ``scheme:/abs/path`` — Hadoop's single-slash default-FS form.
+        # POLICY: only authority-form (``scheme://``) URIs are remote;
+        # remember the scheme so the refusal below can tell the caller
+        # how to spell a remote read (ADVICE r18 #3).
+        if parsed.path.startswith("/"):
+            single_slash_scheme = parsed.scheme
+        colon_segment = True
         parsed = None  # colon in a local segment, not a URI scheme
     local = path
     if parsed is not None and is_file_uri:
@@ -108,13 +126,28 @@ def stream_table_source(
             )
         local = unquote(parsed.path)
     if os.path.isdir(local):
+        if colon_segment:
+            # Hadoop's Path would re-parse the leading ``name:`` as a
+            # scheme (and a relative first segment cannot hold ':' at
+            # all, HADOOP-3257) — hand the reader an absolutized form,
+            # never the raw colon-segment string (ADVICE r18 #2).
+            return reader.parquet(os.path.abspath(local))
         return reader.parquet(path)
     if not os.path.exists(local):
+        hint = (
+            f"; note: '{single_slash_scheme}:/...' (single-slash) is treated "
+            "as a LOCAL path by policy — spell a remote read in authority "
+            f"form, '{single_slash_scheme}://...'"
+            if single_slash_scheme
+            else ""
+        )
         raise FileNotFoundError(
             f"stream_table_source: {path} is neither a file nor a directory; "
-            "refusing the pathGlobFilter branch (it would silently ingest zero rows)"
+            "refusing the pathGlobFilter branch (it would silently ingest "
+            "zero rows)" + hint
         )
-    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+    glob_base = os.path.abspath(sf_dir) if colon_segment else sf_dir
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(glob_base)
 
 def state_shuffle_partitions(spark: SparkSession) -> int:
     """Shuffle-partition count for STATEFUL streaming queries.

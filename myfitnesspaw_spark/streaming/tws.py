@@ -63,11 +63,11 @@ from myfitnesspaw_spark.streaming.rollup import (
 # ``transformWithStateInPandas`` grouped-data API.  protobuf present
 # but either half missing/broken must degrade to the v1 fallback here,
 # not fail at runtime inside a stream.
-# Carry status (re-checked r18, 2026-08-16): `protobuf` is still not
-# importable in this container, so the v2 path remains environment-
-# blocked and the v1-fallback path is the certified one
-# (tws_user_type_rollup).  Re-check each round; delete this note the
-# round the import succeeds.
+# Carry status (re-checked r19, 2026-08-16): `protobuf` is still not
+# importable in this container (`No module named 'google'`), so the v2
+# path remains environment-blocked and the v1-fallback path is the
+# certified one (tws_user_type_rollup).  Re-check each round; delete
+# this note the round the import succeeds.
 try:  # pragma: no cover - environment-dependent
     from pyspark.sql.group import GroupedData as _GroupedData
     from pyspark.sql.streaming.proto import StateMessage_pb2 as _state_pb2  # noqa: F401

@@ -684,7 +684,10 @@ def test_stream_table_source_colon_segment_is_local(tmp_path):
     try:
         fake = _FakeSparkForSource()
         stream_table_source(fake, "data:sf1", "events", "ignored")
-        assert fake.readStream.path == "data:sf1/events.parquet"
+        # ADVICE r18 #2: the reader must get an ABSOLUTIZED path, not
+        # the raw colon-segment string — Hadoop's Path would re-parse
+        # the leading "data:" as a scheme (HADOOP-3257).
+        assert fake.readStream.path == str(colon_dir / "events.parquet")
         assert "pathGlobFilter" not in fake.readStream.options
 
         # Missing colon path: refuse (old code silently "read" it remotely).
@@ -737,3 +740,59 @@ def test_stream_table_source_file_uri_query_fragment_rejected(tmp_path):
     )
     assert fake.readStream.path == f"file://{tmp_path}/sf%3Fv=1/events.parquet"
     assert "pathGlobFilter" not in fake.readStream.options
+
+
+def test_stream_table_source_scheme_case_and_single_slash_policy(tmp_path):
+    """ADVICE r18 #1-#3 on the URI classification:
+
+    * RFC 3986 schemes are case-insensitive and Hadoop accepts them —
+      ``HDFS://nn/path`` must take the remote branch (urlparse
+      lowercases .scheme, so the old startswith check missed it and
+      misrouted the URI to the local branch);
+    * an uppercase ``FILE://`` URI is still the file scheme and must
+      resolve its local path component;
+    * Hadoop's single-slash default-FS form (``hdfs:/path``) stays
+      LOCAL by documented policy, but the refusal must name the
+      ``scheme://`` spelling so the caller learns the remote form;
+    * a colon-segment local path on the GLOB branch (bare file) must
+      hand the reader an absolutized base dir, not the raw string
+      Hadoop would re-parse as a scheme."""
+    import os
+
+    import pytest as _pytest
+
+    from myfitnesspaw_spark.streaming.rollup import stream_table_source
+
+    # Uppercase remote scheme: remote branch, raw URI passed through
+    # (Hadoop resolves scheme case itself).
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, "HDFS://nn:8020/corpus", "events", "ignored")
+    assert fake.readStream.path == "HDFS://nn:8020/corpus/events.parquet"
+    assert "pathGlobFilter" not in fake.readStream.options
+
+    # Uppercase file scheme over a real directory: directory branch.
+    (tmp_path / "events.parquet").mkdir()
+    fake = _FakeSparkForSource()
+    stream_table_source(fake, f"FILE://{tmp_path}", "events", "ignored")
+    assert fake.readStream.path == f"FILE://{tmp_path}/events.parquet"
+
+    # Single-slash non-file URI: local by policy; the refusal tells
+    # the caller the authority-form spelling.
+    fake = _FakeSparkForSource()
+    with _pytest.raises(FileNotFoundError, match=r"hdfs://"):
+        stream_table_source(fake, "hdfs:/corpus", "events", "ignored")
+
+    # Colon-segment local path whose table is a BARE FILE: glob branch
+    # with an absolutized base, never the raw colon-segment string.
+    colon_dir = tmp_path / "bare:sf1"
+    colon_dir.mkdir()
+    (colon_dir / "nation.parquet").write_bytes(b"PAR1")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        fake = _FakeSparkForSource()
+        stream_table_source(fake, "bare:sf1", "nation", "ignored")
+        assert fake.readStream.path == str(colon_dir)
+        assert fake.readStream.options["pathGlobFilter"] == "nation.parquet"
+    finally:
+        os.chdir(cwd)
