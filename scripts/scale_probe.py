@@ -580,6 +580,27 @@ stream-stream) exist for volume-proportional state::
     sessionize_stateful_stream      21.55x  (1.59s -> 34.22s)
     tws_user_type_rollup            12.23x  (3.22s -> 39.38s)
 
+Events-axis K=64 octave for the per-key PYTHON-state pair (``events
+64 sessionize_stateful_stream tws_user_type_rollup``, 2026-08-16) —
+the fourth octave, run to read the pair's step DIRECTLY from one
+more doubling rather than inferring it from cross-session ratios.
+K-side absolute step per 2x data: sessionize 34.22s (K=32) ->
+72.50s (K=64) = 2.12x; tws 39.38s -> 72.50s = 1.84x — both matching
+their K=16->K=32 steps (2.24x / 1.82x): the ms-per-group
+applyInPandas constant still dominates and the curve is exactly
+linear-in-groups as designed.  Same-session 1x sides: sessionize
+2.10s, tws 6.16s (this session's rebuilt 1x sides ran ~1.3-1.9x the
+K=32 session's 1.59s/3.22s — the documented cross-session 1x-side
+variance, which is why the octave is read K-side absolute).  The
+two K-side bests landing on the same 72.50s is min-of-2 coincidence
+of two converging curves, not shared timing: the 1x sides differ
+3x.  At real scale the pair's cost is group-count-bounded; the
+JVM-state paths remain the volume-proportional choice::
+
+    query                             K=64  (data ratio 64.0)
+    sessionize_stateful_stream      34.57x  (2.10s -> 72.50s)
+    tws_user_type_rollup            11.77x  (6.16s -> 72.50s)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
