@@ -418,6 +418,34 @@ sequence_packing) remain task-overhead-bound even at 4M docs::
     sequence_packing       1.65x  (0.83s ->  1.37s)
     inverted_index_build   2.79x  (1.32s ->  3.70s)
 
+K=128 FIFTH octave for the core dedup/text paths (``rebuilt 128``,
+2026-08-16, r19) — ~8M docs, the deepest probe in the book; three
+same-day runs over one built corpus (launch load1 0.05-0.70 on a
+loud-decay afternoon), per-side minima recorded.  Every path stays
+4.7x+ UNDER the 128.0 data ratio.  K-side octave steps vs the K=64
+session (cross-session, loud-day caveat): minhash_lsh_pairs 30.42s
+-> 53.07s = 1.74x per 2x data and simhash_pairs 15.84s -> 30.26s =
+1.91x — the banded pair paths' steps steepened vs the 1.22x of the
+previous octave (the candidate term is growing as the fixed costs
+finish amortizing) but remain SUB-LINEAR, so no quadratic leak
+(simhash's first-run 35.85s read 2.26x; two re-runs gave 30.26s —
+always re-probe a >2x step before believing it).  lang_id's 2.56x
+step is a loud-day artifact (per-doc scoring is strictly linear
+work; its same-session ratio is 25-27x vs 128x data in all three
+runs).  sequence_packing left its task-overhead-bound regime
+(1.65x at K=64 -> 8.80x at K=128): the linear work term now
+dominates, still 14x under data.  inverted_index_build's first-run
+1x side (8.70s) was a cold anomaly; the re-run pair 1.69s -> 5.27s
+= 3.12x is the recorded row::
+
+    query                  K=128 (rebuilt base; data ratio 128.0)
+    exact_dedup            2.00x  (0.83s ->  1.65s)
+    minhash_lsh_pairs     20.98x  (2.53s -> 53.07s)
+    simhash_pairs         10.81x  (2.80s -> 30.26s)
+    lang_id               25.11x  (2.24s -> 56.24s)
+    sequence_packing       8.80x  (0.70s ->  6.20s)
+    inverted_index_build   3.12x  (1.69s ->  5.27s)
+
 K=32 third octave for the original dedup/text probes (``rebuilt
 32``, 2026-08-16) — the first K=32 rows in the book; at 32x data the
 corpus is ~2M docs and every path stays 4x+ under the data ratio
