@@ -401,6 +401,21 @@ confirms no collision blow-up on the 32x-wider hot bands::
     indexed_cc_refresh         4.50x  (6.35s -> 28.54s; 4.99x at K=16)
     streaming_lsh_ingest_probe 2.17x  (3.42s ->  7.42s; 1.73x at K=16)
 
+K=64 FIFTH octave for the same three capstones (``rebuilt 64``,
+2026-08-16, r19) — ~4M docs.  K-side steps per 2x data vs the K=32
+session: indexed_cc_refresh 28.54s -> 32.44s = 1.14x (nearly FLAT —
+the simulated-prior-run store build has fully saturated the curve
+and the refresh side's O(store read + batch compute) term barely
+moves), minhash_signature_refresh 13.75s -> 21.07s = 1.53x,
+streaming_lsh_ingest_probe 7.42s -> 13.27s = 1.79x (its ratio FELL,
+2.17x -> 1.37x, as this session's 1x side paid a heavier store
+build).  All three remain 13x+ under the 64.0 data ratio::
+
+    query                      K=64 (rebuilt base; data ratio 64.0)
+    minhash_signature_refresh  4.15x  (5.07s -> 21.07s)
+    indexed_cc_refresh         4.75x  (6.83s -> 32.44s)
+    streaming_lsh_ingest_probe 1.37x  (9.71s -> 13.27s)
+
 K=64 FOURTH octave for the core dedup/text paths (``rebuilt 64``,
 2026-08-16) — ~4M docs, the deepest probe in the book.  Every path
 stays 5x+ under the 64.0 data ratio; the banded pair paths'
@@ -647,6 +662,9 @@ so diameter is constant by construction)::
                                     probe tables now reach ~2M-doc/
                                     32x depth; contraction remains
                                     diameter-bounded by construction)
+   64   16384      2           2   (r19: still flat at K=64 —
+                                    cc 1.61s / star 2.08s wall;
+                                    edges double, rounds do not)
 """
 
 from __future__ import annotations
