@@ -644,6 +644,22 @@ JVM-state paths remain the volume-proportional choice::
     sessionize_stateful_stream      34.57x  (2.10s -> 72.50s)
     tws_user_type_rollup            11.77x  (6.16s -> 72.50s)
 
+Events-axis K=64 octave for the JVM-state/batch rows (``events 64
+funnel_conversion hll_union_rollup streaming_hourly_rollup
+stream_stream_click_error``, 2026-08-16, r19) — the fourth octave
+for the rows that were flat at K=32, completing the axis at the
+same depth as the per-key pair above.  All four stay essentially
+flat at 64x events (~6.4M rows): the windowed/watermarked state is
+volume-proportional but the per-micro-batch fixed costs still
+dominate at this absolute size, and no super-linear term appears
+two octaves past K=16::
+
+    query                             K=64  (data ratio 64.0)
+    funnel_conversion                2.09x  (1.56s -> 3.25s)
+    hll_union_rollup                 1.24x
+    streaming_hourly_rollup          0.92x
+    stream_stream_click_error        1.88x  (2.99s -> 5.60s)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
