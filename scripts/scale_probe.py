@@ -139,6 +139,24 @@ report-window-bounded flagships barely move)::
     nutrition_report          1.31x
     salted_priority_revenue   3.91x
 
+Facts-axis K=64 octave (``facts 64``, 2026-08-16, r19) — fourth
+octave, bringing the facts axis to the same K=64 depth as the
+corpus/events/rounds axes (~38M lineitem rows).  Every chain stays
+13x+ under the 64.0 data ratio; K-side absolute steps vs the K=32
+session confirm the shape (q21 7.60s -> 9.34s = 1.23x per data
+doubling; the report flagships remain report-window-bounded).
+Same-session 1x sides ran 1.0-2.0x the K=32 session's (documented
+cross-session variance; read octave steps K-side)::
+
+    query                      K=64  (data ratio 64.0)
+    q21_waiting_suppliers     2.81x  (3.32s -> 9.34s)
+    unreturned_orders         3.13x
+    q7_volume_shipping        4.32x
+    q8_market_share           4.18x
+    progress_report           2.00x
+    nutrition_report          2.68x
+    salted_priority_revenue   4.81x  (1.58s -> 7.59s)
+
 Round-7 new ops (same base)::
 
     query                      K=4    K=8   (data ratio 4.0 / 8.0)
