@@ -18,6 +18,13 @@ BASELINE_BENCH.json ``queries`` (different protocol: no pass-1
 amortization, no session contention); record them in per-query
 ``comments`` only.
 
+A best whose timed reps are still strictly falling at the last rep
+has not reached steady state — it over-reads (r19:
+forward_fill_gauge read 1.51x at best-of-5 with every rep falling,
+1.11x at best-of-8 after a quiesce).  Such runs print STILL-FALLING
+and must not feed the floor-quality 1.3x re-anchor bar; rerun with a
+larger ``PROBE_REPS`` until the tail flattens.
+
 Usage::
 
     python scripts/warm_probe.py [--force] query [query ...]
@@ -94,11 +101,33 @@ def main() -> int:
                 ratio += f" = {best / base / (cal / ref):.2f}x host-normalized"
         else:
             ratio = "no baseline"
+        note = ""
+        if monotone_falling(times[1:]):
+            note = (
+                "  [STILL-FALLING: every rep beat the previous one — not "
+                "steady state; extend PROBE_REPS before applying the "
+                "floor-quality bar]"
+            )
         print(
             f"{name}: warm best-of-{reps} {best:.3f}s ({ratio}; "
             f"all reps {[round(t, 3) for t in times[1:]]}, warmup {times[0]:.3f})"
+            + note
         )
     return rc
+
+
+def monotone_falling(reps: list[float]) -> bool:
+    """True when every timed rep strictly beat the one before it.
+
+    The best of such a run is the LAST sample of a still-converging
+    series, so it over-reads the steady-state floor (verify-skill r19
+    note); callers must extend the rep count instead of trusting it.
+    A single timed rep can never certify steady state either — treat
+    it as still falling.
+    """
+    if len(reps) < 2:
+        return True
+    return all(b < a for a, b in zip(reps, reps[1:]))
 
 
 if __name__ == "__main__":

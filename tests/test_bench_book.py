@@ -661,3 +661,37 @@ def test_rotate_window_render_roundtrip():
     before_marker = rendered.split(rw.WINDOW_MARKER)[0]
     assert before_marker.count('register("') == 50
     compile(rendered, rw.QUERIES_PY, "exec")
+
+
+# --- warm_probe: steady-state guard ---------------------------------------
+
+_wp_spec = importlib.util.spec_from_file_location(
+    "warm_probe",
+    os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts",
+        "warm_probe.py",
+    ),
+)
+wp = importlib.util.module_from_spec(_wp_spec)
+sys.modules.setdefault("warm_probe", wp)
+_wp_spec.loader.exec_module(wp)
+
+
+def test_monotone_falling_flags_converging_runs_only():
+    """The r19 steady-state rule, mechanized: a probe whose timed reps
+    are still strictly falling at the last rep has not converged and
+    its best must not feed the floor-quality re-anchor bar.  The real
+    incident shape (forward_fill_gauge best-of-5, all falling) flags;
+    a flattened tail, a rebound, or a plateau does not; zero/one rep
+    can never certify steady state."""
+    # the r19 incident: every rep beat the previous one
+    assert wp.monotone_falling([1.092, 0.941, 0.822, 0.701, 0.583])
+    # flattened tail: last rep did not improve -> steady
+    assert not wp.monotone_falling([1.092, 0.941, 0.822, 0.583, 0.583])
+    # rebound mid-run -> steady enough (min is interior, not last)
+    assert not wp.monotone_falling([1.0, 0.6, 0.7, 0.65])
+    # plateau -> steady
+    assert not wp.monotone_falling([0.5, 0.5, 0.5])
+    # degenerate rep counts cannot certify steady state
+    assert wp.monotone_falling([0.5])
+    assert wp.monotone_falling([])
