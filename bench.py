@@ -172,6 +172,27 @@ def classify_regressions(
     return regressions, watch
 
 
+def cold_position_advisory(pass2_runs: int, n_timed: int) -> str | None:
+    """The r18 discard rule, stamped into the artifact itself.
+
+    A run whose pass-1 wall exhausted the soft budget before a single
+    pass-2 warm retry ran (``pass2_runs == 0`` with queries actually
+    timed) carries ONLY cold-position numbers — the r18 incident
+    recorded 15 false regressions at uniform 3.6-11.5x raw this way.
+    Readers of such an artifact must discard it rather than probe its
+    flags; returning the advisory here means the artifact says so
+    itself instead of relying on each judge re-deriving the rule from
+    the wall telemetry.
+    """
+    if pass2_runs == 0 and n_timed > 0:
+        return (
+            "pass2_runs=0: the soft budget died in pass 1, so no query "
+            "got its warm retry — every timing is cold-position; "
+            "discard this run, do not probe its flags (verify-skill r18)"
+        )
+    return None
+
+
 def _warn_untracked_artifacts() -> None:
     """Loudly flag round artifacts not committed to git (VERDICT r7
     #2: CORRECTNESS/BENCH artifacts sat untracked at round close
@@ -520,6 +541,9 @@ def main() -> None:
             "pass1_flagged": pass1_flagged,
             "wall": {**wall, "total_wall_sec": round(time.monotonic() - start, 1)},
         }
+        advisory = cold_position_advisory(wall["pass2_runs"], len(timed))
+        if advisory:
+            full["advisory"] = advisory
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_full.json")
         try:

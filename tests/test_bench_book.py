@@ -695,3 +695,16 @@ def test_monotone_falling_flags_converging_runs_only():
     # degenerate rep counts cannot certify steady state
     assert wp.monotone_falling([0.5])
     assert wp.monotone_falling([])
+
+
+def test_cold_position_advisory_fires_only_on_starved_pass2():
+    """The r18 discard rule, artifact-side: a run with timed queries
+    but zero pass-2 warm retries is all cold-position and must say so;
+    a run with even one retry, or a run that timed nothing, must not
+    carry the advisory."""
+    assert bench.cold_position_advisory(0, 170) is not None
+    assert "cold-position" in bench.cold_position_advisory(0, 1)
+    assert bench.cold_position_advisory(1, 170) is None
+    assert bench.cold_position_advisory(33, 170) is None
+    # nothing timed -> nothing to discard; the errors dict tells that story
+    assert bench.cold_position_advisory(0, 0) is None
