@@ -705,6 +705,20 @@ two octaves past K=16::
     streaming_hourly_rollup          0.92x
     stream_stream_click_error        1.88x  (2.99s -> 5.60s)
 
+Events-axis K=128 octave, same four JVM-state/batch rows (``events
+128 ...``, 2026-08-16, r19, late-session) — fifth octave, ~12.8M
+events.  Three rows remain essentially flat; the stream-stream join
+steps 5.60s -> 10.31s = 1.84x per 2x data — its watermark-bounded
+join state is genuinely volume-proportional, so a sub-2x/doubling
+step at 40x+ under the data ratio is the designed curve, not a
+leak::
+
+    query                             K=128  (data ratio 128.0)
+    funnel_conversion                1.85x  (1.75s ->  3.23s)
+    hll_union_rollup                 1.63x
+    streaming_hourly_rollup          1.20x
+    stream_stream_click_error        3.09x  (3.34s -> 10.31s)
+
 Rounds-vs-size (``python scripts/scale_probe.py rounds``, sf0.1 base)
 — hash-min CC and CC-star rounds stay FLAT while edges scale exactly
 linearly, confirming the contraction is diameter-bounded, not
