@@ -157,6 +157,29 @@ cross-session variance; read octave steps K-side)::
     nutrition_report          2.68x
     salted_priority_revenue   4.81x  (1.58s -> 7.59s)
 
+Facts-axis K=128 octave (``facts 128``, 2026-08-16, r19,
+late-session; host loud, cal spot ~0.3-0.4 — both sides share the
+session, ratios hold) — fifth octave, ~77M lineitem rows.  Every
+chain stays 9x+ under the 128.0 data ratio.  K-side steps per 2x
+data vs the K=64 session: the report flagships stay window-bounded
+(progress_report 9.61s -> 7.53s, a 0.78x step; q7 1.65x, q8 1.68x,
+unreturned 1.46x); q21 steps 9.34s -> 32.84s = 3.52x and
+salted_priority_revenue 7.59s -> 34.30s = 4.52x — the two
+shuffle-heaviest chains (double semi+anti self-join; salted
+two-stage agg) crossing from task-overhead-bound to genuinely
+data-bound at 77M rows on 32 local threads, compounded by the
+louder session; on a real cluster these shuffles spread over
+executors, which is exactly what their salting/AQE design is for::
+
+    query                      K=128  (data ratio 128.0)
+    q21_waiting_suppliers    14.14x  (2.32s -> 32.84s)
+    unreturned_orders         4.99x
+    q7_volume_shipping        5.35x
+    q8_market_share           9.30x
+    progress_report           3.49x
+    nutrition_report          7.45x
+    salted_priority_revenue  11.84x  (2.90s -> 34.30s)
+
 Round-7 new ops (same base)::
 
     query                      K=4    K=8   (data ratio 4.0 / 8.0)
