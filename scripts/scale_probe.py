@@ -763,6 +763,10 @@ so diameter is constant by construction)::
    64   16384      2           2   (r19: still flat at K=64 —
                                     cc 1.61s / star 2.08s wall;
                                     edges double, rounds do not)
+  128   32768      2           2   (r19 late-session: flat at K=128
+                                    — cc 2.13s / star 2.43s wall;
+                                    all three data axes and this
+                                    rounds curve now reach K=128)
 """
 
 from __future__ import annotations
