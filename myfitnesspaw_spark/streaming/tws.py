@@ -63,7 +63,7 @@ from myfitnesspaw_spark.streaming.rollup import (
 # ``transformWithStateInPandas`` grouped-data API.  protobuf present
 # but either half missing/broken must degrade to the v1 fallback here,
 # not fail at runtime inside a stream.
-# Carry status (re-checked r19, 2026-08-16): `protobuf` is still not
+# Carry status (re-checked r20, 2026-08-17): `protobuf` is still not
 # importable in this container (`No module named 'google'`), so the v2
 # path remains environment-blocked and the v1-fallback path is the
 # certified one (tws_user_type_rollup).  Re-check each round; delete

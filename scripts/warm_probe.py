@@ -104,9 +104,9 @@ def main() -> int:
         note = ""
         if monotone_falling(times[1:]):
             note = (
-                "  [STILL-FALLING: every rep beat the previous one — not "
-                "steady state; extend PROBE_REPS before applying the "
-                "floor-quality bar]"
+                "  [STILL-FALLING: the best is the final, still-improving "
+                "rep — not steady state; extend PROBE_REPS before applying "
+                "the floor-quality bar]"
             )
         print(
             f"{name}: warm best-of-{reps} {best:.3f}s ({ratio}; "
@@ -117,17 +117,20 @@ def main() -> int:
 
 
 def monotone_falling(reps: list[float]) -> bool:
-    """True when every timed rep strictly beat the one before it.
+    """True when the run's best is its final, still-improving rep.
 
-    The best of such a run is the LAST sample of a still-converging
-    series, so it over-reads the steady-state floor (verify-skill r19
-    note); callers must extend the rep count instead of trusting it.
-    A single timed rep can never certify steady state either — treat
-    it as still falling.
+    The hazard (verify-skill r19 note) is a best that is the LAST
+    sample of a still-converging series — it over-reads the
+    steady-state floor.  That includes runs with an early tie or
+    rebound whose last rep still strictly beats every earlier one
+    (e.g. [1.0, 1.0, 0.8, 0.6]), not only fully-monotone series
+    (ADVICE r19).  Callers must extend the rep count instead of
+    trusting such a best.  A single timed rep can never certify
+    steady state either — treat it as still falling.
     """
     if len(reps) < 2:
         return True
-    return all(b < a for a, b in zip(reps, reps[1:]))
+    return reps[-1] < min(reps[:-1])
 
 
 if __name__ == "__main__":

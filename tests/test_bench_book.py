@@ -678,16 +678,23 @@ _wp_spec.loader.exec_module(wp)
 
 
 def test_monotone_falling_flags_converging_runs_only():
-    """The r19 steady-state rule, mechanized: a probe whose timed reps
-    are still strictly falling at the last rep has not converged and
-    its best must not feed the floor-quality re-anchor bar.  The real
-    incident shape (forward_fill_gauge best-of-5, all falling) flags;
-    a flattened tail, a rebound, or a plateau does not; zero/one rep
-    can never certify steady state."""
+    """The r19 steady-state rule, widened per ADVICE r19: a probe
+    whose best is its FINAL, still-improving rep has not converged and
+    that best must not feed the floor-quality re-anchor bar — whether
+    the series is fully monotone (the forward_fill_gauge incident) or
+    had an early tie/rebound with a tail still falling into a last-rep
+    strict minimum.  A flattened tail, an interior minimum, or a
+    plateau is steady; zero/one rep can never certify steady state."""
     # the r19 incident: every rep beat the previous one
     assert wp.monotone_falling([1.092, 0.941, 0.822, 0.701, 0.583])
+    # ADVICE r19: early tie, tail still falling into a last-rep min
+    assert wp.monotone_falling([1.0, 1.0, 0.8, 0.6])
+    # early rebound, but the last rep still beats every earlier one
+    assert wp.monotone_falling([1.0, 0.8, 0.9, 0.7])
     # flattened tail: last rep did not improve -> steady
     assert not wp.monotone_falling([1.092, 0.941, 0.822, 0.583, 0.583])
+    # last rep ties an EARLIER minimum -> the best reproduced, steady
+    assert not wp.monotone_falling([1.0, 0.6, 0.8, 0.6])
     # rebound mid-run -> steady enough (min is interior, not last)
     assert not wp.monotone_falling([1.0, 0.6, 0.7, 0.65])
     # plateau -> steady
