@@ -35,13 +35,14 @@ def scale_to_micro(vec_col: Column) -> Column:
     )
 
 
-def _dist_scores(vec_col: str) -> Column:
+def _dist_scores(vec_col: str, cvecs: Column | None = None, cids: Column | None = None) -> Column:
     """``array<struct<dist, cid>>``: exact squared L2 distance of the
-    row's integer vector to every centroid in the joined ``__cvecs`` /
-    ``__cids`` columns."""
+    row's integer vector to every centroid in ``cvecs`` / ``cids``
+    (default: the joined ``__cvecs`` / ``__cids`` columns; literal
+    arrays for the one-shot assigner below)."""
     return F.zip_with(
-        F.col("__cvecs"),
-        F.col("__cids"),
+        F.col("__cvecs") if cvecs is None else cvecs,
+        F.col("__cids") if cids is None else cids,
         lambda cv, cid: F.struct(
             F.aggregate(
                 F.zip_with(F.col(vec_col), cv, lambda x, c: (x - c) * (x - c)),
@@ -78,6 +79,37 @@ def assign_clusters(
         .withColumn("dist", best["dist"])
         .drop("__cvecs", "__cids")
     )
+
+
+def assign_clusters_lit(
+    df: DataFrame, vec_col: str, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """ONE-SHOT nearest-centroid assignment with the centroids baked in
+    as flat 2-D LITERALS — result-identical to :func:`assign_clusters`
+    (same ``_dist_scores`` argmin, same tie-break), different plumbing
+    for a different call pattern (r20 optimization):
+
+    * :func:`assign_clusters` ships centroids as DATA through a 1-row
+      broadcast cross join so Lloyd's per-round centroid updates reuse
+      one compiled plan — the right trade INSIDE an iteration loop.
+    * But cross-join STATS MULTIPLY, and ``localCheckpoint`` carries
+      the inflated estimate through (measured: a checkpointed
+      assignment read ``sizeInBytes ≈ 1.1e25`` from a 2080-row table),
+      so any downstream self-join on the assignment can never
+      auto-broadcast and AQE plans a sort-merge join from the start.
+      A one-shot caller (SemDeDup assignment feeding the within-cluster
+      pair join) pays that planning damage for a codegen reuse it never
+      exercises.  Literals keep the lineage a pure projection with
+      honest scan-derived stats; the single codegen compile is paid
+      once, exactly as in ``ivf_coarse_assign``.
+    """
+    cents = sorted(centroids)
+    cvecs = F.array(
+        *[F.array(*[F.lit(int(x)).cast("bigint") for x in v]) for _, v in cents]
+    )
+    cids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _ in cents])
+    best = F.array_min(_dist_scores(vec_col, cvecs, cids))
+    return df.withColumn("cluster", best["cid"]).withColumn("dist", best["dist"])
 
 
 def lloyd_iterations(

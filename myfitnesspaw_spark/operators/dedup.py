@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from myfitnesspaw_spark.functions.text import (
@@ -76,6 +76,19 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word-``n``-gram shingle ARRAYS: ``(id, sh)`` —
+    the array-form sibling of :func:`shingle_sets` (which is its
+    explode).  The array form feeds :func:`verify_pairs_arrays`, where
+    intersection counts and set sizes are row-local instead of
+    shuffle-keyed (r20)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col("__toks"), n)).alias("sh"),
+    )
+
+
 def verify_pairs(
     shingles: DataFrame,
     candidates: DataFrame,
@@ -110,6 +123,64 @@ def verify_pairs(
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def verify_pairs_arrays(
+    arrs: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs from per-doc
+    DISTINCT shingle ARRAYS — result-identical to :func:`verify_pairs`
+    over the exploded form (same columns, same types), with the
+    per-pair work done row-locally (r20 optimization, guide §2.3/§2.4):
+
+    * intersection counts come from ``array_intersect`` on the two
+      attached arrays instead of a shingle-keyed join + pair groupBy —
+      the corpus-shingle multiset is never shuffled;
+    * set sizes are ``size(arr)`` projections instead of a full-table
+      groupBy — another corpus-sized exchange gone;
+    * only TWO joins remain (attach each side's array to the candidate
+      list), both candidate-bounded, vs four in the exploded form.
+
+    The jaccard expression is materialized through a Generate barrier
+    (``explode(array(struct(...)))``) before the threshold filter:
+    without it Catalyst pushes the filter into the second join's
+    condition and the array_intersect is evaluated twice per pair
+    (once in the join loop, once in the output projection) — the same
+    duplicate-evaluation trap guide §4.4 documents for UDFs, here with
+    an interpreted higher-order function.
+
+    ``arrs`` is ``(id_col, sh)`` with ``sh`` a DISTINCT shingle array
+    (``minhash_signatures``' checkpointed ``sh``); ``candidates`` is
+    ``(id_a, id_b)``.  Returns the :func:`verify_pairs` contract:
+    ``(id_a, id_b, n_shared, n_a, n_b, jaccard)`` with jaccard ≥
+    ``threshold`` (and ``n_shared ≥ 1``, matching the exploded form's
+    inner shingle join).
+    """
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
+    j = candidates.join(a, "id_a").join(b, "id_b")
+    stats = F.struct(
+        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long").alias("n_shared"),
+        F.size("__sh_a").cast("long").alias("n_a"),
+        F.size("__sh_b").cast("long").alias("n_b"),
+    )
+    proj = j.select(
+        "id_a", "id_b", F.explode(F.array(stats)).alias("__v")
+    ).select(
+        "id_a",
+        "id_b",
+        "__v.n_shared",
+        "__v.n_a",
+        "__v.n_b",
+        (
+            F.col("__v.n_shared")
+            / (F.col("__v.n_a") + F.col("__v.n_b") - F.col("__v.n_shared"))
+        ).alias("jaccard"),
+    )
+    return proj.where((F.col("n_shared") > 0) & (F.col("jaccard") >= threshold))
 
 
 def prefix_filter_candidates(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
@@ -302,17 +373,25 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     checkpoint: bool = True,
+    carry_shingles: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shingle table + MinHash signatures — the shared front of every
     MinHash consumer (``minhash_lsh_pairs`` and the registry's
     estimator-calibration query), factored so the LSH family can never
     drift between the stage operator and the query that certifies it.
 
-    Returns ``(sh, sig)``: ``sh`` is the CHECKPOINTED per-doc shingle
-    array (materialized once — it feeds both the signature path and
-    exact verification; without the checkpoint each consumer re-runs
-    tokenize+shingle over the corpus), ``sig`` is one row per doc with
-    columns ``h0..h{num_hashes-1}``.
+    Returns ``(sh, sig)``: ``sh`` is the CHECKPOINTED per-doc DISTINCT
+    shingle array (materialized once — it feeds both the signature path
+    and exact verification; without the checkpoint each consumer
+    re-runs tokenize+shingle over the corpus), ``sig`` is one row per
+    doc with columns ``h0..h{num_hashes-1}``.
+
+    ``sh`` is deduplicated at the source (r20 optimization): MinHash
+    minima are identical over a multiset and its underlying set, and
+    every verification consumer needs the DISTINCT set anyway — so the
+    array_distinct runs once here, the checkpoint materializes fewer
+    elements, and the per-shingle md5 + 16 rotation passes downstream
+    hash ~10-20% fewer elements for identical output.
 
     ``checkpoint=False`` skips the localCheckpoint — the ONLY piece a
     STREAMING plan cannot take — and exists for streaming callers.
@@ -322,21 +401,33 @@ def minhash_signatures(
     cost regression no test catches.  Pass False from a batch plan
     only when it provably consumes the result exactly once (and say
     so at the call site).
+
+    ``carry_shingles=True`` threads the ``sh`` array through ``sig``
+    as an extra column (r20): a caller that verifies candidate pairs
+    against the shingle sets AND reads the signature vectors (the
+    estimator-calibration query) can then checkpoint ONE table holding
+    both instead of two, and attach both to each pair side with one
+    join instead of two.
     """
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     sh = toks.select(
         F.col(id_col),
-        word_shingles(F.col("__toks"), shingle_n).alias("sh"),
+        F.array_distinct(word_shingles(F.col("__toks"), shingle_n)).alias("sh"),
     ).where(F.size("sh") > 0)
     if checkpoint:
         sh = sh.localCheckpoint()
+    carry = ["sh"] if carry_shingles else []
     # Generate barrier so the per-shingle md5 runs once, not once per
     # seed (CollapseProject would re-inline a projected array into all
     # num_hashes transform passes).
     hashed = sh.select(
-        F.col(id_col), F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs")
+        F.col(id_col),
+        *carry,
+        F.explode(F.array(minhash_hashes(F.col("sh")))).alias("__hs"),
     )
-    sig = hashed.select(F.col(id_col), *minhash_signature(F.col("__hs"), num_hashes))
+    sig = hashed.select(
+        F.col(id_col), *carry, *minhash_signature(F.col("__hs"), num_hashes)
+    )
     return sh, sig
 
 
@@ -468,7 +559,12 @@ def minhash_lsh_pairs(
        salt-cell / band-cap hot-band controls —
        ``minhash_band_candidates``;
     3. verification: exact shingle Jaccard ≥ ``threshold`` on the
-       candidate pairs only — ``verify_pairs``.
+       candidate pairs only — ``verify_pairs_arrays`` over the already-
+       checkpointed distinct shingle arrays (r20: the exploded-table
+       checkpoint + shingle-keyed count join this used to run are
+       replaced by two candidate-bounded joins + a row-local
+       ``array_intersect`` — one fewer materialization job and two
+       fewer corpus-sized exchanges, A/B-verified result-identical).
 
     Returns ``(id_a, id_b, jaccard)``.
     """
@@ -476,14 +572,7 @@ def minhash_lsh_pairs(
     candidates = minhash_band_candidates(
         sig, id_col, num_hashes, band_rows, salt_groups, max_band_rows
     )
-    # Verification reads the shingle set three ways, ROW-wise — so
-    # checkpoint the EXPLODED table (A/B-measured faster than three
-    # re-explodes of the checkpointed array).  array_distinct before
-    # explode = map-side dedupe (row-local), no extra shuffle.
-    shingles = sh.select(
-        id_col, F.explode(F.array_distinct("sh")).alias("shingle")
-    ).localCheckpoint()
-    verified = verify_pairs(shingles, candidates, id_col, threshold)
+    verified = verify_pairs_arrays(sh, candidates, id_col, threshold)
     return verified.select("id_a", "id_b", "jaccard")
 
 
@@ -642,17 +731,26 @@ def connected_components(
     cheap scalar convergence probe (a LIMIT-1 anti-check, not a full
     diff materialization).  Returns ``(node, cluster)`` with cluster =
     min reachable node id.
+
+    r20 optimization: the edge count and the per-round convergence sum
+    ride the SAME job as their localCheckpoint via ``observe`` —
+    CollectMetrics fires during the checkpoint materialization, so the
+    loop runs ONE job per round instead of two (and the edge count
+    costs no extra job).  One fewer driver round-trip per iteration is
+    pure latency at any scale; the metric values are identical to the
+    separate aggregates they replace.
     """
     # ONE materialization of the (possibly expensive) upstream pair
     # detection BEFORE the symmetrize union: a union of two selects
     # over an unmaterialized plan executes that plan once per branch —
     # checkpointing the union instead of the edges ran the whole
     # upstream detection twice.
-    edges = edges.localCheckpoint()
+    e_obs = Observation()
+    edges = edges.observe(e_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    with _loop_shuffle_partitions(edges.sparkSession, edges.count()):
+    with _loop_shuffle_partitions(edges.sparkSession, e_obs.get["n"]):
         labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
             "lbl", F.col("node")
         )
@@ -665,17 +763,20 @@ def connected_components(
                 .groupBy("dst")
                 .agg(F.min("lbl").alias("nlbl"))
             )
+            # Labels only ever decrease, so Σlbl is a convergence
+            # witness — one scalar aggregate instead of a join-diff,
+            # observed inside the checkpoint job itself.
+            ob = Observation()
             labels = (
                 labels.join(nbr, labels.node == nbr.dst, "left")
                 .select(
                     "node",
                     F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
                 )
+                .observe(ob, F.sum("lbl").alias("s"))
                 .localCheckpoint()
             )
-            # Labels only ever decrease, so Σlbl is a convergence
-            # witness — one scalar aggregate instead of a join-diff.
-            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            cur_sum = ob.get["s"]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
@@ -719,6 +820,7 @@ def connected_components_star(
     Returns ``(node, cluster)`` with cluster = min reachable node id,
     exactly :func:`connected_components`'s contract.
     """
+    e_obs = Observation()
     e = (
         edges.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -726,10 +828,13 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     spark = edges.sparkSession
-    n_edges = e.count()
+    # Edge count rides the checkpoint job via observe (r20): no
+    # separate count() job.
+    n_edges = e_obs.get["n"]
 
     def _large_star(d: DataFrame) -> DataFrame:
         sym = d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -759,19 +864,26 @@ def connected_components_star(
     converged = False
     with _loop_shuffle_partitions(spark, n_edges):
         for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint()
-            rounds += 1
             # Fixed-point witness: count + endpoint sums + an order-
             # insensitive content hash of the edge multiset — one
-            # scalar aggregate per round, no join-diff materialization.
-            cur = tuple(
-                e.agg(
-                    F.count(F.lit(1)),
-                    F.sum("u"),
-                    F.sum("v"),
-                    F.sum(F.hash("u", "v").cast("long")),
-                ).collect()[0]
+            # scalar aggregate per round, no join-diff materialization,
+            # observed inside the checkpoint job itself (r20: one job
+            # per round instead of two).
+            ob = Observation()
+            e = (
+                _small_star(_large_star(e))
+                .observe(
+                    ob,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("u").alias("su"),
+                    F.sum("v").alias("sv"),
+                    F.sum(F.hash("u", "v").cast("long")).alias("sh"),
+                )
+                .localCheckpoint()
             )
+            rounds += 1
+            m = ob.get
+            cur = (m["n"], m["su"], m["sv"], m["sh"])
             if cur == prev:
                 converged = True
                 break

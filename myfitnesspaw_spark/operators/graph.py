@@ -46,11 +46,15 @@ def pagerank_integer(
 
     Returns ``(node, deg, rank_units)``.
     """
+    from pyspark.sql import Observation
+
     from myfitnesspaw_spark.operators.dedup import _loop_shuffle_partitions
 
-    # Materialize the pair-derivation lineage ONCE (eager: the edge
-    # count below both pins it and sizes the loop's shuffle width).
-    edges = edges.localCheckpoint()
+    # Materialize the pair-derivation lineage ONCE; the edge count
+    # rides the same checkpoint job via observe (r20: no separate
+    # count() job — CollectMetrics fires during materialization).
+    e_obs = Observation()
+    edges = edges.observe(e_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
     sym = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).unionByName(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
     )
@@ -58,7 +62,7 @@ def pagerank_integer(
     # are orders of magnitude smaller than the corpus the pairs came
     # from, so the per-round join + sum must not pay a corpus-sized
     # shuffle-partition count in empty-task scheduling overhead.
-    with _loop_shuffle_partitions(edges.sparkSession, edges.count()):
+    with _loop_shuffle_partitions(edges.sparkSession, e_obs.get["n"]):
         deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         nodes = deg.select(F.col("s").alias("node"), "deg").localCheckpoint(
             eager=False

@@ -50,6 +50,30 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), COS_DECIMALS)
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the two norms PRECOMPUTED per row (r20, guide
+    §2.3 "narrower/ cheaper per-pair work"): a pair stage that joins N
+    rows into P ≫ N pairs evaluates ``_norm`` 2P times when it is
+    inlined in :func:`cosine`, but only N times when projected on each
+    side before the join.  The division sees the SAME doubles (same
+    fold over the same floats), so the rounded result is bit-identical
+    — only where the norm fold runs changes."""
+    return F.round(_dot(a, b) / (na * nb), COS_DECIMALS)
+
+
+def _once(col: Column, alias: str) -> Column:
+    """Materialize ``col`` through a Generate barrier so a filter on the
+    aliased output CANNOT be pushed below it into a join condition.
+    Catalyst rewrites ``Filter(Project(Join))`` into a join condition
+    when the predicate references both sides; for an expensive
+    interpreted expression (a cosine fold) that means evaluating it
+    TWICE per pair — once in the join loop, once in the output
+    projection (the guide §4.4 duplicate-evaluation trap, JVM edition).
+    ``explode(array(col))`` is one row in / one row out and pins the
+    evaluation above the join."""
+    return F.explode(F.array(col)).alias(alias)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -63,11 +87,28 @@ def cosine_topk(
     Returns ``(query_id, neighbor_id, rank, cos)``; ties break on
     neighbor id so ranking is deterministic cross-engine.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Norms are projected per ROW before the pair join (r20): the
+    # brute-force join scores |Q|·|C| pairs, and the inlined form paid
+    # both norm folds per pair instead of once per row.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     return topk_per_key(
         scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
@@ -176,13 +217,23 @@ def ivf_ann_topk(
     Returns ``(query_id, neighbor_id, rank, cos)`` like ``cosine_topk``;
     each corpus vector lives in exactly one cluster, so no dedup needed.
     """
+    # Per-row norms ride the assign/probe projections (r20) so the
+    # probe-pair scoring pays one dot fold per pair, not three folds.
     assigned = ivf_coarse_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("__cn"),
+        ),
         "cv",
         centroids,
     )
     probes = ivf_probe_centroids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        ),
         "qv",
         centroids,
         n_probe,
@@ -190,7 +241,13 @@ def ivf_ann_topk(
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     return topk_per_key(
         scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k
@@ -231,10 +288,14 @@ def bucket_near_dup(
       trade when an adversarial bucket would otherwise dominate the
       job.  ``None`` (default) keeps exact semantics.
     """
+    # Per-row norm before the pair join (r20): the bucket self-join
+    # evaluates Σ|bucket|²/2 pairs; the inlined cosine paid both norm
+    # folds per PAIR, this pays them once per ROW.
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.col(bucket_col).alias("bucket"),
+        _norm(F.col(vec_col)).alias("__nv"),
     )
     if max_bucket is not None:
         w = Window.partitionBy("bucket").orderBy(F.hash("vid").asc(), F.col("vid").asc())
@@ -245,8 +306,18 @@ def bucket_near_dup(
         )
 
     if salt_groups <= 1:
-        a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket")
-        b = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+        a = base.select(
+            F.col("vid").alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("__nv").alias("__na"),
+            "bucket",
+        )
+        b = base.select(
+            F.col("vid").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("__nv").alias("__nb"),
+            "bucket",
+        )
         joined = a.join(b, "bucket")
     else:
         from myfitnesspaw_spark.operators.salting import (
@@ -260,6 +331,7 @@ def bucket_near_dup(
         a = cells.select(
             F.col("vid").alias("id_a"),
             F.col("vec").alias("va"),
+            F.col("__nv").alias("__na"),
             F.col(SALT_COL).alias("__salt_a"),
             "bucket",
             CELL_COL,
@@ -267,6 +339,7 @@ def bucket_near_dup(
         b = cells.select(
             F.col("vid").alias("id_b"),
             F.col("vec").alias("vb"),
+            F.col("__nv").alias("__nb"),
             F.col(SALT_COL).alias("__salt_b"),
             "bucket",
             CELL_COL,
@@ -275,9 +348,22 @@ def bucket_near_dup(
         # one of its shared cells, so no post-join distinct is needed.
         joined = a.join(b, ["bucket", CELL_COL]).where(canonical_cell_pred())
 
+    # Generate barrier (_once): without it the threshold filter is
+    # pushed into the join condition and the cosine fold is evaluated
+    # twice per pair (A/B-measured ~1.6× slower at sf0.1).
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "bucket", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            _once(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                "cos",
+            ),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -430,12 +516,22 @@ def srp_lsh_pairs(
             .where(first_collision)
             .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         )
+    # Generate barrier on the cosine (r20): without it the threshold
+    # filter lands in the second join's condition and the fold runs
+    # twice per candidate pair.  Norms stay INLINE here (unlike
+    # bucket_near_dup): the LSH candidate set is far smaller than the
+    # corpus, so per-pair norm folds are cheaper than projecting norms
+    # onto every corpus row of both verify sides.
     va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            _once(cosine(F.col("va"), F.col("vb")), "cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 

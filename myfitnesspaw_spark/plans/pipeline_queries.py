@@ -461,7 +461,7 @@ ch0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM samp),{seed_stages}"""
 
 def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.clustering import (
-        assign_clusters,
+        assign_clusters_lit,
         scale_to_micro,
     )
     from myfitnesspaw_spark.operators.similarity import bucket_near_dup
@@ -480,12 +480,15 @@ def semantic_dedup_kpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Materialized ONCE: the pair self-join reads the assignment from
     # both sides; without the checkpoint each side re-runs the scan +
-    # quantizer, and the centroid cross join in the lineage destroys
-    # the size estimate (cross-join stats multiply), so the planner
-    # would sort-merge the NC-key self-join onto NC tasks instead of
-    # broadcasting — measured 127 s vs ~10 s at the K=8 scale probe.
+    # quantizer.  The quantizer is the LITERAL one-shot form (r20):
+    # the previous crossJoin-as-data form multiplied the size estimate
+    # and localCheckpoint CARRIES the inflated stats (measured
+    # sizeInBytes ≈ 1.1e25 on 2080 rows), forcing the pair self-join
+    # to sort-merge at bench scale where broadcast is right — the
+    # literal lineage keeps honest scan-derived stats, so AQE/stats
+    # pick broadcast while small and shuffle join at real scale.
     assigned = (
-        assign_clusters(corpus, "v", seeds)
+        assign_clusters_lit(corpus, "v", seeds)
         .select("vec_id", "embedding", F.col("cluster").alias("cluster_id"))
         .localCheckpoint()
     )
@@ -1330,17 +1333,20 @@ def hard_negative_mining(
     ``HN_MAX_ANCHORS`` cap the anchor broadcast is bounded by
     construction, so None means 1 batch at every scale."""
     from myfitnesspaw_spark.operators.dedup import topk_per_key
-    from myfitnesspaw_spark.operators.similarity import cosine
+    from myfitnesspaw_spark.operators.similarity import _norm, cosine_prenormed
 
     if anchor_batches is None:
         anchor_batches = 1
     vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    # Norms projected per ROW before the anchors×corpus pair join
+    # (r20): the inlined cosine paid both norm folds per PAIR.
     anchors = (
         vecs.where(F.col("vec_id") % HN_QUERY_MOD == 0)
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("embedding").alias("av"),
             F.col("label").alias("anchor_label"),
+            _norm(F.col("embedding")).alias("__an"),
         )
         .orderBy(F.md5(F.col("anchor_id").cast("string")), F.col("anchor_id"))
         .limit(HN_MAX_ANCHORS)
@@ -1349,6 +1355,7 @@ def hard_negative_mining(
         F.col("vec_id").alias("negative_id"),
         F.col("embedding").alias("nv"),
         F.col("label").alias("neg_label"),
+        _norm(F.col("embedding")).alias("__nn"),
     )
 
     def one_batch(part):
@@ -1359,7 +1366,9 @@ def hard_negative_mining(
             "negative_id",
             F.col("anchor_label").cast("int").alias("anchor_label"),
             F.col("neg_label").cast("int").alias("neg_label"),
-            cosine(F.col("av"), F.col("nv")).alias("cos"),
+            cosine_prenormed(
+                F.col("av"), F.col("nv"), F.col("__an"), F.col("__nn")
+            ).alias("cos"),
         )
         return topk_per_key(
             scored,

@@ -678,51 +678,59 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     thr = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh, sig = minhash_signatures(docs, "doc_id", "text", MH_HASHES, 3)
-    sig = sig.localCheckpoint()  # read 3×: bands + both pair sides
-    # Checkpointed: cand feeds the exact-intersection join AND the
-    # final left join — its lineage (band self-join + distinct) is the
-    # shuffle-heavy stage and must not replay per consumer.
-    cand = minhash_band_candidates(
-        sig, "doc_id", MH_HASHES, MH_BAND_ROWS
-    ).localCheckpoint()
-
-    shingles = sh.select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
-    ).localCheckpoint()
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Candidate-PAIR-driven intersection counts (unthresholded
-    # verify_pairs shape): each shingle side joins through the
-    # candidate list, so no non-candidate pair is ever materialized.
-    shared = (
-        cand.join(shingles.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(
-            shingles.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # ONE side table holding both per-doc verification inputs (r20):
+    # the distinct shingle array (carry_shingles) and the 16 signature
+    # columns, checkpointed once and read 3× (bands + both pair
+    # sides).  This replaces the previous THREE checkpoints (sh, sig,
+    # exploded shingles) and the exploded-shingle machinery — the
+    # shingle-keyed "shared" join + pair groupBy and the sizes groupBy
+    # were two corpus-sized exchanges; intersection counts and set
+    # sizes are now row-local array ops on the two attached arrays.
+    # checkpoint=False is sanctioned here: ``sh`` itself has exactly
+    # one consumer (the sig chain) — ``side`` is the shared barrier.
+    _, sig = minhash_signatures(
+        docs, "doc_id", "text", MH_HASHES, 3, checkpoint=False, carry_shingles=True
     )
+    side = sig.localCheckpoint()
+    # Checkpointed: cand feeds the pair build AND nothing else heavy —
+    # its lineage (band self-join + distinct) is the shuffle-heavy
+    # stage and must not replay per consumer.
+    cand = minhash_band_candidates(
+        side, "doc_id", MH_HASHES, MH_BAND_ROWS
+    ).localCheckpoint()
 
-    sig_arr = sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MH_HASHES)]).alias("sigv")
+    sigv = F.array(*[F.col(f"h{i}") for i in range(MH_HASHES)])
+    side_a = side.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("__sh_a"),
+        sigv.alias("sig_a"),
+    )
+    side_b = side.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("__sh_b"),
+        sigv.alias("sig_b"),
+    )
+    # Generate barrier (struct through explode(array(...))): the three
+    # stats feed four downstream expressions; materializing them once
+    # keeps the interpreted array_intersect to one evaluation per pair.
+    stats = F.struct(
+        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long").alias("n_shared"),
+        F.size("__sh_a").cast("long").alias("n_a"),
+        F.size("__sh_b").cast("long").alias("n_b"),
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        ).alias("n_match"),
     )
     pairs = (
-        cand.join(shared, ["id_a", "id_b"], "left")
-        .join(sig_arr.select(F.col("doc_id").alias("id_a"), F.col("sigv").alias("sig_a")), "id_a")
-        .join(sig_arr.select(F.col("doc_id").alias("id_b"), F.col("sigv").alias("sig_b")), "id_b")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        cand.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select(F.explode(F.array(stats)).alias("__v"))
         .select(
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.col("n_a") + F.col("n_b") - F.coalesce("n_shared", F.lit(0))).alias(
+            F.col("__v.n_shared").alias("n_shared"),
+            (F.col("__v.n_a") + F.col("__v.n_b") - F.col("__v.n_shared")).alias(
                 "n_union"
             ),
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-                )
-            ).alias("n_match"),
+            F.col("__v.n_match").alias("n_match"),
         )
     )
     decile = F.least(
@@ -1736,7 +1744,8 @@ def minhash_signature_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         minhash_band_table,
         minhash_signatures,
-        verify_pairs,
+        shingle_arrays,
+        verify_pairs_arrays,
     )
     from myfitnesspaw_spark.sinks.warehouse import (
         read_index_store,
@@ -1749,7 +1758,13 @@ def minhash_signature_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 == 0)
 
     # -- simulated prior run: sign the base once, persist its bands.
-    _, sig_base = minhash_signatures(base, "doc_id", "text", MH_HASHES)
+    # checkpoint=False (sanctioned single-consumer case): sig_base is
+    # consumed exactly once, by the store write below — the default
+    # checkpoint materialized the base shingle arrays for no second
+    # reader (r20).
+    _, sig_base = minhash_signatures(
+        base, "doc_id", "text", MH_HASHES, checkpoint=False
+    )
     path = store_path("minhash_bands", sf_dir)
     write_index_store(
         minhash_band_table(sig_base, "doc_id", MH_HASHES, MH_BAND_ROWS), path
@@ -1757,7 +1772,11 @@ def minhash_signature_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = read_index_store(spark, path, "doc_id bigint, band int, key string")
 
     # -- refresh: sign ONLY the batch, probe the persisted bands.
-    _, sig_batch = minhash_signatures(batch, "doc_id", "text", MH_HASHES)
+    # checkpoint=False again: sig_batch's one consumer is the probe
+    # band table, which is itself the checkpointed barrier.
+    _, sig_batch = minhash_signatures(
+        batch, "doc_id", "text", MH_HASHES, checkpoint=False
+    )
     probe = minhash_band_table(
         sig_batch, "doc_id", MH_HASHES, MH_BAND_ROWS
     ).localCheckpoint()  # feeds both the store probe and the self-join
@@ -1775,19 +1794,28 @@ def minhash_signature_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    candidates = cross.unionByName(within).distinct()
+    # Checkpointed (r20): the candidate list has THREE readers — both
+    # branches of the cand_ids union and the verify join — and its
+    # lineage (store scan + probe join + self-join + distinct) used to
+    # replay per reader.
+    candidates = cross.unionByName(within).distinct().localCheckpoint()
 
-    # -- exact verification re-shingles the CANDIDATE docs only.
+    # -- exact verification re-shingles the CANDIDATE docs only (the
+    # fetch-texts step of the protocol — the band store remains the
+    # ONLY persisted state).  r20: the shingles are kept as per-doc
+    # DISTINCT ARRAYS and verified row-locally (verify_pairs_arrays);
+    # the exploded-table checkpoint, the shingle-keyed count join, and
+    # the sizes groupBy are gone — intersection/set sizes never shuffle.
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    shingles = shingle_sets(
+    cand_arrs = shingle_arrays(
         docs.join(cand_ids, "doc_id", "left_semi"), "doc_id", "text", n=3
-    ).localCheckpoint()
+    ).localCheckpoint()  # read twice: both verify sides
     pairs = (
-        verify_pairs(shingles, candidates, "doc_id", JACCARD_THRESHOLD)
+        verify_pairs_arrays(cand_arrs, candidates, "doc_id", JACCARD_THRESHOLD)
         .select("id_a", "id_b")
         .localCheckpoint()  # feeds the corpus-dup split, the batch-edge filter, CC
     )

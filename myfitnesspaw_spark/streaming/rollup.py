@@ -612,8 +612,12 @@ def streaming_lsh_ingest_probe(
     from myfitnesspaw_spark.sources import load_table
 
     # -- simulated prior run: persist the base corpus's band table.
+    # checkpoint=False (sanctioned single-consumer case): sig_base is
+    # consumed exactly once, by the store write below (r20).
     base = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
-    _, sig_base = minhash_signatures(base, "doc_id", "text", MH_HASHES)
+    _, sig_base = minhash_signatures(
+        base, "doc_id", "text", MH_HASHES, checkpoint=False
+    )
     path = store_path("lsh_ingest_bands", sf_dir)
     write_index_store(
         minhash_band_table(sig_base, "doc_id", MH_HASHES, MH_BAND_ROWS), path
