@@ -248,6 +248,85 @@ def prefix_filter_candidates(shingles: DataFrame, id_col: str, threshold: float)
     )
 
 
+def prefix_filter_candidates_arrays(
+    arrs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """:func:`prefix_filter_candidates` over per-doc DISTINCT shingle
+    ARRAYS — identical candidate set (same (md5, shingle) global order,
+    same 1-based ranks, same length/positional bounds), with the
+    ranking computed ROW-LOCALLY (r20 wave 3, guide §2.4): the exploded
+    form paid a corpus-sized Exchange + sort for the
+    ``row_number() OVER (PARTITION BY id)`` window; here the rank is
+    the element's position in the doc's own md5-sorted array and the
+    set size is ``size(sh)`` — no exchange at all before the candidate
+    join.  Only the PREFIX elements are exploded (≈(1−t)·|sh| per doc),
+    so the shingle-keyed join sees the same rows as before.
+    """
+    sorted_sh = F.array_sort(
+        F.transform(F.col("sh"), lambda s: F.struct(F.md5(s).alias("m"), s.alias("s")))
+    )
+    n = F.size(F.col("sh"))
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    pref = arrs.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(F.slice(sorted_sh, F.lit(1), plen)).alias("__p", "__e"),
+    ).select(
+        F.col(id_col),
+        F.col("__e.s").alias("shingle"),
+        (F.col("__p") + 1).alias("__r"),
+        "__n",
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("__r").alias("__ra"),
+        F.col("__n").alias("__na"),
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("__r").alias("__rb"),
+        F.col("__n").alias("__nb"),
+    )
+    len_ok = (
+        F.col("__nb") >= F.floor(F.lit(threshold) * F.col("__na"))
+    ) & (F.col("__na") >= F.floor(F.lit(threshold) * F.col("__nb")))
+    required_overlap = F.floor(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+    )
+    possible_overlap = (
+        F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")) + 1
+    )
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(len_ok & (possible_overlap >= required_overlap))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_prefix_arrays(
+    arrs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """:func:`jaccard_pairs_prefix` over per-doc DISTINCT shingle
+    ARRAYS (``shingle_arrays``' output) — the r20 wave-3 form of the
+    PPJoin pipeline: prefix ranks row-local
+    (:func:`prefix_filter_candidates_arrays`), verification row-local
+    (:func:`verify_pairs_arrays`).  The ONLY corpus-keyed exchange
+    left in the whole pair detection is the prefix-shingle candidate
+    join itself; the exploded form additionally paid the ranking
+    window's Exchange+sort, a full-table sizes groupBy, and the
+    shingle-keyed intersection join + pair groupBy.  The array table
+    is checkpointed once (three consumers: prefix + both verify
+    sides) and holds one row per doc instead of one per shingle.
+    """
+    arrs = arrs.localCheckpoint()
+    cand = prefix_filter_candidates_arrays(arrs, id_col, threshold)
+    return verify_pairs_arrays(arrs, cand, id_col, threshold)
+
+
 def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """All doc pairs with shingle Jaccard ≥ ``threshold`` — the scale
     path: prefix-filtered candidate generation + exact verification.
@@ -259,6 +338,14 @@ def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> 
     expensive extraction once instead of re-running it per consumer —
     the multi-consumer-intermediate discipline any iterative/fan-out
     plan needs at scale.
+
+    KEPT EXPLODED on purpose (r20): callers holding per-doc texts use
+    :func:`jaccard_pairs_prefix_arrays`; this form stays for inputs
+    that are ALREADY exploded (the persisted shingle index store of
+    ``indexed_cc_refresh``).  A ``collect_list``-to-arrays bridge was
+    A/B-probed at sf0.1 and REGRESSED (+41% on indexed_cc_refresh):
+    rebuilding arrays pays the id-keyed exchange the ranking window
+    paid AND re-explodes per consumer — measure before shuffling less.
     """
     shingles = shingles.localCheckpoint()
     cand = prefix_filter_candidates(shingles, id_col, threshold)
@@ -284,6 +371,15 @@ def jaccard_pairs_delta(
     otherwise be found from both probe directions).  Returns the same
     ``(id_a, id_b, n_shared, n_a, n_b, jaccard)`` contract as
     :func:`jaccard_pairs` restricted to pairs with a delta member.
+
+    KEPT EXPLODED on purpose (r20): an array-form rewrite (candidate
+    distinct + row-local ``array_intersect`` verify) was A/B-probed at
+    sf0.1 and REGRESSED 2.5-3.5× (delta_dedup_pairs 1.27s → 4.44s) —
+    here the candidate join's ``groupBy(id_a, id_b).count()`` gets the
+    intersection counts as a near-free partial aggregate of rows the
+    join already produced, while the array form re-attaches two full
+    shingle arrays per candidate pair.  Exploded + counted beats
+    shuffle-avoiding when the aggregate rides an existing shuffle.
     """
     shingles = shingles.localCheckpoint()  # sizes + index + probe read it
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -569,6 +665,13 @@ def minhash_lsh_pairs(
     Returns ``(id_a, id_b, jaccard)``.
     """
     sh, sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Checkpointed (r20 wave 2): the band self-join reads the signature
+    # table from BOTH sides, and at bench scale one side is a
+    # BroadcastExchange — no ReusedExchange can fire across a broadcast
+    # + stream pair, so the 16-rotation minhash fold ran TWICE over the
+    # corpus.  The signature table is num_hashes longs per doc (tiny);
+    # materializing it once costs one short job and halves the fold.
+    sig = sig.localCheckpoint()
     candidates = minhash_band_candidates(
         sig, id_col, num_hashes, band_rows, salt_groups, max_band_rows
     )
@@ -646,7 +749,13 @@ def simhash_pairs(
     ``(band, byte)`` — never all pairs — then exact ``bit_count(xor)``
     filters.  Returns ``(id_a, id_b, hamming)``.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # Checkpointed (r20 wave 2): the byte-band self-join reads the
+    # fingerprint table from both sides, and with one side broadcast no
+    # ReusedExchange can dedup them — the md5 + 32-wide vote fold (the
+    # dominant per-row cost of this operator) ran TWICE over the
+    # corpus.  One (id, simhash) row per doc, so the materialization is
+    # a short job against a halved fingerprint pass.
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint()
     bands = fp.select(
         F.col(id_col),
         F.col("simhash"),

@@ -852,13 +852,16 @@ PR_ITERATIONS = 3
 
 
 def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from myfitnesspaw_spark.operators.dedup import jaccard_pairs_prefix, shingle_sets
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs_prefix_arrays,
+        shingle_arrays,
+    )
     from myfitnesspaw_spark.operators.graph import pagerank_integer
     from myfitnesspaw_spark.plans.text_queries import JACCARD_THRESHOLD
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select(
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select(
         "id_a", "id_b"
     )
     return pagerank_integer(pairs, iterations=PR_ITERATIONS).select(

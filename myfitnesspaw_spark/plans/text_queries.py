@@ -36,7 +36,9 @@ from myfitnesspaw_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup_keep_min,
     jaccard_pairs_prefix,
+    jaccard_pairs_prefix_arrays,
     minhash_lsh_pairs,
+    shingle_arrays,
     shingle_sets,
     simhash_pairs,
 )
@@ -271,10 +273,10 @@ JACCARD_THRESHOLD = 0.8
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
     # Scale path: prefix-filtered candidates + exact verify; result-
     # identical to the brute inverted-index join the oracle runs.
-    return jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD)
+    return jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD)
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -304,8 +306,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.dedup import connected_components
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
     )
@@ -386,8 +388,8 @@ def incremental_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.where(F.col("doc_id") % 10 != 0)
 
     # -- simulated prior run: CC over base-only pairs, labels persisted.
-    sh_base = shingle_sets(base, "doc_id", "text", n=3)
-    base_pairs = jaccard_pairs_prefix(sh_base, "doc_id", JACCARD_THRESHOLD).select(
+    sh_base = shingle_arrays(base, "doc_id", "text", n=3)
+    base_pairs = jaccard_pairs_prefix_arrays(sh_base, "doc_id", JACCARD_THRESHOLD).select(
         "id_a", "id_b"
     )
     path = store_path("cc_labels", sf_dir)
@@ -479,8 +481,8 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.dedup import connected_components_star
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
     )
@@ -501,8 +503,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.graph import triangle_counts
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
     return triangle_counts(pairs).select(
         F.col("node").alias("doc_id"), "deg", "n_triangles"
     )
@@ -909,8 +911,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.dedup import connected_components
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
     labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
     grouped = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("group_rep")
@@ -1424,8 +1426,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.dedup import connected_components
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", n=3)
-    pairs = jaccard_pairs_prefix(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = shingle_arrays(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs_prefix_arrays(sh, "doc_id", JACCARD_THRESHOLD).select("id_a", "id_b")
     losers = (
         connected_components(pairs)
         .where(F.col("node") != F.col("cluster"))

@@ -995,3 +995,65 @@ def test_bpe_encode_expr_matches_token_walk_reference(spark):
         }
         for i, w in enumerate(words):
             assert got[i] == _py_bpe_tokens(w, merges), (seed, w, merges)
+
+
+def test_jaccard_prefix_arrays_equals_exploded_wrapper(spark):
+    """The r20 array-form PPJoin pipeline (row-local prefix ranks from
+    md5-sorted arrays + row-local array_intersect verification) must
+    emit the exploded wrapper's exact full contract — pairs, counts,
+    sizes, jaccard — on random corpora across thresholds, including
+    the ceil/floor boundary cases of the prefix/length/positional
+    filters that a fixed corpus cannot sweep."""
+    import numpy as np
+
+    from myfitnesspaw_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        jaccard_pairs_prefix_arrays,
+        shingle_arrays,
+        shingle_sets,
+    )
+
+    rng = np.random.RandomState(2026)
+    vocab = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot", "golf"]
+    for trial, threshold in enumerate([0.3, 0.5, 0.8]):
+        n_base = int(rng.randint(5, 9))
+        texts = [
+            [
+                vocab[int(k)]
+                for k in rng.randint(0, len(vocab), int(rng.randint(5, 10)))
+            ]
+            for _ in range(n_base)
+        ]
+        for src in range(n_base):
+            kind = int(rng.randint(0, 3))
+            mut = list(texts[src])
+            if kind == 0 and mut:
+                mut[int(rng.randint(0, len(mut)))] = vocab[
+                    int(rng.randint(0, len(vocab)))
+                ]
+            elif kind == 1:
+                mut.append(vocab[int(rng.randint(0, len(vocab)))])
+            texts.append(mut)
+        # A doc too short to shingle (empty array row in the array
+        # form, absent entirely in the exploded form) must not differ.
+        texts.append(["alpha"])
+        rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        key = lambda r: (
+            r["id_a"], r["id_b"], r["n_shared"], r["n_a"], r["n_b"],
+            round(r["jaccard"], 12),
+        )
+        exploded = {
+            key(r)
+            for r in jaccard_pairs_prefix(
+                shingle_sets(docs, "doc_id", "text", 3), "doc_id", threshold
+            ).collect()
+        }
+        arrays = {
+            key(r)
+            for r in jaccard_pairs_prefix_arrays(
+                shingle_arrays(docs, "doc_id", "text", 3), "doc_id", threshold
+            ).collect()
+        }
+        assert arrays == exploded, f"trial {trial} t={threshold}"
+        assert exploded, f"degenerate trial t={threshold}: no pairs"

@@ -624,3 +624,34 @@ def test_store_path_gc_handles_pid_reuse(tmp_path, caplog):
         # not leave litter in the repo's real _index_store).
         for d in dirs.values():
             shutil.rmtree(d, True)
+
+
+def test_index_store_rebalance_knob(spark, tmp_path):
+    """write_index_store coalesces output files only when the
+    production rebalance knob is on (r20: the hint's extra exchange
+    measured as a net loss at bench scale, so the default is plain;
+    the knob is read per write)."""
+    import glob
+    import os
+
+    from myfitnesspaw_spark.sinks.warehouse import write_index_store
+
+    df = spark.range(0, 10_000, 1, 16).withColumn("v", F.col("id") * 2)
+
+    plain = str(tmp_path / "plain")
+    write_index_store(df, plain)
+    n_plain = len(glob.glob(os.path.join(plain, "part-*")))
+    assert n_plain == 16  # upstream partitioning passes straight through
+
+    spark.conf.set("spark.myfitnesspaw.store.rebalance", "true")
+    try:
+        rb = str(tmp_path / "rb")
+        write_index_store(df, rb)
+        n_rb = len(glob.glob(os.path.join(rb, "part-*")))
+        assert n_rb < n_plain  # AQE-sized exchange coalesced the files
+    finally:
+        spark.conf.unset("spark.myfitnesspaw.store.rebalance")
+
+    # Both layouts hold identical rows.
+    back = spark.read.schema("id long, v long").parquet(str(tmp_path / "rb"))
+    assert back.count() == 10_000
