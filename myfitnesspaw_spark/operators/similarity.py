@@ -448,6 +448,14 @@ def srp_lsh_pairs(
     nb = len(signs)
     n_bands = nb // band_bits
     base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # Checkpointed (r20 wave 3, mirroring the minhash/simhash wave-2
+    # fix): the band self-join reads this table from BOTH sides, and
+    # with one side a BroadcastExchange no ReusedExchange can dedup
+    # them — the NB-hyperplane signature fold (the dominant per-row
+    # cost) ran TWICE over the corpus, and the verify sides re-scanned
+    # the source twice more (plan: 8 Scans total).  One (vid, vec, sig)
+    # row per doc, so the materialization is a short job against a
+    # halved projection pass; the verify sides read the same table.
     sig = (
         base.withColumn(
             "iv",
@@ -457,6 +465,7 @@ def srp_lsh_pairs(
         )
         .withColumn("sig", srp_signature_col(F.col("iv"), signs))
         .drop("iv")
+        .localCheckpoint()
     )
     bands = sig.select(
         "vid",
@@ -522,8 +531,8 @@ def srp_lsh_pairs(
     # bucket_near_dup): the LSH candidate set is far smaller than the
     # corpus, so per-pair norm folds are cheaper than projecting norms
     # onto every corpus row of both verify sides.
-    va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    va = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -854,9 +854,14 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
     ).where(F.col("token") != "")
+    # Checkpointed (r20): stats and the postings window both consume
+    # this aggregate through token-keyed exchanges that differ from its
+    # own (token, doc_id) exchange, so ReuseExchange never fired and
+    # the tokenize+posexplode extraction ran TWICE over the corpus
+    # (plan: 2 Scans, 2 Generates).  One materialization feeds both.
     tf = occ.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("tf"), F.min("pos").alias("first_pos")
-    )
+    ).localCheckpoint()
     stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("tf").alias("n_occurrences"),
@@ -930,11 +935,12 @@ FROM stats s JOIN postings p USING (token)
 #
 # Scale shape (the suffix-array equivalent for a shuffle engine):
 # one map-side-combined groupBy(doc, gram) collapses within-doc
-# repeats first, one gram-keyed rollup computes corpus counts, and
-# the join back is on the SAME gram key — Catalyst reuses the
-# exchange, so the whole thing is two shuffles of the gram table and
-# a per-doc sum.  No all-pairs, no suffix-array build: the gram
-# multiset IS the index.
+# repeats first and is materialized ONCE (localCheckpoint — the
+# rollup's exchange is gram-keyed while the aggregate's is
+# (doc, gram)-keyed, so ReuseExchange cannot share them); one
+# gram-keyed rollup computes corpus counts, the join back rides the
+# same gram key, then a per-doc sum.  No all-pairs, no suffix-array
+# build: the gram multiset IS the index.
 #
 # The shuffle key is a 64-bit md5 prefix of the gram, not the gram
 # string: shuffle bytes stop growing with n-gram length (Lee et al.
@@ -955,9 +961,15 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(F.col("__toks"), SPAN_N)).alias("gram"),
     ).select("doc_id", F.substring(F.md5("gram"), 1, 16).alias("gram"))
+    # Checkpointed (r20): gram_totals AND the join both consume this
+    # aggregate, but their exchanges differ ((doc, gram) vs gram) so
+    # ReuseExchange never fired and the tokenize+shingle+md5 extraction
+    # ran TWICE over the corpus (plan: 2 Scans, 2 Generates).  One
+    # materialization of the compact (doc, gram, count) table feeds
+    # both.
     per_doc_gram = inst.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c_dg")
-    )
+    ).localCheckpoint()
     gram_totals = per_doc_gram.groupBy("gram").agg(F.sum("c_dg").alias("c_g"))
     return (
         per_doc_gram.join(gram_totals, "gram")

@@ -939,10 +939,12 @@ PQ_QUERY_MOD = 50
 PQ_SCALE = 1_000_000
 
 
-def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_topk_from(vecs: DataFrame) -> DataFrame:
+    """PQ/ADC search over a prepared corpus frame — split out (r20) so
+    pq_recall_eval can feed truth AND approx from ONE checkpointed
+    scan instead of five independent scan+scatter trees."""
     from myfitnesspaw_spark.operators.similarity import pq_ann_topk
 
-    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
     sub_d = 64 // PQ_M
     donors = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -959,6 +961,10 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(
         queries, vecs, "vec_id", "embedding", codebooks, PQ_TOPK, scale=PQ_SCALE
     )
+
+
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_topk_from(scatter(load_table(spark, sf_dir, "embeddings")))
 
 
 _PQ_L2 = (
@@ -1059,23 +1065,25 @@ FROM ranked WHERE rank <= {PQ_TOPK}
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from myfitnesspaw_spark.operators.similarity import l2_topk
 
-    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+    # ONE checkpointed scan feeds truth, approx (incl. its codebook
+    # collect), and the query universe (r20, guide §2.4) — mirroring
+    # ivf_recall_eval's shared frame; previously 5 Scans + 4 scatter
+    # Exchanges of the same embeddings table.
+    vecs = scatter(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
     queries = vecs.where(F.col("vec_id") % PQ_QUERY_MOD == 0)
     truth = l2_topk(
         queries, vecs, "vec_id", "embedding", PQ_TOPK, scale=PQ_SCALE
     ).select("query_id", "neighbor_id")
-    approx = pq_ann_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = _pq_topk_from(vecs).select("query_id", "neighbor_id")
     hits = (
         approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    # Query universe straight off the scan — NOT truth's query ids,
-    # which would replay the brute-force subtree just to list them.
-    universe = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % PQ_QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"))
+    # Query universe straight off the shared frame — NOT truth's query
+    # ids, which would replay the brute-force subtree just to list them.
+    universe = vecs.where(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
     )
     per_q = universe.join(hits, "query_id", "left").select(
         "query_id", F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits")
@@ -2026,19 +2034,32 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target",
         (_hex_byte(F.md5(F.col("bigram")), 0) % DSIR_BUCKETS).alias("bucket"),
     )
-    model = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
-        F.count(F.lit(1)).alias("c_r"),
+    # Aggregate-then-checkpoint (r20, guide §2.3 "aggregate before you
+    # shuffle" + §5): the model build and the scoring join BOTH consume
+    # the exploded feature table, and with the model side broadcast no
+    # exchange is shared — the tokenize+bigram+md5 extraction ran TWICE
+    # over the corpus (plan: 2 Scans, 2 Generates, 0 ReusedExchange).
+    # Collapsing to per-(doc, bucket) instance counts first shrinks the
+    # shuffle to ≤ DSIR_BUCKETS rows per doc, and the localCheckpoint
+    # of that compact table gives both consumers ONE materialization.
+    g = (
+        feats.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    model = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum("n").alias("c_r"),
     ).select(
         "bucket",
         F.expr(f"(c_t + 1) * {LM_SCALE} DIV (c_r + 1)").alias("ratio_units"),
     )
     scored = (
-        feats.join(model, "bucket")
+        g.join(model, "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum("ratio_units").alias("dsir_units"),
+            F.sum("n").alias("n_features"),
+            F.sum(F.col("n") * F.col("ratio_units")).alias("dsir_units"),
         )
     )
     return (

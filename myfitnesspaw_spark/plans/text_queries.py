@@ -1042,10 +1042,16 @@ def _duck_cosine(a: str, b: str) -> str:
     )
 
 
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
+def _ann_topk_from(vecs: DataFrame) -> DataFrame:
+    """Brute-force truth search over a prepared corpus frame — split
+    out (r20) so ivf_recall_eval can feed truth AND approx from ONE
+    checkpointed scan instead of five independent scan+scatter trees."""
     queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return cosine_topk(queries, vecs, "vec_id", "embedding", ANN_K)
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_topk_from(scatter(load_table(spark, sf_dir, "embeddings")))
 
 
 # Shared oracle CTE fragments for the ANN family — interpolated into
@@ -1144,10 +1150,11 @@ IVF_NC = 16
 IVF_NPROBE = 3
 
 
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk_from(vecs: DataFrame) -> DataFrame:
+    """Probe-limited IVF search over a prepared corpus frame (r20 —
+    see :func:`_ann_topk_from`)."""
     from myfitnesspaw_spark.operators.similarity import ivf_ann_topk as _ivf
 
-    vecs = scatter(load_table(spark, sf_dir, "embeddings"))
     # The coarse quantizer is driver-side by design (like every IVF
     # index build): IVF_NC rows collected once, re-broadcast as
     # literals into the assignment projection.
@@ -1157,6 +1164,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return _ivf(queries, vecs, "vec_id", "embedding", cents, IVF_NPROBE, ANN_K)
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_from(scatter(load_table(spark, sf_dir, "embeddings")))
 
 
 def _ivf_ranked_ctes(scored: str = "scored", ranked: str = "ranked") -> str:
@@ -1235,20 +1246,24 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # ONE checkpointed scan feeds truth, approx (incl. its centroid
+    # collect), and the query universe (r20, guide §2.4): composing the
+    # two standalone queries built five independent scan+scatter trees
+    # of the same embeddings table (plan: 5 Scans, 4 scatter
+    # Exchanges); the shared frame leaves one.
+    vecs = scatter(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    truth = _ann_topk_from(vecs).select("query_id", "neighbor_id")
+    approx = _ivf_topk_from(vecs).select("query_id", "neighbor_id")
     hits = (
         approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    # Query universe straight off the scan (the oracle's q CTE) — NOT
-    # truth.select("query_id").distinct(), which would replay the
-    # whole brute-force subtree just to list ids.
-    queries = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % ANN_QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"))
+    # Query universe straight off the shared frame (the oracle's q
+    # CTE) — NOT truth.select("query_id").distinct(), which would
+    # replay the whole brute-force subtree just to list ids.
+    queries = vecs.where(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
     )
     per_q = queries.join(hits, "query_id", "left").select(
         "query_id", F.coalesce("__hits", F.lit(0)).cast("long").alias("n_hits")
