@@ -278,7 +278,9 @@ DECONTAM_MIN_SHARED = 1
 
 def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    # Both join sides (train + eval) read the gram table; checkpoint so
+    # the extraction runs once (r20, wave-3 single-extraction pattern).
+    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N).localCheckpoint()
     train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
@@ -370,7 +372,11 @@ def bloom_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = scatter(load_table(spark, sf_dir, "documents"))
-    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    # THREE consumers read the gram table (bloom build, the exact-verify
+    # eval side, the train probe side); localCheckpoint materializes the
+    # tokenize+shingle extraction once instead of re-running it per
+    # consumer (r20, guide §2.4 / the wave-3 single-extraction pattern).
+    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N).localCheckpoint()
     ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
     )
@@ -442,6 +448,13 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     words = toks.select("doc_id", F.explode("__toks").alias("word"))
     wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    # KEPT AS A WINDOW on purpose (r20): Spark 4 plans rn==1 filters as
+    # WindowGroupLimit — a map-side partial top-1 BEFORE the exchange —
+    # so the "replace the window with a partial-aggregable min(struct)"
+    # rewrite has nothing left to save and measured NEUTRAL-to-SLOWER
+    # (best-of-5 A/B at sf0.1: 1.231s window vs 1.406-1.853s struct;
+    # the struct form pays per-row struct construction in the partial
+    # aggregate).  Don't re-try without re-measuring.
     w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("word").asc())
     top = (
         wc.withColumn("rn", F.row_number().over(w))
