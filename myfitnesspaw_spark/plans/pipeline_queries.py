@@ -311,7 +311,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from myfitnesspaw_spark.sources import sf_is_small
 
-    assigned = ivf_coarse_assign(corpus, "embedding", cents, out_col="cluster_id")
+    # Materialized ONCE (r20 session 4), same rationale as the kpp
+    # variant below: the within-cluster pair self-join reads the
+    # assignment from BOTH sides, and with one side behind a
+    # BroadcastExchange no ReusedExchange can dedup them — without the
+    # checkpoint each side re-runs the scan + union + NC-cosine
+    # quantizer (the before plan shows the whole corpus subtree twice).
+    # The checkpoint also truncates lineage BELOW the pair join, which
+    # sidesteps a Spark 4.1 constraint-propagation crash this query is
+    # exposed to without it: the quantizer's zip_with/aggregate cluster
+    # expression becomes a join-key filter that the optimizer pushes
+    # through the self-union, and Union.rewriteConstraints then dies
+    # with "key not found: embedding#N" for some exprId layouts
+    # (deterministically reproduced under scripts/warm_probe.py's
+    # session sequence at sf0.1; layout-dependent, so bench/driver
+    # sessions dodge it by luck).  Pinned by
+    # tests/test_plans.py::test_semantic_dedup_single_quantizer_pass.
+    assigned = ivf_coarse_assign(
+        corpus, "embedding", cents, out_col="cluster_id"
+    ).localCheckpoint()
     # Scale-aware hot-bucket salting (result-identical at any G): with
     # NC pinned, the within-cluster self-join has only NC distinct
     # keys — at bench scale one side auto-broadcasts and the work is

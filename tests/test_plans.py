@@ -353,6 +353,19 @@ def test_semantic_dedup_assignment_is_projection(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_single_quantizer_pass(spark, sf_dir):
+    plan = _plan(spark, "semantic_dedup", sf_dir)
+    # The assignment is localCheckpointed (r20 session 4): the pair
+    # self-join reads BOTH sides from the one materialization, so the
+    # final plan must contain neither the corpus self-union nor a
+    # parquet scan — without the checkpoint each join side re-ran the
+    # scan + union + NC-cosine quantizer, and the quantizer expression
+    # pushed through the self-union as a join-key filter trips a
+    # Spark 4.1 Union.rewriteConstraints crash on some exprId layouts.
+    assert _count_nodes(plan, "Union") == 0
+    assert "Scan parquet" not in plan
+
+
 def test_srp_lsh_no_all_pairs_join(spark, sf_dir):
     plan = _plan(spark, "srp_lsh_pairs", sf_dir)
     # Candidates come from the band-key equi-join; an all-pairs
