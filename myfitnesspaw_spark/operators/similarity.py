@@ -262,6 +262,7 @@ def bucket_near_dup(
     threshold: float,
     salt_groups: int = 1,
     max_bucket: int | None = None,
+    checkpoint_base: bool = False,
 ) -> DataFrame:
     """IVF-style near-dup: pairs within the same coarse bucket whose
     cosine ≥ ``threshold``.  Returns ``(id_a, id_b, bucket, cos)``
@@ -304,6 +305,17 @@ def bucket_near_dup(
             .where(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    if checkpoint_base:
+        # Opt-in single-extraction barrier (r20 wave 5): the pair
+        # self-join reads ``base`` from BOTH sides, and with one side
+        # behind a BroadcastExchange no ReusedExchange can dedup them —
+        # a caller whose input lineage is an un-materialized scan (or
+        # scan + union) otherwise re-runs it, plus the per-row norm
+        # fold, once per side.  Callers that already checkpoint their
+        # assignment upstream (semantic_dedup/_kpp) leave this off:
+        # there the residual duplicate work is one cheap norm fold over
+        # an ExistingRDD read.
+        base = base.localCheckpoint()
 
     if salt_groups <= 1:
         a = base.select(

@@ -1122,6 +1122,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         NEAR_DUP_THRESHOLD,
         salt_groups=1 if sf_is_small(sf_dir) else 4,
+        # The input lineage is a raw scan + self-union: without the
+        # barrier each self-join side re-ran it plus the norm fold
+        # (4 parquet scans in the final plan, r20 wave 5).
+        checkpoint_base=True,
     )
 
 

@@ -216,6 +216,13 @@ def test_embedding_near_dup_salted_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "embedding_near_dup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Single-extraction barrier (r20 wave 5, checkpoint_base=True): the
+    # pair self-join reads the normed base from BOTH sides, so the
+    # final plan must contain neither the corpus self-union nor a
+    # parquet scan — without the barrier each side re-ran the
+    # scan + union + norm fold (4 parquet scans).
+    assert "Scan parquet" not in plan
+    assert _count_nodes(plan, "Union") == 0
 
     # The SALTED form (the >sf0.1 scale path) must stay an equi hash
     # join on (bucket, cell) — a nested-loop/cartesian plan would mean
