@@ -327,7 +327,9 @@ def jaccard_pairs_prefix_arrays(
     return verify_pairs_arrays(arrs, cand, id_col, threshold)
 
 
-def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def jaccard_pairs_prefix(
+    shingles: DataFrame, id_col: str, threshold: float, checkpoint: bool = True
+) -> DataFrame:
     """All doc pairs with shingle Jaccard ≥ ``threshold`` — the scale
     path: prefix-filtered candidate generation + exact verification.
     Result-identical to ``jaccard_pairs`` (the brute inverted-index
@@ -346,8 +348,20 @@ def jaccard_pairs_prefix(shingles: DataFrame, id_col: str, threshold: float) -> 
     A/B-probed at sf0.1 and REGRESSED (+41% on indexed_cc_refresh):
     rebuilding arrays pays the id-keyed exchange the ranking window
     paid AND re-explodes per consumer — measure before shuffling less.
+
+    ``checkpoint=False`` (r21) is for callers whose ``shingles`` is
+    already a materialization barrier — a store scan: re-scanning a
+    pruned 2-column parquet store per consumer measured NEUTRAL at
+    sf0.1 vs the localCheckpoint, and for a BUCKETED store scan the
+    checkpoint is actively harmful — it replaces the scan with a
+    LogicalRDD and the planner forgets the bucket partitioning, so
+    the ranking window / sizes / verify joins re-gain the 4 exchanges
+    the bucketed layout removes.  Keep the default for computed
+    inputs: without the barrier each of the 4 consumers re-runs the
+    whole upstream extraction.
     """
-    shingles = shingles.localCheckpoint()
+    if checkpoint:
+        shingles = shingles.localCheckpoint()
     cand = prefix_filter_candidates(shingles, id_col, threshold)
     return verify_pairs(shingles, cand, id_col, threshold)
 

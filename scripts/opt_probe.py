@@ -31,8 +31,12 @@ from myfitnesspaw_spark.plans import registry  # noqa: E402
 from myfitnesspaw_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# r21: plan artifacts land in plans/r21 (override with
+# SPARK_GRAFT_PLANS_TAG for reproducing an older round's dumps).
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r20"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_TAG", "r21"),
 )
 
 
