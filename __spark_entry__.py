@@ -32,7 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    CONSTRUCTION IS NOT LAZY for every entry (ADVICE r20): several
+    query builders execute Spark jobs while CONSTRUCTING the returned
+    DataFrame — eager ``localCheckpoint`` materializations of
+    multi-consumer intermediates, and the index-store queries' whole
+    simulated prior run (a parquet store write + read-back).  Calling
+    ``queries()[name](spark, sf_dir)`` therefore runs real jobs before
+    any action on the result; tooling that merely enumerates plans
+    must expect that (bench timing is unaffected — the timer wraps
+    construction plus the action, which is also why the eager work is
+    honestly inside every timed region)."""
     return registry.queries()
 
 

@@ -526,10 +526,16 @@ def main() -> None:
             timed, baseline, gate_cal, gate_io
         )
 
+        # Core count in both artifacts (r21, VERDICT r20 #5): the
+        # driver's 8-core scaling run overwrote bench_full.json with
+        # numbers a floor reader mistook for 32-core regressions —
+        # stamping cpus makes any off-core-count artifact identifiable.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
         full = {
             "metric": "total_query_sec",
             "value": total,
             "unit": "sec",
+            "cpus": cpus,
             "queries": book.timings,
             "statuses": statuses,
             "errors": errors,
@@ -574,6 +580,7 @@ def main() -> None:
                     # artifact (BENCH_r{N}.json) records the band.
                     "n_watch": len(watch),
                     "sf": sf,
+                    "cpus": cpus,
                     "host_cal_sec": wall.get("host_cal_sec"),
                     "io_cal_sec": wall.get("io_cal_sec"),
                     "full": "bench_full.json",

@@ -31,6 +31,7 @@ import warnings
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.checkpoints import materialize_instance_sized
 from myfitnesspaw_spark.functions.text import (
     minhash_hashes,
     minhash_signature,
@@ -322,7 +323,7 @@ def jaccard_pairs_prefix_arrays(
     is checkpointed once (three consumers: prefix + both verify
     sides) and holds one row per doc instead of one per shingle.
     """
-    arrs = arrs.localCheckpoint()
+    arrs = materialize_instance_sized(arrs)
     cand = prefix_filter_candidates_arrays(arrs, id_col, threshold)
     return verify_pairs_arrays(arrs, cand, id_col, threshold)
 
@@ -361,7 +362,7 @@ def jaccard_pairs_prefix(
     whole upstream extraction.
     """
     if checkpoint:
-        shingles = shingles.localCheckpoint()
+        shingles = materialize_instance_sized(shingles)
     cand = prefix_filter_candidates(shingles, id_col, threshold)
     return verify_pairs(shingles, cand, id_col, threshold)
 
@@ -395,7 +396,7 @@ def jaccard_pairs_delta(
     shingle arrays per candidate pair.  Exploded + counted beats
     shuffle-avoiding when the aggregate rides an existing shuffle.
     """
-    shingles = shingles.localCheckpoint()  # sizes + index + probe read it
+    shingles = materialize_instance_sized(shingles)  # sizes + index + probe read it
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     marked = delta_ids.select(F.col(id_col)).withColumn("__d", F.lit(True))
     flagged = shingles.join(marked, id_col, "left").select(
@@ -525,7 +526,7 @@ def minhash_signatures(
         F.array_distinct(word_shingles(F.col("__toks"), shingle_n)).alias("sh"),
     ).where(F.size("sh") > 0)
     if checkpoint:
-        sh = sh.localCheckpoint()
+        sh = materialize_instance_sized(sh)
     carry = ["sh"] if carry_shingles else []
     # Generate barrier so the per-shingle md5 runs once, not once per
     # seed (CollapseProject would re-inline a projected array into all

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.checkpoints import materialize_instance_sized
 from myfitnesspaw_spark.operators.dedup import topk_per_key
 
 COS_DECIMALS = 6
@@ -315,7 +316,7 @@ def bucket_near_dup(
         # assignment upstream (semantic_dedup/_kpp) leave this off:
         # there the residual duplicate work is one cheap norm fold over
         # an ExistingRDD read.
-        base = base.localCheckpoint()
+        base = materialize_instance_sized(base)
 
     if salt_groups <= 1:
         a = base.select(

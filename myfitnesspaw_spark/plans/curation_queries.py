@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.checkpoints import materialize_instance_sized
 from myfitnesspaw_spark.functions.numeric import epoch_us
 from myfitnesspaw_spark.functions.text import normalize_text, tokens
 from myfitnesspaw_spark.operators.dedup import shingle_sets
@@ -280,7 +281,9 @@ def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(load_table(spark, sf_dir, "documents"))
     # Both join sides (train + eval) read the gram table; checkpoint so
     # the extraction runs once (r20, wave-3 single-extraction pattern).
-    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N).localCheckpoint()
+    grams = materialize_instance_sized(
+        shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    )
     train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
@@ -376,7 +379,9 @@ def bloom_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval side, the train probe side); localCheckpoint materializes the
     # tokenize+shingle extraction once instead of re-running it per
     # consumer (r20, guide §2.4 / the wave-3 single-extraction pattern).
-    grams = shingle_sets(docs, "doc_id", "text", n=CONTAM_N).localCheckpoint()
+    grams = materialize_instance_sized(
+        shingle_sets(docs, "doc_id", "text", n=CONTAM_N)
+    )
     ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
     )

@@ -23,6 +23,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from myfitnesspaw_spark.checkpoints import materialize_instance_sized
 from myfitnesspaw_spark.functions.text import (
     bpe_ish_token_count,
     char_bigram_codes,
@@ -1849,7 +1850,8 @@ def minhash_signature_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_arrs = shingle_arrays(
         docs.join(cand_ids, "doc_id", "left_semi"), "doc_id", "text", n=3
-    ).localCheckpoint()  # read twice: both verify sides
+    )
+    cand_arrs = materialize_instance_sized(cand_arrs)  # read twice: both verify sides
     pairs = (
         verify_pairs_arrays(cand_arrs, candidates, "doc_id", JACCARD_THRESHOLD)
         .select("id_a", "id_b")

@@ -1160,3 +1160,100 @@ def test_indexed_cc_refresh_reads_stored_shingles(spark, sf_dir):
     want_sh = shingle_sets(base, "doc_id", "text", n=3)
     assert stored.exceptAll(want_sh).isEmpty()
     assert want_sh.exceptAll(stored).isEmpty()
+
+
+# --- r21: systematic Generate-barrier pins (VERDICT r20 #6) -----------------
+# Every `_once` / explode(array(...)) barrier in the engine exists to
+# keep an expensive interpreted expression (array_intersect jaccard,
+# zip_with cosine fold, per-token md5) at ONE evaluation per row/pair:
+# without the Generate node, Catalyst pushes the downstream threshold
+# filter into the join condition (or CollapseProject re-inlines the
+# array into every HOF pass) and the expression runs 2-32x.  The
+# barrier is optimizer-version-fragile — a future Spark that rewrites
+# explode(array(x)) to a projection silently restores the duplicate
+# evaluation — so every barrier site is pinned here: query-level where
+# the expression survives into the FINAL plan, operator-level where a
+# localCheckpoint hides it (the checkpointed leg's plan is built
+# directly).  Counts are exact: a collapse shows up as 2+, a removed
+# expression as 0 (both are failures worth a loud look).
+
+_BARRIER_FINAL_PLAN_PINS = [
+    # (query, expression marker, exact count in the final plan)
+    ("minhash_lsh_pairs", "array_intersect", 1),
+    ("ngram_jaccard_pairs", "array_intersect", 1),
+    ("minhash_jaccard_calibration", "array_intersect", 1),
+    ("embedding_near_dup", "zip_with", 1),  # one cosine dot per pair
+    ("srp_lsh_pairs", "zip_with", 1),
+    ("hard_negative_mining", "zip_with", 1),
+]
+
+
+@pytest.mark.parametrize("name,marker,count", _BARRIER_FINAL_PLAN_PINS)
+def test_barrier_single_evaluation_in_final_plan(spark, sf_dir, name, marker, count):
+    plan = _plan(spark, name, sf_dir)
+    assert plan.count(marker) == count, (
+        f"{name}: expected exactly {count}x {marker!r} in the final plan "
+        f"(got {plan.count(marker)}) — the Generate barrier no longer pins "
+        "a single evaluation (or the expression vanished)"
+    )
+
+
+def _opt_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_barrier_verify_pairs_arrays_single_intersect(spark):
+    """Operator-level pin for the sites a localCheckpoint hides from
+    final plans (minhash_dedup_e2e, minhash_signature_refresh,
+    neardup_refresh_pipeline, delta/CC pipelines): verify_pairs_arrays'
+    jaccard must fold exactly once per pair even though its threshold
+    filter references it."""
+    from pyspark.sql import functions as F
+
+    from myfitnesspaw_spark.operators.dedup import verify_pairs_arrays
+
+    arrs = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["a b c", "c d e"])], "doc_id long, sh array<string>"
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = _opt_plan(verify_pairs_arrays(arrs, cands, "doc_id", 0.5))
+    assert plan.count("array_intersect") == 1
+
+
+def test_barrier_bucket_near_dup_single_cosine(spark):
+    from myfitnesspaw_spark.operators.similarity import bucket_near_dup
+
+    vecs = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.1]), (3, 1, [0.0, 1.0])],
+        "vid long, label int, vec array<float>",
+    )
+    plan = _opt_plan(bucket_near_dup(vecs, "vid", "vec", "label", 0.9))
+    assert plan.count("zip_with") == 1  # one _dot fold per pair
+
+
+def test_barrier_minhash_signatures_single_md5_pass(spark):
+    """The per-shingle md5 array materializes through the Generate
+    barrier once; the 16 rotation-minimum passes must reference the
+    exploded attribute, never re-inline the md5 transform per seed."""
+    from myfitnesspaw_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    _, sig = minhash_signatures(docs, "doc_id", "text", 16, checkpoint=False)
+    plan = _opt_plan(sig)
+    assert plan.count("md5") == 1
+
+
+def test_barrier_simhash_fingerprints_single_md5_pass(spark):
+    from myfitnesspaw_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    plan = _opt_plan(simhash_fingerprints(docs, "doc_id", "text"))
+    assert plan.count("md5") == 1  # 32 bit votes share ONE hashed array

@@ -694,3 +694,34 @@ def test_bucketed_index_store_layout_for_the_reader(spark, tmp_path):
     assert back2.count() == 10_000
     plan2 = back2.groupBy("doc_id").count()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan2  # bare parquet carries no partitioning
+
+
+def test_materialize_instance_sized_reliable_knob(spark, tmp_path):
+    """materialize_instance_sized defaults to localCheckpoint and
+    routes to a RELIABLE checkpoint dir when the posture knob is set
+    (r21, VERDICT r20 #5): same rows either way; the reliable branch
+    writes recovery files under the configured dir instead of pinning
+    executor-local blocks."""
+    import os
+
+    from myfitnesspaw_spark.checkpoints import materialize_instance_sized
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 3)
+
+    local = materialize_instance_sized(df)
+    assert local.count() == 1000
+    assert "ExistingRDD" in local._jdf.queryExecution().executedPlan().toString()
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set("spark.myfitnesspaw.checkpoint.dir", ckdir)
+    try:
+        reliable = materialize_instance_sized(df)
+        assert reliable.count() == 1000
+        assert sorted(r.v for r in reliable.collect()) == sorted(
+            r.v for r in local.collect()
+        )
+        # recovery files actually landed under the configured dir
+        found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert found, "reliable checkpoint wrote no files"
+    finally:
+        spark.conf.unset("spark.myfitnesspaw.checkpoint.dir")
