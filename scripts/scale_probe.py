@@ -874,6 +874,10 @@ PROBES = [
     # probe's residual growth is the simulated prior run seeding the
     # two stores (scan-linear by design).
     "indexed_cc_refresh",
+    # r21 (VERDICT r20 #4): the scaling-≈1 cohort's survivor query —
+    # probed at 8 vs 32 cores per octave to separate fixed latency
+    # from a genuine serialization.
+    "dedup_survivors",
     # r15: the ONLINE half of minhash_signature_refresh's protocol —
     # the stream side MinHash-signs row-locally (no stream state) and
     # probes the persisted band store through a stateless stream-
